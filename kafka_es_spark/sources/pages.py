@@ -1,0 +1,137 @@
+"""Deterministic synthetic Common-Crawl-style pages table (BASELINE.json input_hint).
+
+Schema (exact): url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Generator requirements (FIXTURES.md §1): Zipfian term distribution (so
+head-term skew exercises the salted merge), duplicate-content urls, ≥2
+languages, some empty/whitespace html, HTML entities + tags the extractor
+must strip deterministically. Seeded (numpy PCG64) → identical bytes at any
+parallelism; the driver never regenerates, tests synthesize at small scale.
+
+The ``text`` column is written as the *expected output* of the X1 extractor
+over ``html`` (functions/extract.py), making the byte-identity invariant
+testable: extract_text(html) == text, per url.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), False),
+    ]
+)
+
+# Zipf-weighted vocabularies per language (deterministic, embedded).
+_VOCAB = {
+    "en": (
+        "the of and to in data index search query term document page web spark "
+        "shard batch bulk kafka sink route retry flush offset commit stream "
+        "crawl html text token score rank merge block skip list posting heap"
+    ).split(),
+    "de": (
+        "der die das und zu daten index suche anfrage begriff dokument seite "
+        "netz funke scherbe stapel masse strom kriechen text zeichen punkt rang"
+    ).split(),
+    "uk": (
+        "індекс пошук запит термін документ сторінка дані потік текст знак "
+        "оцінка ранг блок список купа злиття"
+    ).split(),
+}
+_ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;"]
+_ENTITY_TEXT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
+
+
+def _zipf_words(rng: np.random.Generator, vocab: list[str], n: int) -> list[str]:
+    # ranks 1..V with p ∝ 1/rank — heavy head, long tail
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    p = (1.0 / ranks) / (1.0 / ranks).sum()
+    return [vocab[i] for i in rng.choice(len(vocab), size=n, p=p)]
+
+
+def gen_pages_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Pandas frame of n_rows synthetic pages. Pure function of (n_rows, seed)."""
+    rng = np.random.default_rng(seed)
+    langs = ["en"] * 6 + ["de"] * 3 + ["uk"]
+    rows = []
+    base_ts = _dt.datetime(2025, 10, 17, tzinfo=_dt.timezone.utc)
+    dup_text_cache: list[tuple[str, str, str]] = []  # (lang, text, html_body)
+    for i in range(n_rows):
+        lang = langs[int(rng.integers(0, len(langs)))]
+        url = f"https://site-{int(rng.integers(0, max(2, n_rows // 3)))}.example/{lang}/p{i}"
+        ts = base_ts + _dt.timedelta(seconds=int(rng.integers(0, 86400 * 30)))
+        r = rng.random()
+        if r < 0.03:
+            html: bytes | None = b""
+            text = ""
+        elif r < 0.05:
+            html = b"   \n\t  "
+            text = ""
+        elif r < 0.12 and dup_text_cache:
+            # duplicate-content url: same text+html body as an earlier page
+            lang, text, body = dup_text_cache[int(rng.integers(0, len(dup_text_cache)))]
+            html = body.encode("utf-8")
+        else:
+            nw = int(rng.integers(5, 120))
+            words = _zipf_words(rng, _VOCAB[lang], nw)
+            # sprinkle entities so extraction has real work to do
+            ent_idx = rng.random(nw) < 0.05
+            title = " ".join(words[: min(4, nw)])
+            body_words = [
+                (_ENTITIES[int(rng.integers(0, len(_ENTITIES)))] if e else w)
+                for w, e in zip(words, ent_idx)
+            ]
+            paras = []
+            for j in range(0, len(body_words), 20):
+                paras.append("<p>" + " ".join(body_words[j : j + 20]) + "</p>")
+            body = (
+                f"<html><head><title>{title}</title>"
+                f"<script>var x=1;</script><style>.a{{}}</style></head>"
+                f"<body><h1>{title}</h1>" + "".join(paras) + "</body></html>"
+            )
+            # expected extraction: tags stripped, entities decoded, ws collapsed
+            text_words = [title, title] + [
+                (_ENTITY_TEXT[w] if w in _ENTITY_TEXT else w) for w in body_words
+            ]
+            text = " ".join(" ".join(text_words).split())
+            html = body.encode("utf-8")
+            if rng.random() < 0.3:
+                dup_text_cache.append((lang, text, body))
+        rows.append((url, ts, html, text, lang))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # url must be unique per row (FIXTURES.md) — suffix any collisions
+    dup = pdf["url"].duplicated()
+    pdf.loc[dup, "url"] = pdf.loc[dup, "url"] + "-d" + pdf.index[dup].astype(str)
+    return pdf
+
+
+def gen_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int = 8) -> DataFrame:
+    df = spark.createDataFrame(gen_pages_pdf(n_rows, seed), schema=PAGES_SCHEMA)
+    return df.repartition(partitions)
+
+
+def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: driver `documents` table → pages shape (url synthesized from
+    doc_id; html empty — text already extracted). Lets index jobs run on the
+    driver corpus unchanged."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(_dt.datetime(2025, 10, 17)).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
