@@ -66,6 +66,38 @@ def _q_bm25_topk(spark, sf_dir):
     return _bm25.bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, k=TOPK)
 
 
+def _q_wand_topk(spark, sf_dir):
+    """X4/X5/X8 — full index path: SPIMI build (varint+block-max segments,
+    doc-range salted) then distributed block-max WAND top-k. Must be
+    rank-identical to the exhaustive x7 oracle."""
+    import hashlib
+    import os
+
+    from kafka_es_spark.operators.wand import wand_topk
+    from kafka_es_spark.plans.build_index import build_index
+    from kafka_es_spark.sources.pages import docs_as_pages
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/kafka_es_index_{tag}"
+    if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
+        build_index(spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8, n_term_buckets=8)
+    out = wand_topk(spark, idx, " ".join(QUERY_TERMS), k=TOPK, with_url=True)
+    # map internal dense doc ids back to the corpus doc_id carried in the url
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("score"),
+    )
+
+
+def _q_delete_tombstones(spark, sf_dir):
+    """X9 — tombstone anti-join before scoring (ES bulk Delete semantics)."""
+    from kafka_es_spark.operators.deletes import apply_tombstones
+
+    docs = _docs(spark, sf_dir)
+    tombstones = docs.filter(F.col("doc_id") % 7 == 0)
+    return _bm25.bm25_topk(apply_tombstones(docs, tombstones), QUERY_TERMS, k=TOPK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -74,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_corpus_stats": _q_corpus_stats,
         "x3_doc_lengths": _q_doc_lengths,
         "x7_bm25_topk": _q_bm25_topk,
+        "x8_wand_topk": _q_wand_topk,
+        "x9_delete_tombstones": _q_delete_tombstones,
     }
 
 
@@ -84,11 +118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = duckdb_tokens_sql("text")
 _QT = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
-_BM25_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+def _bm25_sql(docs_rel: str = "documents") -> str:
+    return f"""
+WITH corpus AS (SELECT * FROM {docs_rel}),
+toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM corpus
 ),
-dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 qt AS (SELECT unnest([{_QT}]) AS term),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
@@ -103,6 +139,9 @@ s AS (
 SELECT doc_id, round(score, 4) AS score FROM s
 ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
 """
+
+
+_BM25_SQL = _bm25_sql("documents")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -127,4 +166,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, len({_TOKS}) AS dl FROM documents"
         ),
         "x7_bm25_topk": _BM25_SQL,
+        # WAND over the compressed index must reproduce the exhaustive SQL
+        "x8_wand_topk": _BM25_SQL,
+        "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
     }

@@ -1,0 +1,266 @@
+"""X7/X8 — distributed BM25 top-k with block-max WAND pruning.
+
+Query plan (SURVEY.md §3.3):
+
+1. tokenize the query with the document analyzer;
+2. read ``term_stats`` filtered to the query terms (broadcast-sized: ≤|q|
+   rows) → idf per term, with N/avgdl from ``stats.json``;
+3. read posting segments with ``term IN qterms AND bucket IN qbuckets`` —
+   both predicates push into the parquet scan (bucket prunes row groups of
+   other term-hash buckets; the files are sorted by term within buckets so
+   min/max stats prune precisely);
+4. group segments by ``seg`` (doc range): every doc lives in exactly one
+   range, so per-range top-k followed by a global TakeOrdered(k) is the
+   EXACT global top-k — ranges score in parallel with no cross-talk;
+5. inside each range: block-max WAND (Broder et al. WAND + Ding/Suel
+   block-max skipping; see PAPERS.md) over per-term cursors with a bounded
+   min-heap, float64, deterministic tie-break (score desc, doc_id asc).
+
+Rank-identity discipline: per-term contributions are summed in sorted-term
+order (fixed cursor order), so WAND, the per-range scorer, and the
+exhaustive numpy oracle produce bit-identical float64 scores.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_es_spark.functions.tokenize import tokens
+from kafka_es_spark.operators.spimi import decode_segment
+from kafka_es_spark.operators.bm25 import K1, B
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _contrib(tfs: np.ndarray, dls: np.ndarray, w: float, avgdl: float,
+             k1: float = K1, b: float = B) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+class _Cursor:
+    """One query term's postings within a doc range (possibly several
+    segment rows from different shards, concatenated in doc order)."""
+
+    __slots__ = ("ids", "contrib", "blk_last", "blk_ub", "pos", "n")
+
+    def __init__(self, rows: list[dict], w: float, avgdl: float, codec: str,
+                 k1: float = K1, b: float = B):
+        rows = sorted(rows, key=lambda r: r["first_docid"])
+        ids_l, tf_l, dl_l, bl_l, bub_l = [], [], [], [], []
+        for r in rows:
+            i, tfs, dls = decode_segment(r, codec)
+            ids_l.append(i)
+            tf_l.append(tfs)
+            dl_l.append(dls)
+            bl_l.append(np.asarray(r["blk_last"], dtype=np.int64))
+            bub_l.append(
+                _contrib(
+                    np.asarray(r["blk_maxtf"], dtype=np.int64),
+                    np.asarray(r["blk_mindl"], dtype=np.int64),
+                    w, avgdl, k1, b,
+                )
+            )
+        self.ids = np.concatenate(ids_l)
+        self.contrib = np.concatenate(
+            [_contrib(t, d, w, avgdl, k1, b) for t, d in zip(tf_l, dl_l)]
+        )
+        self.blk_last = np.concatenate(bl_l)
+        self.blk_ub = np.concatenate(bub_l)
+        self.pos = 0
+        self.n = self.ids.size
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= self.n
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.ids[self.pos])
+
+    def term_ub(self) -> float:
+        return float(self.blk_ub.max()) if self.blk_ub.size else 0.0
+
+    def block_ub_at(self, doc: int) -> float:
+        bi = int(np.searchsorted(self.blk_last, doc, side="left"))
+        return float(self.blk_ub[min(bi, self.blk_ub.size - 1)])
+
+    def block_last_at(self, doc: int) -> int:
+        bi = int(np.searchsorted(self.blk_last, doc, side="left"))
+        return int(self.blk_last[min(bi, self.blk_last.size - 1)])
+
+    def advance_to(self, doc: int) -> None:
+        """Gallop to the first posting with id >= doc."""
+        self.pos += int(np.searchsorted(self.ids[self.pos:], doc, side="left"))
+
+
+def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Block-max WAND over one doc range. Returns up to k (doc_id, score),
+    best-first by (score desc, doc_id asc). Cursors MUST be in sorted-term
+    order — contributions are accumulated in cursor-index order so the sum
+    is bit-identical to the exhaustive oracle."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_id): heap[0] = worst kept
+    ubs = [c.term_ub() for c in cursors]
+
+    while True:
+        order = [i for i in range(len(cursors)) if not cursors[i].exhausted]
+        if not order:
+            break
+        order.sort(key=lambda i: cursors[i].cur_doc)
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        acc = 0.0
+        pivot_j = -1
+        for j, ci in enumerate(order):
+            acc += ubs[ci]
+            if acc >= theta:
+                pivot_j = j
+                break
+        if pivot_j < 0:
+            break  # no remaining doc can reach the threshold
+        pivot_doc = cursors[order[pivot_j]].cur_doc
+        if cursors[order[0]].cur_doc == pivot_doc:
+            # block-max refinement: tighter per-block bound before full eval
+            bub = sum(
+                cursors[ci].block_ub_at(pivot_doc)
+                for ci in order[: pivot_j + 1]
+            )
+            if bub < theta:
+                # skip to just past the nearest block boundary
+                nxt = min(
+                    cursors[ci].block_last_at(pivot_doc)
+                    for ci in order[: pivot_j + 1]
+                ) + 1
+                for ci in order[: pivot_j + 1]:
+                    cursors[ci].advance_to(nxt)
+                continue
+            # full evaluation — fixed cursor order for float determinism
+            score = 0.0
+            for ci in range(len(cursors)):
+                c = cursors[ci]
+                if not c.exhausted and c.cur_doc == pivot_doc:
+                    score += float(c.contrib[c.pos])
+                    c.pos += 1
+            if len(heap) < k:
+                heapq.heappush(heap, (score, -pivot_doc))
+            elif (score, -pivot_doc) > heap[0]:
+                heapq.heapreplace(heap, (score, -pivot_doc))
+        else:
+            for ci in order[:pivot_j]:
+                cursors[ci].advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """Distributed block-max WAND top-k over an index dataset."""
+    from kafka_es_spark.plans.build_index import load_stats
+
+    stats = load_stats(index_dir)
+    n_docs, avgdl, codec = stats["n_docs"], stats["avgdl"], stats["codec"]
+
+    qterms = sorted(
+        set(
+            spark.range(1)
+            .select(F.explode(tokens(F.lit(query))).alias("t"))
+            .toPandas()["t"]
+        )
+    )
+    if not qterms or n_docs == 0 or avgdl == 0:
+        df = spark.createDataFrame([], TOPK_SCHEMA)
+        return df
+
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").isin(qterms))
+        .collect()
+    )
+    weights = {r["term"]: idf(n_docs, int(r["df"])) for r in ts}
+    if not weights:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    term_order = sorted(weights)
+
+    segs = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(list(weights))
+    )
+
+    def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict[str, list[dict]] = {}
+        for r in pdf.to_dict("records"):
+            by_term.setdefault(r["term"], []).append(r)
+        cursors = [
+            _Cursor(by_term[t], weights[t], avgdl, codec)
+            for t in term_order
+            if t in by_term
+        ]
+        top = wand_range_topk(cursors, k)
+        return pd.DataFrame(top, columns=["doc_id", "score"])
+
+    ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)
+    out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    if with_url:
+        dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select("doc_id", "url")
+        out = out.join(dm, "doc_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exhaustive numpy oracle (rank-identity reference for WAND; FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+
+def exhaustive_topk_numpy(
+    doc_terms: pd.DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> list[tuple[int, float]]:
+    """Brute-force BM25 over a pandas (doc_id, terms:list[str]) frame; sums
+    per-term contributions in sorted-term order (same as WAND)."""
+    qs = sorted(set(query_terms))
+    n = len(doc_terms)
+    dls = doc_terms["terms"].map(len).to_numpy(dtype=np.int64)
+    avgdl = float(dls.mean()) if n else 0.0
+    ids = doc_terms["doc_id"].to_numpy(dtype=np.int64)
+    scores = np.zeros(n, dtype=np.float64)
+    for q in qs:
+        tf = doc_terms["terms"].map(
+            lambda ts: int((np.asarray(ts, dtype=object) == q).sum())
+        ).to_numpy(dtype=np.int64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        w = idf(n, df)
+        mask = tf > 0
+        scores[mask] += _contrib(tf[mask], dls[mask], w, avgdl, k1, b)
+    hit = scores > 0
+    rows = sorted(zip(ids[hit], scores[hit]), key=lambda e: (-e[1], e[0]))
+    return [(int(d), float(s)) for d, s in rows[:k]]

@@ -1,0 +1,160 @@
+"""End-to-end inverted-index build (the replacement for the whole reference
+pipeline: Kafka sink → ES bulk → ES index build, SURVEY.md §3.1).
+
+Layout of an index dataset at ``index_dir``:
+
+    postings/shard=<i>/*.parquet   segment rows (spimi.SEGMENT_SCHEMA + bucket)
+    docmap/*.parquet               (doc_id, url, dl)
+    term_stats/*.parquet           (term, df, cf) — aggregated post-build
+    stats.json                     {n_docs, avgdl, total_tokens, codec, seg_bits}
+    _manifest/*.json               per-stage commit entries + counters
+
+Plan shape / scale notes:
+* exactly one wide shuffle carries posting-sized data (the (term, seg)
+  groupBy in spimi.build_segments); tokenize+invert are narrow maps;
+* doc-id assignment shuffles page-sized rows by a uniform hash bucket;
+* segment rows are repartitioned by term-hash bucket and sorted by
+  (term, seg) within files, so query reads prune to the query terms via
+  parquet row-group min/max on ``term`` (Iceberg would add manifest-level
+  pruning in prod — same layout);
+* shards = disjoint doc-range slices (seg % n_shards); each shard is an
+  independent job committed via the manifest → partition-granular resume;
+* head-term skew never concentrates: a hot term's postings split across
+  doc-range segments (the salt), bounded at 2^seg_bits docs per reducer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.extract import extract_text
+from kafka_es_spark.functions.tokenize import tokens
+from kafka_es_spark.operators.docids import assign_doc_ids
+from kafka_es_spark.operators import spimi
+from kafka_es_spark.plans.manifest import Manifest
+
+
+def prepare_docs(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (doc_id, url, dl, terms)."""
+    text = (
+        F.coalesce(F.col("text"), extract_text(F.col("html")), F.lit(""))
+        if extract_if_missing
+        else F.coalesce(F.col("text"), F.lit(""))
+    )
+    docs = pages.withColumn("_text", text).withColumn("terms", tokens(F.col("_text")))
+    docs = assign_doc_ids(docs)
+    return docs.select(
+        "doc_id", "url", F.size("terms").cast("long").alias("dl"), "terms"
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    *,
+    seg_bits: int = spimi.SEG_BITS,
+    n_term_buckets: int = 32,
+    codec: str = "varint",
+    n_shards: int = 1,
+    resume: bool = False,
+    extract_if_missing: bool = True,
+) -> dict:
+    """Build (or resume) the index; returns the manifest counter summary."""
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir)
+    docs = prepare_docs(pages, extract_if_missing)
+    if n_shards > 1 or resume:
+        docs = docs.cache()  # sandbox convenience; at scale shards re-scan with pushdown
+
+    # --- docmap + global stats (its own committed stage) -------------------
+    docmap_dir = os.path.join(index_dir, "docmap")
+    if not (resume and man.is_complete("docmap")):
+        t0 = time.time()
+        docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(docmap_dir)
+        dm = spark.read.parquet(docmap_dir)
+        st = dm.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("tok"),
+        ).collect()[0]
+        stats = {
+            "n_docs": int(st["n"]),
+            "avgdl": float(st["avgdl"] or 0.0),
+            "total_tokens": int(st["tok"] or 0),
+            "codec": codec,
+            "seg_bits": seg_bits,
+        }
+        with open(os.path.join(index_dir, "stats.json"), "w") as f:
+            json.dump(stats, f)
+        man.commit("docmap", {"docs": stats["n_docs"], "elapsed_sec": time.time() - t0})
+
+    # --- posting shards ------------------------------------------------------
+    for shard in range(n_shards):
+        name = f"shard-{shard:05d}"
+        if resume and man.is_complete(name):
+            continue
+        t0 = time.time()
+        sdocs = (
+            docs
+            if n_shards == 1
+            else docs.filter(F.shiftright("doc_id", seg_bits) % n_shards == shard)
+        )
+        postings = spimi.doc_term_freqs(sdocs)
+        segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec)
+        segs = segs.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets))
+        )
+        out = os.path.join(index_dir, "postings", f"shard={shard}")
+        (
+            segs.repartition(n_term_buckets, "bucket")
+            .sortWithinPartitions("term", "seg")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # counters from the (small) written segment rows — durable before commit
+        c = spark.read.parquet(out).agg(
+            F.count("*").alias("segments"),
+            F.count_distinct("term").alias("terms"),
+            F.sum("df_seg").alias("postings"),
+            F.sum(F.octet_length("docs_blob") + F.octet_length("tfs_blob")
+                  + F.octet_length("dls_blob")).alias("bytes"),
+        ).collect()[0]
+        man.commit(
+            name,
+            {
+                "segments": int(c["segments"]),
+                "terms": int(c["terms"]),
+                "postings": int(c["postings"] or 0),
+                "bytes": int(c["bytes"] or 0),
+                "elapsed_sec": time.time() - t0,
+            },
+        )
+
+    # --- term stats (recomputed over all shards; cheap: segment rows only) ---
+    if not (resume and man.is_complete("term_stats")):
+        t0 = time.time()
+        all_segs = spark.read.parquet(os.path.join(index_dir, "postings"))
+        ts_dir = os.path.join(index_dir, "term_stats")
+        (
+            all_segs.groupBy("term")
+            .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(ts_dir)
+        )
+        n_terms = spark.read.parquet(ts_dir).count()
+        man.commit("term_stats", {"terms": int(n_terms), "elapsed_sec": time.time() - t0})
+
+    if docs.is_cached:
+        docs.unpersist()
+    return {e["name"]: e for e in man.entries()}
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)

@@ -1,0 +1,142 @@
+"""Index build + WAND rank-identity + resume (SURVEY.md §5 items 3-5)."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.operators.docids import assign_doc_ids
+from kafka_es_spark.operators.spimi import decode_segment
+from kafka_es_spark.operators.wand import exhaustive_topk_numpy, wand_topk
+from kafka_es_spark.plans.build_index import build_index, prepare_docs
+from kafka_es_spark.plans.manifest import Manifest
+
+SEG_BITS = 6  # 64-doc ranges → several ranges at 400 docs
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8)
+    return d
+
+
+@pytest.fixture(scope="module")
+def doc_terms(spark, pages):
+    return (
+        prepare_docs(pages)
+        .select("doc_id", "terms")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_doc_ids_dense_and_parallelism_invariant(spark, pages):
+    a = assign_doc_ids(pages).select("url", "doc_id")
+    n = pages.count()
+    ids = sorted(r["doc_id"] for r in a.collect())
+    assert ids == list(range(n))
+    b = assign_doc_ids(pages.repartition(13)).select("url", "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_segments_roundtrip_equals_dataframe_tf(spark, pages, index_dir):
+    """Decoded postings == the Step-1 uncompressed posting relation."""
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+        for r in (
+            prepare_docs(pages)
+            .select("doc_id", "dl", F.explode("terms").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf"))
+            .collect()
+        )
+    }
+    got = {}
+    segs = spark.read.parquet(os.path.join(index_dir, "postings")).collect()
+    for row in segs:
+        ids, tfs, dls = decode_segment(row.asDict())
+        assert np.all(np.diff(ids) > 0), "doc ids strictly increasing"
+        for i, t, d in zip(ids, tfs, dls):
+            got[(row["term"], int(i))] = (int(t), int(d))
+    assert got == want
+
+
+def test_manifest_counters(index_dir, spark, pages):
+    man = Manifest(index_dir)
+    names = {e["name"] for e in man.entries()}
+    assert {"docmap", "shard-00000", "term_stats"} <= names
+    sh = man.read("shard-00000")
+    assert sh["postings"] > 0 and sh["bytes"] > 0 and sh["terms"] > 0
+    assert man.read("docmap")["docs"] == pages.count()
+
+
+QUERIES = [
+    "data index search",        # common en terms
+    "the",                      # zipf head term
+    "der daten index",          # cross-language
+    "пошук індекс",             # uk
+    "notintheindex data",       # partial miss
+    "zzz qqq",                  # full miss
+    "bulk kafka sink route retry flush offset commit",  # many terms
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_rank_identical_to_exhaustive(spark, index_dir, doc_terms, q):
+    from kafka_es_spark.functions.tokenize import tokens as tok
+
+    qterms = (
+        spark.range(1).select(F.explode(tok(F.lit(q))).alias("t")).toPandas()["t"].tolist()
+    )
+    want = exhaustive_topk_numpy(doc_terms, qterms, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, index_dir, q, k=10, round_to=None).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], f"doc ids differ for {q!r}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10), f"score {gd} {q!r}"
+
+
+def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
+    d = str(tmp_path / "idx128")
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
+    want = exhaustive_topk_numpy(doc_terms, ["data", "index", "search"], k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, d, "data index search", k=10, round_to=None).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_resume_recomputes_only_missing_shard(spark, pages, tmp_path):
+    d = str(tmp_path / "idxres")
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=4, n_shards=4)
+    man = Manifest(d)
+    full = {
+        (r["term"], r["seg"], bytes(r["docs_blob"]))
+        for r in spark.read.parquet(os.path.join(d, "postings")).collect()
+    }
+    # simulate a crash after shard 1: shard 2 incomplete
+    os.remove(os.path.join(d, "_manifest", "shard-00002.json"))
+    shutil.rmtree(os.path.join(d, "postings", "shard=2"))
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(d, "postings", "shard=*", "*.parquet"))
+    }
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=4, n_shards=4, resume=True)
+    # untouched shards were not rewritten
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"{p} was rewritten"
+    assert Manifest(d).is_complete("shard-00002")
+    after = {
+        (r["term"], r["seg"], bytes(r["docs_blob"]))
+        for r in spark.read.parquet(os.path.join(d, "postings")).collect()
+    }
+    assert after == full
