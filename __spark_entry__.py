@@ -89,6 +89,34 @@ def _q_wand_topk(spark, sf_dir):
     )
 
 
+def _q_json_convert(spark, sf_dir):
+    """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
+    extract typed fields from the JSON value column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.col("event_type").alias("topic"),
+    )
+
+
+def _q_route_resolve(spark, sf_dir):
+    """F4 index resolution + P1 hash routing (engine-portable Knuth hash here;
+    Java-hashCode parity is pytest-golden-tested in tests/test_ingest.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    idx = (
+        F.when(F.col("event_type") == "click", "clicks-v1")
+        .when(F.col("event_type") == "view", "views-v1")
+        .otherwise("events-default")
+    )
+    grp = F.pmod(F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2**32)), F.lit(8))
+    return ev.select(
+        F.col("event_id"),
+        idx.alias("index_name"),
+        grp.cast("long").alias("route_group"),
+    )
+
+
 def _q_delete_tombstones(spark, sf_dir):
     """X9 — tombstone anti-join before scoring (ES bulk Delete semantics)."""
     from kafka_es_spark.operators.deletes import apply_tombstones
@@ -108,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
+        "s2_json_convert": _q_json_convert,
+        "p1_route_resolve": _q_route_resolve,
     }
 
 
@@ -169,4 +199,15 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+        "s2_json_convert": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
+            "event_type AS topic FROM events"
+        ),
+        "p1_route_resolve": (
+            "SELECT event_id, "
+            "CASE event_type WHEN 'click' THEN 'clicks-v1' WHEN 'view' THEN 'views-v1' "
+            "ELSE 'events-default' END AS index_name, "
+            "CAST((user_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS route_group "
+            "FROM events"
+        ),
     }

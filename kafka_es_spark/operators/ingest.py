@@ -1,0 +1,198 @@
+"""Ingestion-edge operators — the reference's actual code surface, Spark-first.
+
+Covers SURVEY.md §2.2/§2.3/§2.5:
+
+* F1 tag filter            (BaseConverter.kt:52-61)
+* F2 null-value drop       (ElasticsearchSinkTask.kt:282-299)
+* F3 multi-action explode  (ElasticsearchSinkTask.kt:289-294)
+* F4 index-name resolution (ElasticsearchSinkTask.kt:301-310)
+* P1 hash router           (ElasticsearchSinkTask.kt:209-212, Actors.kt:55-84)
+* K1 NDJSON bulk serialize (BulkAction.kt:104-238, BulkRequest.kt:34-41)
+* X9 delete tombstones live in operators/deletes.py
+
+The actions relation (FIXTURES.md §3):
+  topic, op ∈ {index,delete,update,create}, id, index, routing, tag,
+  source (JSON string, null for delete).
+
+All operators are Column expressions (whole-stage codegen); the router's
+Java/Kotlin ``String.hashCode`` parity is implemented with wrapped 32-bit
+modular arithmetic so routed group assignment matches the reference
+bit-for-bit (tested against the ``Int.MIN_VALUE`` mask edge the reference
+tests in ActorsTests.kt:35-43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NON_RETRIABLE_ERRORS = [
+    # ElasticsearchBulkSender.kt:51-92 — fatal per-item error types
+    "elasticsearch_parse_exception",
+    "parsing_exception",
+    "routing_missing_exception",
+]
+
+
+# --- F1 ---------------------------------------------------------------------
+
+def tag_filter(df: DataFrame, tag: str | None, tag_col: str = "tag") -> DataFrame:
+    """Keep records whose tag header is absent or equals the configured tag;
+    if no tag is configured, everything passes (BaseConverter.kt:52-61)."""
+    if tag is None:
+        return df
+    return df.filter(F.col(tag_col).isNull() | (F.col(tag_col) == F.lit(tag)))
+
+
+# --- F2 ---------------------------------------------------------------------
+
+def drop_null_actions(df: DataFrame, cols: tuple[str, ...] = ("op",)) -> DataFrame:
+    return df.na.drop(subset=list(cols))
+
+
+# --- F3 ---------------------------------------------------------------------
+
+def explode_actions(df: DataFrame, actions_col: str = "actions") -> DataFrame:
+    """A record carrying a list of actions fans out to one row per action."""
+    return df.withColumn("action", F.explode(F.col(actions_col))).drop(actions_col)
+
+
+# --- F4 ---------------------------------------------------------------------
+
+def resolve_index(
+    df: DataFrame,
+    topic_index_map: dict[str, str],
+    default_index: str | None = None,
+    index_col: str = "index",
+    topic_col: str = "topic",
+) -> DataFrame:
+    """index = meta.index ?: topic.index.map[topic] ?: default (empty ⇒ null);
+    unresolved rows keep null — caller decides to fail (the reference throws)."""
+    m = F.create_map(*[F.lit(x) for kv in topic_index_map.items() for x in kv]) \
+        if topic_index_map else F.lit(None).cast("map<string,string>")
+    idx = F.when(F.col(index_col).isNotNull() & (F.col(index_col) != ""), F.col(index_col))
+    resolved = F.coalesce(idx, F.element_at(m, F.col(topic_col)), F.lit(default_index))
+    return df.withColumn(index_col, resolved)
+
+
+def assert_index_resolved(df: DataFrame, index_col: str = "index") -> None:
+    n = df.filter(F.col(index_col).isNull()).count()
+    if n:
+        raise ValueError(
+            f"{n} action(s) have no index; set topic.index.map or a default index "
+            "(ElasticsearchSinkTask.kt:301-310 semantics)"
+        )
+
+
+# --- P1 ---------------------------------------------------------------------
+
+def java_string_hashcode(col: Column | str) -> Column:
+    """Java/Kotlin String.hashCode as a Column: h = 31*h + c, wrapped int32.
+
+    Pure Column ops: aggregate over the codepoint array with 64-bit math,
+    wrapping into signed 32-bit each step ((x+2^31) mod 2^32 - 2^31).
+    Matches JVM semantics incl. the Integer.MIN_VALUE edge."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split to chars; '' yields [''], filtered out; surrogate pairs: JVM hashes
+    # UTF-16 units — we use codepoints, identical for BMP text (documented).
+    chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    wrap = lambda x: F.pmod(x + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)  # noqa: E731
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: wrap(acc * F.lit(31) + F.ascii(ch)),
+    ).cast("int")
+
+
+def routing_key(df: DataFrame, routing_col: str = "routing", id_col: str = "id") -> Column:
+    """routing ?? id (ElasticsearchSinkTask.kt:209-212)."""
+    return F.coalesce(F.col(routing_col), F.col(id_col))
+
+
+def route(
+    df: DataFrame,
+    concurrency: int,
+    routing_col: str = "routing",
+    id_col: str = "id",
+    group_col: str = "route_group",
+    seed: int = 42,
+) -> DataFrame:
+    """group = (hashCode(key) & 0x7FFFFFFF) % concurrency; null key ⇒ random
+    spread (Actors.kt:55-84; reference uses Random.nextInt — we use a seeded
+    rand for reproducibility, same uniform-spread semantics)."""
+    key = routing_key(df, routing_col, id_col)
+    h = java_string_hashcode(key).cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    grp = F.when(
+        key.isNotNull(), (h % concurrency).cast("int")
+    ).otherwise((F.rand(seed) * concurrency).cast("int"))
+    return df.withColumn(group_col, grp)
+
+
+def repartition_by_route(df: DataFrame, concurrency: int, **kw) -> DataFrame:
+    """The physical exchange the router performs — Spark hash repartition on
+    the route group (this is where our index build swaps in doc-range
+    salting, SURVEY.md §2.3 P1)."""
+    return route(df, concurrency, **kw).repartition(concurrency, "route_group")
+
+
+# --- K1 ---------------------------------------------------------------------
+
+def _meta_json(op_col: Column, id_col: Column, type_col: Column, index_col: Column,
+               routing_col: Column, retry_col: Column | None = None) -> Column:
+    """Meta line JSON with the reference's exact field order and null-omission
+    (BulkAction.kt:194-238 golden: {"<op>":{"_id","_type","_index","routing"
+    [,"retry_on_conflict"]}})."""
+    parts = [
+        (F.lit('"_id":"'), id_col),
+        (F.lit('"_type":"'), type_col),
+        (F.lit('"_index":"'), index_col),
+        (F.lit('"routing":"'), routing_col),
+    ]
+    frags = [
+        F.when(v.isNotNull(), F.concat(k, v.cast("string"), F.lit('"'))).otherwise(F.lit(None))
+        for k, v in parts
+    ]
+    if retry_col is not None:
+        frags.append(
+            F.when(
+                retry_col.isNotNull(),
+                F.concat(F.lit('"retry_on_conflict":'), retry_col.cast("string")),
+            ).otherwise(F.lit(None))
+        )
+    inner = F.concat_ws(",", *frags)
+    return F.concat(F.lit('{"'), op_col, F.lit('":{'), inner, F.lit("}}"))
+
+
+def bulk_ndjson(
+    df: DataFrame,
+    op_col: str = "op",
+    id_col: str = "id",
+    type_col: str = "type",
+    index_col: str = "index",
+    routing_col: str = "routing",
+    source_col: str = "source",
+    retry_col: str | None = None,
+) -> DataFrame:
+    """Serialize actions to ES /_bulk NDJSON lines: meta (+ source line for
+    non-delete ops), joined with \\n (BulkAction.kt:104-111)."""
+    cols = dict(df.dtypes)
+    type_c = F.col(type_col) if type_col in cols else F.lit(None).cast("string")
+    retry_c = F.col(retry_col) if retry_col and retry_col in cols else None
+    meta = _meta_json(
+        F.col(op_col), F.col(id_col), type_c, F.col(index_col), F.col(routing_col), retry_c
+    )
+    line = F.when(
+        (F.col(op_col) == "delete") | F.col(source_col).isNull(), meta
+    ).otherwise(F.concat(meta, F.lit("\n"), F.col(source_col)))
+    return df.withColumn("ndjson", line)
+
+
+# --- error classification (F5, ElasticsearchBulkSender.kt:51-92) -------------
+
+def split_retriable(df: DataFrame, error_col: str = "error_type"):
+    """(fatal, retriable) split of failed bulk items."""
+    fatal = df.filter(F.col(error_col).isin(NON_RETRIABLE_ERRORS))
+    retriable = df.filter(
+        F.col(error_col).isNotNull() & ~F.col(error_col).isin(NON_RETRIABLE_ERRORS)
+    )
+    return fatal, retriable
