@@ -126,6 +126,109 @@ def _q_delete_tombstones(spark, sf_dir):
     return _bm25.bm25_topk(apply_tombstones(docs, tombstones), QUERY_TERMS, k=TOPK)
 
 
+# --- training-data pipeline operators ------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 content hash → (keeper=min doc_id, n_dups)."""
+    from kafka_es_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    """N-gram (w=3 shingle) Jaccard near-dup pairs, threshold 0.5."""
+    from kafka_es_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5, w=3)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 seeded-md5 permutations over w=3 shingles)."""
+    from kafka_es_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_perm=8, w=3)
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs (8 perms, 4 bands) — the scale path for
+    near-dup detection; banding bounds candidate volume."""
+    from kafka_es_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_perm=8, w=3)
+    return lsh_candidate_pairs(sigs, bands=4)
+
+
+def _q_simhash(spark, sf_dir):
+    """SimHash 32-bit fingerprints (Charikar) from tf-weighted term bits."""
+    from kafka_es_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_embed_near_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.35 (exact baseline)."""
+    from kafka_es_spark.operators.similarity import cosine_near_pairs_exact
+
+    return cosine_near_pairs_exact(_emb(spark, sf_dir), min_cos=0.35)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 neighbors for query vectors {0,1,2}."""
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(e, q, k=5)
+
+
+def _q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (sign hyperplanes, multi-probe) — scale path;
+    approximate by construction → rows-only driver check, recall is
+    pytest-asserted against the exact path."""
+    from kafka_es_spark.operators.similarity import lsh_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_ann_topk(e, q, k=5, n_planes=6, n_tables=4)
+
+
+def _q_lang_id(spark, sf_dir):
+    """Stopword-ratio language ID heuristic."""
+    from kafka_es_spark.functions.textstats import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def _q_quality(spark, sf_dir):
+    """Per-doc quality features + composite score (Gopher/C4-style filters)."""
+    from kafka_es_spark.functions.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts."""
+    from kafka_es_spark.functions.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling polynomial document fingerprint."""
+    from kafka_es_spark.functions.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -138,6 +241,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_delete_tombstones": _q_delete_tombstones,
         "s2_json_convert": _q_json_convert,
         "p1_route_resolve": _q_route_resolve,
+        "dd1_dedup_exact": _q_dedup_exact,
+        "dd2_jaccard_pairs": _q_jaccard_pairs,
+        "dd3_minhash_signatures": _q_minhash_signatures,
+        "dd4_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "dd5_simhash": _q_simhash,
+        "dd6_embed_near_pairs": _q_embed_near_pairs,
+        "sim1_cosine_topk": _q_cosine_topk,
+        "sim2_lsh_ann_topk": _q_lsh_ann_topk,
+        "ts1_lang_id": _q_lang_id,
+        "ts2_quality_features": _q_quality,
+        "ts3_token_counts": _q_token_counts,
+        "ts4_fingerprint": _q_fingerprint,
     }
 
 
@@ -172,6 +287,177 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
 
 
 _BM25_SQL = _bm25_sql("documents")
+
+
+# --- oracle helpers for the training-data entries --------------------------
+
+def _h32_sql(expr: str) -> str:
+    """DuckDB mirror of operators.dedup.hash32 (md5-prefix 32-bit hash)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _shingles_cte() -> str:
+    from kafka_es_spark.operators.dedup import shingles_sql
+
+    return f"sh AS ({shingles_sql(3, 'documents')})"
+
+
+_MINHASH_SQL = f"""
+WITH {_shingles_cte()},
+seeded AS (
+  SELECT doc_id, s.seed AS seed, shingle
+  FROM sh, unnest(range(0, 8)) AS s(seed)
+)
+SELECT doc_id, seed,
+       min({_h32_sql("seed || ':' || shingle")}) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+_LSH_PAIRS_SQL = f"""
+WITH sigs AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, seed % 4 AS band,
+         list(minhash ORDER BY seed) AS sig
+  FROM sigs GROUP BY doc_id, band
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+"""
+
+_JACCARD_SQL = f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+"""
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, {_h32_sql("term")} AS h
+  FROM toks GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, b.bit AS bit,
+         CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END AS wt
+  FROM tf, unnest(range(0, 32)) AS b(bit)
+),
+sums AS (SELECT doc_id, bit, sum(wt) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+_EMB_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+"""
+
+_COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+_STOP_EN = "['the','of','and','to','in','a','is','for','on','with']"
+_STOP_DE = "['der','die','das','und','zu','ist','ein','nicht','mit','auf']"
+_STOP_FR = "['le','la','les','de','et','un','une','est','pour','que']"
+_STOP_UK = "['і','в','на','не','що','з','до','це','як','за']"
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+r AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_DE}, x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS r_de,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS r_en,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_FR}, x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS r_fr,
+    CAST(len(list_filter(toks, x -> list_contains({_STOP_UK}, x))) AS DOUBLE)
+      / greatest(len(toks), 1) AS r_uk
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(r_de, r_en, r_fr, r_uk) <= 0 THEN 'und'
+       WHEN r_de = greatest(r_de, r_en, r_fr, r_uk) THEN 'de'
+       WHEN r_en = greatest(r_de, r_en, r_fr, r_uk) THEN 'en'
+       WHEN r_fr = greatest(r_de, r_en, r_fr, r_uk) THEN 'fr'
+       ELSE 'uk' END AS lang_guess
+FROM r
+"""
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks, greatest(length(text), 1) AS n_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(CASE WHEN len(toks) > 0
+          THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+          ELSE 0.0 END, 4) AS mean_token_len,
+    round(CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"]', '', 'g')) AS DOUBLE) / n_chars, 4) AS punct_ratio,
+    round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars, 4) AS digit_ratio,
+    round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / n_chars, 4) AS upper_ratio,
+    round(CAST(len(list_filter(toks, x -> list_contains({_STOP_EN}, x))) AS DOUBLE)
+          / greatest(len(toks), 1), 4) AS stopword_ratio
+  FROM t
+)
+SELECT *,
+  round((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END), 4) AS quality_score
+FROM f
+"""
+
+_BPE_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+  CAST(length(text) AS BIGINT) AS chars
+FROM documents
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> {_h32_sql("x")})),
+      (a, b) -> (a * 1000003 + b) % 2147483647
+    ) END AS BIGINT) AS fingerprint
+FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -210,4 +496,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST((user_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS route_group "
             "FROM events"
         ),
+        "dd1_dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keeper, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "dd2_jaccard_pairs": _JACCARD_SQL,
+        "dd3_minhash_signatures": _MINHASH_SQL,
+        "dd4_minhash_lsh_pairs": _LSH_PAIRS_SQL,
+        "dd5_simhash": _SIMHASH_SQL,
+        "dd6_embed_near_pairs": _EMB_PAIRS_SQL,
+        "sim1_cosine_topk": _COSINE_TOPK_SQL,
+        # sim2_lsh_ann_topk: approximate by construction — rows-only check
+        "ts1_lang_id": _LANG_ID_SQL,
+        "ts2_quality_features": _QUALITY_SQL,
+        "ts3_token_counts": _TOKEN_COUNTS_SQL,
+        "ts4_fingerprint": _FINGERPRINT_SQL,
     }

@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines — language-ID, quality scoring,
+token counting, document fingerprinting. All pure Column expressions
+(whole-stage codegen, engine-portable for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.tokenize import tokens
+from kafka_es_spark.operators.dedup import hash32
+
+# Small embedded stopword lists drive the n-gram-free language heuristic.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht", "mit", "auf"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"],
+    "uk": ["і", "в", "на", "не", "що", "з", "до", "це", "як", "за"],
+}
+
+
+def _hit_ratio(toks: Column, words: list[str]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Heuristic language id: argmax stopword hit-ratio; 'und' if no hits.
+    Deterministic tie-break by language code order."""
+    toks = tokens(text_col)
+    best_lang = F.lit("und")
+    best_r = F.lit(0.0)
+    for lang in sorted(STOPWORDS):  # fixed order → deterministic ties (first wins)
+        r = _hit_ratio(toks, STOPWORDS[lang])
+        is_better = r > best_r
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_r = F.when(is_better, r).otherwise(best_r)
+    return best_lang
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: token count, mean token length, punctuation
+    ratio, digit ratio, stopword ratio, uppercase ratio — plus a composite
+    [0,1] quality score (Gopher/C4-style cheap filters)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_toks = F.size(toks).cast("long")
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?'\"]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # total token chars / n_tokens — array_join is portable (DuckDB: array_to_string)
+    mean_tok_len = F.when(
+        n_toks > 0, F.length(F.array_join(toks, "")).cast("long") / n_toks
+    ).otherwise(F.lit(0.0))
+    stop_ratio = _hit_ratio(toks, STOPWORDS["en"])
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(upper / n_chars, 4).alias("upper_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("digit_ratio") <= 0.2, 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.01, 0.25).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+# BPE-ish pretokenizer (GPT-2-style, simplified: no contractions table);
+# same pattern compiles under Java regex and RE2.
+BPE_REGEX = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens, chars): whitespace + BPE-ish counts."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), 0)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).cast("long").alias("chars"),
+    )
+
+
+FP_BASE = 1000003
+FP_MOD = 2**31 - 1
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling polynomial hash over the
+    token stream, h = (h*B + hash32(term)) mod (2^31-1). Engine-portable
+    (DuckDB: list_reduce over the same token list with the same md5-based
+    term hash). Content-identical docs ⇔ identical fingerprints."""
+    toks = tokens(text_col)
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, term: (acc * F.lit(FP_BASE) + hash32(term)) % F.lit(FP_MOD),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), h.alias("fingerprint"))

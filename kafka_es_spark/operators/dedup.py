@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a (doc_id, text) corpus, all engine-portable (the
+DuckDB oracle computes the identical values) except where noted:
+
+* exact        — md5(text) group-by; keeper = min(doc_id).
+* minhash      — P permutations approximated by seeded md5 over word
+                 w-shingles; signature = min hash per seed (Broder '97).
+* minhash LSH  — signatures banded into (band, band_hash) buckets; docs
+                 sharing a bucket are candidate pairs (banding theorem).
+* simhash      — 32-bit Charikar fingerprint from per-term md5 bits
+                 weighted by tf; near-dup ⇔ small Hamming distance.
+* ngram jaccard— exact Jaccard over shingle sets for candidate pairs.
+
+Scale notes (100 TB): every strategy is shuffle-by-key with map-side
+combine; nothing is pairwise-quadratic except the *verification* of LSH
+candidates (bounded by bucket size — the banding parameters (bands, rows)
+control the candidate volume). The portable hash is md5-based: md5 is
+JVM-side (no Python), identical across engines, and uniform enough for
+dedup keys. Keepers use min(doc_id) for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.tokenize import tokens
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as a long.
+    DuckDB equivalent: CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# --- exact -------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(content_hash, keeper, n_dups): one row per distinct content."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_exact_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The deduplicated corpus: keep the min-doc_id row per content hash.
+    Window over the content hash — one shuffle, no join back."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+def shingles(docs: DataFrame, w: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): distinct word w-shingles via posexplode + lead
+    windows (engine-portable: DuckDB mirrors with unnest+lead). Docs shorter
+    than w tokens contribute their full token string as a single shingle so
+    they still participate."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", i).over(win) for i in range(1, w)]
+    sh = toks.select(
+        "doc_id",
+        F.when(
+            parts[-1].isNotNull(), F.concat_ws(" ", *parts)
+        ).otherwise(
+            # short doc: emit whole-doc shingle only at pos 0
+            F.when(F.col("pos") == 0, F.concat_ws(" ", *[F.coalesce(p, F.lit("")) for p in parts]))
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return sh.distinct()
+
+
+def shingles_sql(w: int = 3, docs_rel: str = "documents") -> str:
+    """DuckDB SQL producing the identical (doc_id, shingle) relation."""
+    from kafka_es_spark.functions.tokenize import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    leads = ["term"] + [f"lead(term, {i}) OVER (PARTITION BY doc_id ORDER BY pos)" for i in range(1, w)]
+    full = " || ' ' || ".join(leads)
+    coal = " || ' ' || ".join(f"coalesce({e}, '')" for e in leads)
+    return f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         CASE WHEN {leads[-1]} IS NOT NULL THEN {full}
+              WHEN pos = 0 THEN {coal}
+         END AS shingle
+  FROM (
+    SELECT doc_id, unnest({toks}) AS term,
+           generate_subscripts({toks}, 1) - 1 AS pos
+    FROM {docs_rel}
+  )
+) WHERE shingle IS NOT NULL
+"""
+
+
+# --- minhash -----------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, n_perm: int = 16, w: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, seed, minhash): n_perm seeded-md5 min-hashes over shingles.
+    One explode by seeds + one groupBy — map-side partial min, no skew
+    (keys are (doc_id, seed))."""
+    sh = shingles(docs, w, id_col, text_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    h = hash32(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(band, band_hash, doc_id): docs sharing (band, band_hash) are
+    near-dup candidates. band = seed % bands; band_hash = md5 of the
+    ordered minhash values in the band."""
+    return (
+        signatures.withColumn("band", F.col("seed") % bands)
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.to_json(F.col("sig"))).alias("band_hash"),
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from shared LSH buckets (doc_a < doc_b).
+    Self-join within buckets only — candidate volume is controlled by the
+    banding parameters, never all-pairs."""
+    b = lsh_buckets(signatures, bands)
+    l = b.alias("l")
+    r = b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- jaccard verification ----------------------------------------------------
+
+def jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.8, w: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing ≥1 shingle, thresholded.
+    Exact Jaccard over distinct shingle sets. If ``candidates`` given (from
+    LSH), verification is restricted to those pairs (the scale path);
+    otherwise all co-shingled pairs (small corpora / oracle parity)."""
+    sh = shingles(docs, w, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): Charikar fingerprint. Per distinct term: 32-bit
+    portable hash; per bit b: +tf if bit set else -tf; fingerprint bit b set
+    iff the weighted sum > 0. Pure Column ops (explode bits → groupBy)."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", hash32(F.col("term")))
+    )
+    bitrows = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.when(
+            F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, F.col("tf")
+        ).otherwise(-F.col("tf")).alias("wt"),
+    )
+    return (
+        bitrows.groupBy("doc_id", "bit")
+        .agg(F.sum("wt").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bits: int = 32,
+                       n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, using the
+    pigeonhole block trick: split the fingerprint into n_blocks; any pair
+    within distance max_hamming < n_blocks shares at least one exact block →
+    join on (block_idx, block_value), then verify exact distance. Never
+    all-pairs."""
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val", F.expr(f"shiftright(simhash, blk * {width})").bitwiseAND(F.lit(mask))
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

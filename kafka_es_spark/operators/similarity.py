@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``       — exact brute-force top-k neighbors for a set of
+                          query vectors: JVM-side ``zip_with``/``aggregate``
+                          dot products (whole-stage codegen, no Python),
+                          TakeOrdered per query. The correctness baseline.
+* ``lsh_ann_topk``      — the scale path: random-hyperplane LSH. Vectors
+                          hash to sign-pattern buckets (planes broadcast as
+                          literal arrays); candidates = same-bucket vectors
+                          (multi-probe via several independent tables);
+                          exact cosine re-rank of candidates only.
+* ``cosine_near_pairs`` — embedding near-duplicate pairs via LSH buckets +
+                          exact verify (never all-pairs).
+
+At 10^12 rows brute force is O(Q·N) — fine for small Q (it's one narrow
+scan, no shuffle); the LSH path cuts the scan to matching buckets and is
+the default for query sets. All floats computed in float64, rounded to 4dp
+at the boundary for cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cos) per query vector, excluding self.
+    queries: (query_id, qvec). Broadcast the (small) query side."""
+    q = queries.select(F.col("query_id"), F.col("qvec"))
+    joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).crossJoin(
+        F.broadcast(q)
+    )
+    scored = joined.filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "cos", cosine(F.col("vec"), F.col("qvec"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    return (
+        scored.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id for a vector under the given hyperplanes —
+    pure Column ops: per plane, sign(dot) contributes one bit."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec, lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_to: int | None = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: union of candidates from n_tables independent
+    sign-LSH tables, exact cosine re-rank. Recall grows with n_tables and
+    with multi-probe (query also probes all Hamming-1 buckets — n_planes+1
+    probes per table, the standard recall/cost lever when the corpus has
+    little cluster structure). Cost stays bucket-sized, never corpus-sized."""
+    dim = len(emb.select(vec_col).first()[0])
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    q = queries.select("query_id", "qvec")
+    cands = None
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        e = base.withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
+        qq = q.withColumn("bucket0", lsh_bucket_col(F.col("qvec"), planes))
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket0"),
+                *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        else:
+            probes = F.array(F.col("bucket0"))
+        qq = qq.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+        c = e.join(F.broadcast(qq), "bucket").select("query_id", "qvec", "vec_id", "vec")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", "vec_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("cos", cosine(F.col("vec"), F.col("qvec")))
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    return (
+        scored.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def cosine_near_pairs_exact(
+    emb: DataFrame,
+    min_cos: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs by brute-force self-join (the correctness
+    baseline the LSH path is measured against; O(N²) — small corpora only)."""
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    min_cos: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs (vec_a < vec_b, cos ≥ min_cos): LSH-bucketed
+    candidate generation + exact verify."""
+    dim = len(emb.select(vec_col).first()[0])
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    pairs = None
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + t)
+        e = base.withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
+        a, b = e.alias("a"), e.alias("b")
+        p = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= min_cos)
+        .select("vec_a", "vec_b", "cos")
+    )

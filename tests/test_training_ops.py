@@ -1,0 +1,258 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from kafka_es_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_keep,
+    hash32,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from kafka_es_spark.operators.multimodal import (
+    decode_audio_features,
+    decode_image_features,
+    fake_audio_bytes,
+    fake_image_bytes,
+    resize_images,
+)
+from kafka_es_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),        # near dup
+        (3, "completely different content about spark indexes"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (5, "short doc"),
+        (6, "short doc"),                                          # exact dup of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_hash32_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["abc", "", "héllo wörld", "42"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["v"])
+        .select("v", hash32(F.col("v")).alias("h"))
+        .collect()
+    }
+    for v in vals:
+        want = duckdb.sql(
+            f"select CAST(('0x' || substr(md5('{v}'),1,8)) AS BIGINT)"
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_dedup_exact(spark, dup_docs):
+    d = {r["content_hash"]: (r["keeper"], r["n_dups"]) for r in dedup_exact(dup_docs).collect()}
+    assert len(d) == 5
+    vals = sorted(d.values())
+    assert (0, 2) in vals and (5, 2) in vals
+    kept = sorted(r["doc_id"] for r in dedup_exact_keep(dup_docs).collect())
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_shingles_and_jaccard(spark, dup_docs):
+    sh = shingles(dup_docs, w=3)
+    s0 = {r["shingle"] for r in sh.filter(F.col("doc_id") == 0).collect()}
+    assert "the quick brown" in s0 and len(s0) == 7
+    # short doc (2 tokens < w) still contributes one whole-doc shingle
+    s5 = {r["shingle"] for r in sh.filter(F.col("doc_id") == 5).collect()}
+    assert len(s5) == 1
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(dup_docs, min_jaccard=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(5, 6)] == 1.0
+    assert 0.4 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh(spark, dup_docs):
+    sigs = minhash_signatures(dup_docs, n_perm=16, w=3).cache()
+    assert sigs.groupBy("doc_id").count().filter(F.col("count") != 16).count() == 0
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1]  # exact dups: identical signatures
+    sim_02 = sum(by_doc[0][s] == by_doc[2][s] for s in range(16)) / 16
+    sim_03 = sum(by_doc[0][s] == by_doc[3][s] for s in range(16)) / 16
+    assert sim_02 > sim_03  # near dup more similar than unrelated
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs, bands=8).collect()}
+    assert (0, 1) in cands and (5, 6) in cands
+    assert (0, 3) not in cands
+
+
+def test_simhash(spark, dup_docs):
+    sh = simhash(dup_docs).cache()
+    v = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert v[0] == v[1] and v[5] == v[6]
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(v[0], v[2]) < ham(v[0], v[3])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sh, max_hamming=6, n_blocks=8).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(5, 6)] == 0
+    # pigeonhole candidates + verify == brute force at this threshold
+    ids = sorted(v)
+    brute = {
+        (a, b): ham(v[a], v[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(v[a], v[b]) <= 6
+    }
+    assert pairs == brute
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _np_topk(emb_pd, qids, k=5):
+    ids = emb_pd["vec_id"].to_numpy()
+    m = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        cos = np.round(m @ m[qi], 4)
+        order = sorted(
+            [(i, c) for i, c in zip(ids, cos) if i != q], key=lambda e: (-e[1], e[0])
+        )
+        out[q] = [(int(i), float(c)) for i, c in order[:k]]
+    return out
+
+
+def test_cosine_topk_exact(spark, emb):
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    want = _np_topk(emb.toPandas(), qids, k=5)
+    for q in qids:
+        got_q = [(v, c) for _, v, c in sorted(got[q])]
+        assert [v for v, _ in got_q] == [v for v, _ in want[q]], f"query {q}"
+        for (gv, gc), (wv, wc) in zip(got_q, want[q]):
+            assert gc == pytest.approx(wc, abs=2e-4)
+
+
+def test_lsh_ann_recall(spark, emb):
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = _np_topk(emb.toPandas(), qids, k=5)
+    approx = {}
+    for r in lsh_ann_topk(emb, queries, k=5, n_planes=6, n_tables=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx.get(q, set()) & {v for v, _ in exact[q]}) / 5 for q in qids
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat sat on the mat with a hat", "en"),
+        (1, "der hund ist nicht auf die katze und das haus", "de"),
+        (2, "le chat est pour la maison et les jardins", "fr"),
+        (3, "це не так як на те що в домі", "uk"),
+        (4, "zzz qqq www", "und"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows], "doc_id long, text string")
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, i
+
+
+def test_quality_and_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox, it jumps over 3 lazy dogs! " * 3), (1, ""), (2, "1 2 3 4 5")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r.asDict() for r in quality_features(df).collect()}
+    assert q[0]["n_tokens"] == 30 and q[0]["quality_score"] >= 0.75
+    assert q[1]["n_tokens"] == 0 and q[1]["quality_score"] <= 0.5
+    assert q[2]["digit_ratio"] > 0.5
+    t = {r["doc_id"]: r.asDict() for r in token_counts(df).collect()}
+    assert t[0]["ws_tokens"] == 30
+    assert t[0]["bpe_tokens"] == 36  # punctuation splits off
+    assert t[1]["ws_tokens"] == 0 and t[1]["bpe_tokens"] == 0
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert v[0] == v[1]
+    assert v[0] != v[2]  # order-sensitive
+    assert v[3] == 0
+    assert all(0 <= x < 2**31 - 1 for x in v.values())
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", "image/x-fake", fake_image_bytes(8, 6, seed=1)),
+        (1, "image", "image/x-fake", fake_image_bytes(16, 16, seed=2)),
+        (2, "image", "image/x-fake", b"not an image"),
+        (3, "audio", "audio/x-fake", fake_audio_bytes(16000, 1000, seed=3)),
+        (4, "audio", "audio/x-fake", None),
+        (5, "video", "video/mp4", b"\x00\x00"),
+    ]
+    from kafka_es_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3).cache()
+
+
+def test_image_features(spark, media):
+    got = {r["media_id"]: r.asDict() for r in decode_image_features(media).collect()}
+    assert got[0]["ok"] and (got[0]["width"], got[0]["height"]) == (8, 6)
+    assert got[1]["ok"] and 0 <= got[1]["mean_luma"] <= 255
+    assert not got[2]["ok"] and got[2]["width"] is None
+    assert 3 not in got and 5 not in got  # only images processed
+
+
+def test_audio_features_and_resize(spark, media):
+    a = {r["media_id"]: r.asDict() for r in decode_audio_features(media).collect()}
+    assert a[3]["ok"] and a[3]["sample_rate"] == 16000 and a[3]["n_samples"] == 1000
+    assert a[3]["rms"] > 0
+    assert not a[4]["ok"]
+    rs = resize_images(media, 4, 4)
+    feats = {r["media_id"]: r.asDict() for r in decode_image_features(
+        rs.withColumn("kind", F.lit("image"))).collect()}
+    assert (feats[0]["width"], feats[0]["height"]) == (4, 4)
+    assert feats[2]["ok"] is False
+
+
+def test_real_codec_stub_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|not bundled"):
+        decode_image_features(media, fake=False).collect()
