@@ -52,6 +52,18 @@ def term_id(term: Column | str) -> Column:
     return F.xxhash64(c)
 
 
+def tokenize_py(text: str, lang: str | None = None) -> list[str]:
+    """Driver/executor-side Python mirror of ``tokens`` (same Unicode split,
+    via the ``regex`` module's \\p classes). Used for query analysis so a
+    top-k query doesn't spend a Spark job tokenizing 5 words; parity with
+    the Column version is pytest-enforced."""
+    import regex as _re
+
+    if not text:
+        return []
+    return [t for t in _re.split(token_split_regex(lang), text.lower()) if t]
+
+
 def duckdb_tokens_sql(text_expr: str) -> str:
     """DuckDB expression producing the identical token array."""
     return (

@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_es_spark.functions.tokenize import tokens
 from kafka_es_spark.operators.spimi import decode_segment
 from kafka_es_spark.operators.bm25 import K1, B
 
@@ -170,6 +169,75 @@ def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
     return [(-d, s) for s, d in out]
 
 
+class Searcher:
+    """Query engine over an index dataset. Loads stats once and keeps the
+    (small) segment-row and term-stats relations persisted so repeated
+    queries pay only the scoring job — the amortization a serving engine
+    does with its open index readers. One-shot use: ``wand_topk``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        from kafka_es_spark.plans.build_index import load_stats
+
+        self.spark = spark
+        self.index_dir = index_dir
+        st = load_stats(index_dir)
+        self.n_docs, self.avgdl, self.codec = st["n_docs"], st["avgdl"], st["codec"]
+        self.segs = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._cached = cache
+        if cache:
+            self.segs = self.segs.persist()
+            self.term_stats = self.term_stats.persist()
+
+    def close(self) -> None:
+        if self._cached:
+            self.segs.unpersist()
+            self.term_stats.unpersist()
+
+    def topk(self, query: str, k: int = 10, round_to: int | None = 4,
+             with_url: bool = False) -> DataFrame:
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        term_order = sorted(weights)
+        avgdl, codec = self.avgdl, self.codec
+
+        segs = self.segs.filter(F.col("term").isin(list(weights)))
+
+        def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, list[dict]] = {}
+            for r in pdf.to_dict("records"):
+                by_term.setdefault(r["term"], []).append(r)
+            cursors = [
+                _Cursor(by_term[t], weights[t], avgdl, codec)
+                for t in term_order
+                if t in by_term
+            ]
+            top = wand_range_topk(cursors, k)
+            return pd.DataFrame(top, columns=["doc_id", "score"])
+
+        ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)
+        out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if with_url:
+            dm = spark.read.parquet(os.path.join(self.index_dir, "docmap")).select(
+                "doc_id", "url"
+            )
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -178,57 +246,10 @@ def wand_topk(
     round_to: int | None = 4,
     with_url: bool = False,
 ) -> DataFrame:
-    """Distributed block-max WAND top-k over an index dataset."""
-    from kafka_es_spark.plans.build_index import load_stats
-
-    stats = load_stats(index_dir)
-    n_docs, avgdl, codec = stats["n_docs"], stats["avgdl"], stats["codec"]
-
-    qterms = sorted(
-        set(
-            spark.range(1)
-            .select(F.explode(tokens(F.lit(query))).alias("t"))
-            .toPandas()["t"]
-        )
+    """One-shot distributed block-max WAND top-k over an index dataset."""
+    return Searcher(spark, index_dir, cache=False).topk(
+        query, k=k, round_to=round_to, with_url=with_url
     )
-    if not qterms or n_docs == 0 or avgdl == 0:
-        df = spark.createDataFrame([], TOPK_SCHEMA)
-        return df
-
-    ts = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        .filter(F.col("term").isin(qterms))
-        .collect()
-    )
-    weights = {r["term"]: idf(n_docs, int(r["df"])) for r in ts}
-    if not weights:
-        return spark.createDataFrame([], TOPK_SCHEMA)
-    term_order = sorted(weights)
-
-    segs = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").isin(list(weights))
-    )
-
-    def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        by_term: dict[str, list[dict]] = {}
-        for r in pdf.to_dict("records"):
-            by_term.setdefault(r["term"], []).append(r)
-        cursors = [
-            _Cursor(by_term[t], weights[t], avgdl, codec)
-            for t in term_order
-            if t in by_term
-        ]
-        top = wand_range_topk(cursors, k)
-        return pd.DataFrame(top, columns=["doc_id", "score"])
-
-    ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)
-    out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
-    if round_to is not None:
-        out = out.withColumn("score", F.round("score", round_to))
-    if with_url:
-        dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select("doc_id", "url")
-        out = out.join(dm, "doc_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -39,17 +39,28 @@ from kafka_es_spark.operators import spimi
 from kafka_es_spark.plans.manifest import Manifest
 
 
-def prepare_docs(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → (doc_id, url, dl, terms)."""
+def extracted_pages(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, text). The ONLY column
+    that is expensive to recompute (Python UDF) — build_index persists
+    exactly this slim relation. html is dropped immediately; tokenization is
+    JVM-side regex and is recomputed by each consumer (cheaper than caching
+    token arrays, which blows the columnar cache at scale)."""
     text = (
         F.coalesce(F.col("text"), extract_text(F.col("html")), F.lit(""))
         if extract_if_missing
         else F.coalesce(F.col("text"), F.lit(""))
     )
-    docs = pages.withColumn("_text", text).withColumn("terms", tokens(F.col("_text")))
-    docs = assign_doc_ids(docs)
+    return pages.select("url", text.alias("text"))
+
+
+def prepare_docs(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
+    """pages → (doc_id, url, dl, terms). One-shot convenience (tests); the
+    multi-job build persists extracted_pages first — an Arrow UDF in the
+    lineage defeats column pruning, so without it every job re-extracts."""
+    docs = assign_doc_ids(extracted_pages(pages, extract_if_missing))
+    t = tokens(F.col("text"))
     return docs.select(
-        "doc_id", "url", F.size("terms").cast("long").alias("dl"), "terms"
+        "doc_id", "url", F.size(t).cast("long").alias("dl"), t.alias("terms")
     )
 
 
@@ -68,9 +79,19 @@ def build_index(
     """Build (or resume) the index; returns the manifest counter summary."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    docs = prepare_docs(pages, extract_if_missing)
-    if n_shards > 1 or resume:
-        docs = docs.cache()  # sandbox convenience; at scale shards re-scan with pushdown
+    # The extracted text is persisted once: the build is multi-job (bucket
+    # counts, docmap, shards, stats), an Arrow UDF in the lineage defeats
+    # column pruning, and re-running it would re-extract every page. Only
+    # (url, text) is cached — compact columnar cache; token arrays are NOT
+    # cached (JVM regex recompute is cheaper than caching 60× more strings).
+    # At cluster scale: DISK_ONLY or checkpoint the extracted-text dataset
+    # (it is a deliverable of its own anyway).
+    slim = extracted_pages(pages, extract_if_missing).persist()
+    docs = assign_doc_ids(slim)  # the bucket-count job materializes `slim`
+    _t = tokens(F.col("text"))
+    docs = docs.select(
+        "doc_id", "url", F.size(_t).cast("long").alias("dl"), _t.alias("terms")
+    )
 
     # --- docmap + global stats (its own committed stage) -------------------
     docmap_dir = os.path.join(index_dir, "docmap")
@@ -150,8 +171,7 @@ def build_index(
         n_terms = spark.read.parquet(ts_dir).count()
         man.commit("term_stats", {"terms": int(n_terms), "elapsed_sec": time.time() - t0})
 
-    if docs.is_cached:
-        docs.unpersist()
+    slim.unpersist()
     return {e["name"]: e for e in man.entries()}
 
 

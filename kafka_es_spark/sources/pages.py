@@ -121,6 +121,33 @@ def gen_pages(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int 
     return df.repartition(partitions)
 
 
+def gen_pages_distributed(
+    spark: SparkSession, n_rows: int, seed: int = 42, slices: int = 64
+) -> DataFrame:
+    """Distributed deterministic generator: the corpus is the union of
+    ``slices`` independently-seeded gen_pages_pdf slices, so the data is a
+    pure function of (n_rows, seed, slices) — independent of cluster
+    parallelism. Use for large benchmark corpora (driver-side generation is
+    a serial bottleneck; at 100 TB the input is a table, never a driver loop)."""
+    import pandas as pd  # noqa: F811
+
+    per = (n_rows + slices - 1) // slices
+    bounds = [(i, min(per, n_rows - i * per)) for i in range(slices) if n_rows - i * per > 0]
+    bdf = spark.createDataFrame(bounds, "slice_id: int, n: int").repartition(len(bounds), "slice_id")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                sid, n = int(row["slice_id"]), int(row["n"])
+                out = gen_pages_pdf(n, seed=seed * 100003 + sid)
+                out["url"] = out["url"].str.replace(
+                    "https://", f"https://s{sid}.", n=1, regex=False
+                )
+                yield out
+
+    return bdf.mapInPandas(gen, PAGES_SCHEMA)
+
+
 def docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapter: driver `documents` table → pages shape (url synthesized from
     doc_id; html empty — text already extracted). Lets index jobs run on the

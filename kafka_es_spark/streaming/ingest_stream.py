@@ -1,0 +1,172 @@
+"""Structured Streaming ingestion — the reference's continuous operating mode.
+
+The reference is a Kafka Connect sink: records stream in, get batched by
+size/delay, routed, delivered, and offsets commit only after a durable
+flush (SURVEY.md §3.1). The Spark-first translation:
+
+| reference                         | here                                      |
+|-----------------------------------|-------------------------------------------|
+| Connect runtime polling Kafka     | ``spark.readStream`` (kafka/file source)  |
+| bulk.size / bulk.delay.ms (A1)    | trigger(processingTime=...) + maxOffsets  |
+| RoutingActor hash partition (P1)  | same Column ops as batch (ingest.route)   |
+| overflow/pause backpressure (A2)  | built-in source throttling                |
+| flush-then-commit offsets (C1)    | checkpointLocation WAL + idempotent       |
+|                                   | epoch-keyed foreachBatch commits          |
+| per-item retry (K4)               | task retries + epoch replay (exactly-once |
+|                                   | via manifest idempotence)                 |
+
+``stream_pages_to_index`` appends each micro-batch to an index dataset as
+its own shard (``epoch-<n>``): doc-id ranges are reserved per epoch through
+the manifest, segments are written, and the manifest entry commits last —
+if an epoch replays after a crash, the committed entry makes the rewrite a
+no-op (the at-least-once → exactly-once upgrade the reference gets from
+preCommit gating).
+
+Query-side: segments of all epochs read together (same layout as batch
+shards); ``term_stats``/``stats.json`` are refreshed per epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.tokenize import tokens
+from kafka_es_spark.operators import spimi
+from kafka_es_spark.plans.build_index import extracted_pages
+from kafka_es_spark.plans.manifest import Manifest
+
+
+def _read_stats(index_dir: str) -> dict:
+    p = os.path.join(index_dir, "stats.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0, "codec": "varint",
+            "seg_bits": spimi.SEG_BITS}
+
+
+def append_epoch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    epoch: int,
+    seg_bits: int = spimi.SEG_BITS,
+    n_term_buckets: int = 8,
+    codec: str = "varint",
+) -> dict | None:
+    """Append one micro-batch of pages to the index as shard ``epoch-<n>``.
+    Idempotent: a committed epoch is skipped entirely (exactly-once under
+    foreachBatch replay). Returns the committed counters (None if skipped)."""
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir)
+    name = f"epoch-{epoch:08d}"
+    if man.is_complete(name):
+        return None
+    t0 = time.time()
+    stats = _read_stats(index_dir)
+    base = int(stats["n_docs"])
+
+    slim = extracted_pages(batch).persist()
+    # dense ids continuing from the current corpus size; within-epoch order
+    # by url (the epoch is one deterministic unit, same as a batch shard)
+    from kafka_es_spark.operators.docids import assign_doc_ids
+
+    docs = assign_doc_ids(slim).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    t = tokens(F.col("text"))
+    docs = docs.select(
+        "doc_id", "url", F.size(t).cast("long").alias("dl"), t.alias("terms")
+    )
+
+    dm_out = os.path.join(index_dir, "docmap", f"epoch={epoch}")
+    docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(dm_out)
+
+    postings = spimi.doc_term_freqs(docs)
+    segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec)
+    segs = segs.withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets)))
+    out = os.path.join(index_dir, "postings", f"shard={name}")
+    (
+        segs.repartition(n_term_buckets, "bucket")
+        .sortWithinPartitions("term", "seg")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+    # refresh term_stats + global stats over everything durable so far
+    all_segs = spark.read.parquet(os.path.join(index_dir, "postings"))
+    (
+        all_segs.groupBy("term")
+        .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "term_stats"))
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    st = dm.agg(F.count("*").alias("n"), F.avg("dl").alias("a"), F.sum("dl").alias("s")).collect()[0]
+    new_stats = {
+        "n_docs": int(st["n"]),
+        "avgdl": float(st["a"] or 0.0),
+        "total_tokens": int(st["s"] or 0),
+        "codec": codec,
+        "seg_bits": seg_bits,
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(new_stats, f)
+
+    c = spark.read.parquet(out).agg(
+        F.count("*").alias("segments"),
+        F.sum("df_seg").alias("postings"),
+    ).collect()[0]
+    counters = {
+        "docs": int(st["n"]) - base,
+        "segments": int(c["segments"] or 0),
+        "postings": int(c["postings"] or 0),
+        "elapsed_sec": time.time() - t0,
+    }
+    slim.unpersist()
+    man.commit(name, counters)  # commit LAST — the C1 contract
+    return counters
+
+
+def stream_pages_to_index(
+    pages_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = 10,
+    n_term_buckets: int = 8,
+    once: bool = False,
+):
+    """Wire a streaming pages DataFrame into the index via foreachBatch.
+    trigger ≈ the reference's bulk.delay.ms; source rate limits ≈ bulk.size."""
+    spark = pages_stream.sparkSession
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        append_epoch(spark, batch, index_dir, epoch, n_term_buckets=n_term_buckets)
+
+    w = pages_stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if once:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def windowed_action_counts(
+    actions_stream: DataFrame,
+    window_seconds: int = 10,
+    watermark_seconds: int = 30,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A1's size/time batching surface as a streaming aggregation: per-window
+    per-op action counts with late-data watermarking (the reference's
+    bulkDelayMs timer generalized to event time)."""
+    return (
+        actions_stream.withWatermark(ts_col, f"{watermark_seconds} seconds")
+        .groupBy(F.window(F.col(ts_col), f"{window_seconds} seconds"), F.col("op"))
+        .agg(F.count("*").alias("n_actions"))
+    )

@@ -1,0 +1,105 @@
+"""Streaming ingestion: incremental epoch appends (exactly-once), end-to-end
+micro-batch stream → index → query, and the A1 windowed-batching surface."""
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.operators.wand import Searcher, exhaustive_topk_numpy, wand_topk
+from kafka_es_spark.plans.build_index import load_stats, prepare_docs
+from kafka_es_spark.plans.manifest import Manifest
+from kafka_es_spark.sources.pages import gen_pages
+from kafka_es_spark.streaming.ingest_stream import (
+    append_epoch,
+    stream_pages_to_index,
+    windowed_action_counts,
+)
+
+
+def test_append_epoch_incremental_and_idempotent(spark, tmp_path):
+    idx = str(tmp_path / "sidx")
+    p1 = gen_pages(spark, 120, seed=1, partitions=2)
+    p2 = gen_pages(spark, 80, seed=2, partitions=2)
+    c1 = append_epoch(spark, p1, idx, epoch=0, seg_bits=6)
+    assert c1["docs"] == 120
+    c2 = append_epoch(spark, p2, idx, epoch=1, seg_bits=6)
+    assert c2["docs"] == 80
+    st = load_stats(idx)
+    assert st["n_docs"] == 200
+    # replaying a committed epoch is a no-op (exactly-once contract)
+    before = os.path.getmtime(os.path.join(idx, "stats.json"))
+    assert append_epoch(spark, p2, idx, epoch=1, seg_bits=6) is None
+    assert os.path.getmtime(os.path.join(idx, "stats.json")) == before
+    # querying sees docs from both epochs
+    got = wand_topk(spark, idx, "data index search", k=10, with_url=True).collect()
+    assert len(got) == 10
+
+
+def test_stream_to_index_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "stridx")
+    ckpt = str(tmp_path / "ckpt")
+    pages = gen_pages(spark, 200, seed=42, partitions=2)
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    pages.filter(F.crc32("url") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    pages.filter(F.crc32("url") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_pages_to_index(stream, idx, ckpt, once=True, n_term_buckets=4)
+    q.awaitTermination(300)
+    man = Manifest(idx)
+    epochs = [e for e in man.entries() if e["name"].startswith("epoch-")]
+    assert len(epochs) == 2 and sum(e["docs"] for e in epochs) == 200
+    assert load_stats(idx)["n_docs"] == 200
+
+    # rank-identity vs the exhaustive oracle over the same corpus (by url)
+    doc_terms = (
+        prepare_docs(pages).select("doc_id", "url", "terms").toPandas()
+    )
+    want = exhaustive_topk_numpy(doc_terms, ["data", "index", "search"], k=10)
+    url_by_id = dict(zip(doc_terms["doc_id"], doc_terms["url"]))
+    want_urls = [url_by_id[d] for d, _ in want]
+    s = Searcher(spark, idx, cache=False)
+    got = s.topk("data index search", k=10, round_to=None, with_url=True).collect()
+    # doc-id assignment order differs per epoch, so equal-score ties may
+    # permute: compare scores positionally; compare urls only above the
+    # k-th score (tie group at the boundary is ambiguous by construction)
+    for r, (_, ws) in zip(got, want):
+        assert r["score"] == pytest.approx(ws, abs=1e-10)
+    kth = want[-1][1]
+    got_strict = {r["url"] for r in got if r["score"] > kth + 1e-9}
+    want_strict = {u for u, (_, ws) in zip(want_urls, want) if ws > kth + 1e-9}
+    assert got_strict == want_strict
+
+
+def test_windowed_action_counts_semantics(spark):
+    # batch-mode check of the same window aggregation expression
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(seconds=s), op)
+        for s, op in [(0, "index"), (3, "index"), (5, "delete"), (12, "index"), (19, "index")]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, op string")
+    out = {
+        (r["window"]["start"].second, r["op"]): r["n_actions"]
+        for r in df.groupBy(F.window("ts", "10 seconds"), "op")
+        .agg(F.count("*").alias("n_actions"))
+        .collect()
+    }
+    assert out[(0, "index")] == 2 and out[(0, "delete")] == 1
+    assert out[(10, "index")] == 2
+    # and the streaming variant builds a valid streaming plan
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("op", F.lit("index"))
+    )
+    agg = windowed_action_counts(stream, 10, 30)
+    assert agg.isStreaming
