@@ -187,6 +187,72 @@ def bulk_ndjson(
     return df.withColumn("ndjson", line)
 
 
+def group_into_bulks(
+    df: DataFrame,
+    bulk_size: int = 100,
+    concurrency: int = 4,
+    order_col: str = "id",
+    **route_kw,
+) -> DataFrame:
+    """A1 — size-windowed batching: route actions (P1), then within each
+    route group pack consecutive actions into bulks of ``bulk_size``
+    (reference default 100, ElasticsearchSinkConnector.kt:53-54), preserving
+    order within a group like the reference's group-preserving split
+    (Actors.kt:60-75). Returns (route_group, bulk_id, n_actions, payload)
+    where payload is the ready-to-POST NDJSON body.
+
+    The time dimension (bulk.delay.ms) exists only under continuous arrival —
+    that half lives in streaming/ingest_stream.windowed_action_counts."""
+    from pyspark.sql import Window
+
+    routed = bulk_ndjson(route(df, concurrency, **route_kw))
+    w = Window.partitionBy("route_group").orderBy(F.col(order_col).asc_nulls_last())
+    return (
+        routed.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("bulk_id", (F.col("_rn") / bulk_size).cast("long"))
+        .groupBy("route_group", "bulk_id")
+        .agg(
+            F.count("*").alias("n_actions"),
+            F.concat_ws(
+                "\n", F.transform(F.sort_array(F.collect_list(F.struct("_rn", "ndjson"))),
+                                  lambda s: s["ndjson"])
+            ).alias("payload"),
+        )
+    )
+
+
+def write_bulk_ndjson(bulks: DataFrame, path: str) -> None:
+    """K2 replacement — instead of HTTP POSTs to /_bulk, bulks land as text
+    files (one payload per line group) that any ES loader can replay.
+    content-type semantics (BulkRequest.kt:34-41) preserved in the payload."""
+    bulks.select("payload").write.mode("overwrite").text(path)
+
+
+# --- S3/S4 protobuf converters (gated: spark-protobuf jar not bundled) -------
+
+def decode_protobuf_actions(
+    df: DataFrame,
+    value_col: str,
+    message_name: str,
+    descriptor_file: str,
+):
+    """S3 — protobuf value decode via Spark's native from_protobuf
+    (ProtobufConverter.kt:62-116 analogue). Requires the spark-protobuf
+    module + a compiled descriptor set; raises a clear error when the
+    runtime lacks it (this sandbox does not bundle it)."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "spark-protobuf is not available in this runtime; on a real "
+            "cluster add org.apache.spark:spark-protobuf and a descriptor set "
+            "(reference: ProtobufConverter.kt, bulk_action.proto)"
+        ) from e
+    return df.withColumn(
+        "action", from_protobuf(F.col(value_col), message_name, descFilePath=descriptor_file)
+    )
+
+
 # --- error classification (F5, ElasticsearchBulkSender.kt:51-92) -------------
 
 def split_retriable(df: DataFrame, error_col: str = "error_type"):

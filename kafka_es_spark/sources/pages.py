@@ -53,11 +53,19 @@ _ENTITIES = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;"]
 _ENTITY_TEXT = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
 
 
+TAIL_VOCAB = 50_000  # synthetic long-tail terms t0..t49999 (realistic vocab width)
+
+
 def _zipf_words(rng: np.random.Generator, vocab: list[str], n: int) -> list[str]:
-    # ranks 1..V with p ∝ 1/rank — heavy head, long tail
+    """Zipf head vocab (heavy skew for the salted merge) + a wide uniform
+    tail (~25% of tokens) so df spreads like real webtext instead of every
+    term being a head term."""
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     p = (1.0 / ranks) / (1.0 / ranks).sum()
-    return [vocab[i] for i in rng.choice(len(vocab), size=n, p=p)]
+    words = [vocab[i] for i in rng.choice(len(vocab), size=n, p=p)]
+    tail_mask = rng.random(n) < 0.25
+    tail_ids = rng.integers(0, TAIL_VOCAB, size=n)
+    return [f"t{tail_ids[i]}" if tail_mask[i] else w for i, w in enumerate(words)]
 
 
 def gen_pages_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:

@@ -132,3 +132,47 @@ def test_split_retriable(spark):
     fatal, retriable = split_retriable(df)
     assert {r["id"] for r in fatal.collect()} == {"a", "d"}
     assert {r["id"] for r in retriable.collect()} == {"b"}
+
+
+def test_group_into_bulks(spark, actions):
+    from kafka_es_spark.operators.ingest import group_into_bulks
+
+    acts = actions.filter(F.col("op").isNotNull() & F.col("id").isNotNull())
+    n = acts.count()
+    bulks = group_into_bulks(acts, bulk_size=25, concurrency=4).collect()
+    assert sum(r["n_actions"] for r in bulks) == n
+    assert all(r["n_actions"] <= 25 for r in bulks)
+    # groups are packed greedily: at most one partial bulk per route group
+    from collections import defaultdict
+
+    per_group = defaultdict(list)
+    for r in bulks:
+        per_group[r["route_group"]].append(r["n_actions"])
+    for g, sizes in per_group.items():
+        assert sum(1 for s in sizes if s < 25) <= 1, (g, sizes)
+    # payload is NDJSON: one meta line per action (+ source lines)
+    r0 = max(bulks, key=lambda r: r["n_actions"])
+    metas = [l for l in r0["payload"].split("\n") if l.startswith('{"')]
+    assert len(metas) >= r0["n_actions"]
+
+
+def test_write_bulk_ndjson(spark, actions, tmp_path):
+    from kafka_es_spark.operators.ingest import group_into_bulks, write_bulk_ndjson
+
+    acts = actions.filter(F.col("op").isNotNull() & F.col("id").isNotNull()).limit(40)
+    out = str(tmp_path / "bulks")
+    write_bulk_ndjson(group_into_bulks(acts, bulk_size=10), out)
+    txt = spark.read.text(out)
+    assert txt.count() > 0
+
+
+def test_protobuf_gate(spark, actions):
+    from kafka_es_spark.operators.ingest import decode_protobuf_actions
+
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf  # noqa: F401
+        pytest.skip("spark-protobuf available; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="spark-protobuf"):
+        decode_protobuf_actions(actions, "source", "kafka_es.BulkAction", "/tmp/x.desc")

@@ -101,11 +101,13 @@ def main() -> None:
             f"""# BENCH/BASELINE — measured numbers (sandbox)
 
 Methodology: the SAME index-build job on the SAME {n_pages}-page synthetic
-input_hint corpus (seed 42), at local[{n}] (N cores) and local[{4*n}] (4N
-cores), each in a fresh JVM after a 2k-page warmup build (steady-state;
-JIT/codegen excluded). This is the sandbox substitution for the north rule's
-N→4N-executor criterion (BASELINE.md). Query latencies over the built index
-via a warm Searcher, 8 queries.
+input_hint corpus (seed 42, zipf head + 50k-term tail vocab), at local[{n}]
+(N cores) and local[{4*n}] (4N cores), each in a fresh JVM. One full-size
+warmup build is discarded and the best of two measured builds is reported
+(steady state: JVM C2 + python-worker warmup dominates early-session runs).
+This is the sandbox substitution for the north rule's N→4N-executor
+criterion (BASELINE.md). Query latencies over the built index via a warm
+Searcher, 8 queries.
 
 | cores | build sec | docs/sec | query p50 s | query p99 s |
 |---|---|---|---|---|
