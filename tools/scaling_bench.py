@@ -28,7 +28,14 @@ from kafka_es_spark.operators.wand import Searcher
 spark = get_spark("scaling-{cpus}", shuffle_partitions={cpus})
 spark.sparkContext.setLogLevel("ERROR")
 
-pages = gen_pages_distributed(spark, {n_pages}, seed=42, slices=64).cache(); pages.count()
+# the input is a parquet table on disk — like production, and unlike a
+# cached DataFrame it doesn't occupy the executor heap (a 2M-page html cache
+# was 6+ GB and drove superlinear GC slowdown)
+src = {src_dir!r}
+if not os.path.exists(src + "/_SUCCESS"):
+    gen_pages_distributed(spark, {n_pages}, seed=42, slices=64).write.mode(
+        "overwrite").parquet(src)
+pages = spark.read.parquet(src)
 
 # steady-state methodology: JVM C2 + python-worker warmup dominates the first
 # minutes of a session (identical jobs speed up 5-10x across repetitions), so
@@ -70,7 +77,8 @@ spark.stop()
 
 
 def run(cpus: int, n_pages: int, repo: str) -> dict:
-    code = CHILD.format(cpus=cpus, n_pages=n_pages, repo=repo)
+    src_dir = f"/tmp/kes_corpus_{n_pages}"
+    code = CHILD.format(cpus=cpus, n_pages=n_pages, repo=repo, src_dir=src_dir)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
