@@ -135,6 +135,13 @@ def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
         if pivot_j < 0:
             break  # no remaining doc can reach the threshold
         pivot_doc = cursors[order[pivot_j]].cur_doc
+        # extend the pivot across cursors tied at pivot_doc so their block
+        # upper bounds count toward the refinement (Ding & Suel BMW, Alg. 3)
+        while (
+            pivot_j + 1 < len(order)
+            and cursors[order[pivot_j + 1]].cur_doc == pivot_doc
+        ):
+            pivot_j += 1
         if cursors[order[0]].cur_doc == pivot_doc:
             # block-max refinement: tighter per-block bound before full eval
             bub = sum(
@@ -142,11 +149,17 @@ def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
                 for ci in order[: pivot_j + 1]
             )
             if bub < theta:
-                # skip to just past the nearest block boundary
+                # skip to just past the nearest block boundary, clamped at
+                # the next (non-pivot) cursor's current doc: a doc in
+                # (pivot, boundary] may also appear in lists beyond the
+                # pivot, whose contribution bub did not count — d' rule.
                 nxt = min(
                     cursors[ci].block_last_at(pivot_doc)
                     for ci in order[: pivot_j + 1]
                 ) + 1
+                if pivot_j + 1 < len(order):
+                    nxt = min(nxt, cursors[order[pivot_j + 1]].cur_doc)
+                nxt = max(nxt, pivot_doc + 1)  # guarantee progress
                 for ci in order[: pivot_j + 1]:
                     cursors[ci].advance_to(nxt)
                 continue
