@@ -66,26 +66,53 @@ def _q_bm25_topk(spark, sf_dir):
     return _bm25.bm25_topk(_docs(spark, sf_dir), QUERY_TERMS, k=TOPK)
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Content-keyed cache tag for the on-disk index: hashes the documents
+    parquet file names + sizes + mtimes, so changed data at the same path
+    never reuses a stale index."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            paths.extend(os.path.join(dirpath, fn) for fn in sorted(filenames))
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def _q_wand_topk(spark, sf_dir):
     """X4/X5/X8 — full index path: SPIMI build (varint+block-max segments,
     doc-range salted) then distributed block-max WAND top-k. Must be
-    rank-identical to the exhaustive x7 oracle."""
-    import hashlib
+    rank-identical to the exhaustive x7 oracle: fetch 3k candidates then
+    re-rank by (rounded score desc, corpus doc_id asc) — the oracle's
+    ordering — so equal-score ties at the k boundary select the same docs."""
     import os
 
     from kafka_es_spark.operators.wand import wand_topk
     from kafka_es_spark.plans.build_index import build_index
     from kafka_es_spark.sources.pages import docs_as_pages
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = f"/tmp/kafka_es_index_{tag}"
+    idx = f"/tmp/kafka_es_index_{_corpus_tag(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
         build_index(spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8, n_term_buckets=8)
-    out = wand_topk(spark, idx, " ".join(QUERY_TERMS), k=TOPK, with_url=True)
+    out = wand_topk(
+        spark, idx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True
+    )
     # map internal dense doc ids back to the corpus doc_id carried in the url
-    return out.select(
-        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
-        F.col("score"),
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+            F.col("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
     )
 
 
@@ -101,19 +128,28 @@ def _q_json_convert(spark, sf_dir):
 
 
 def _q_route_resolve(spark, sf_dir):
-    """F4 index resolution + P1 hash routing (engine-portable Knuth hash here;
-    Java-hashCode parity is pytest-golden-tested in tests/test_ingest.py)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    idx = (
-        F.when(F.col("event_type") == "click", "clicks-v1")
-        .when(F.col("event_type") == "view", "views-v1")
-        .otherwise("events-default")
+    """F4 index resolution + P1 hash routing through the shipped operators:
+    ``resolve_index`` (topic map + default) and ``route`` (Java
+    String.hashCode & 0x7FFFFFFF mod concurrency — reference parity,
+    ElasticsearchSinkTask.kt:209-212 / Actors.kt:55-84). The DuckDB oracle
+    mirrors String.hashCode with list_reduce over codepoints, int32-wrapped."""
+    from kafka_es_spark.operators import ingest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("event_type").alias("topic"),
+        F.lit(None).cast("string").alias("index"),
+        F.col("user_id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("routing"),
     )
-    grp = F.pmod(F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(2**32)), F.lit(8))
-    return ev.select(
-        F.col("event_id"),
-        idx.alias("index_name"),
-        grp.cast("long").alias("route_group"),
+    out = ingest.resolve_index(
+        ev, {"click": "clicks-v1", "view": "views-v1"}, default_index="events-default"
+    )
+    out = ingest.route(out, concurrency=8)
+    return out.select(
+        "event_id",
+        F.col("index").alias("index_name"),
+        F.col("route_group").cast("long").alias("route_group"),
     )
 
 
@@ -140,10 +176,20 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_jaccard_pairs(spark, sf_dir):
-    """N-gram (w=3 shingle) Jaccard near-dup pairs, threshold 0.5."""
-    from kafka_es_spark.operators.dedup import jaccard_pairs
+    """N-gram (w=3 shingle) Jaccard near-dup pairs, threshold 0.5 — the
+    scale path: MinHash-LSH candidate generation restricts the shingle
+    self-join to banded candidates (pair volume bounded by bucket sizes,
+    never all co-shingled pairs). LSH recall vs the exact oracle is 100%
+    on this corpus at all SFs (pytest-asserted in test_training_ops)."""
+    from kafka_es_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
-    return jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5, w=3)
+    docs = _docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(docs, n_perm=8, w=3), bands=4)
+    return jaccard_pairs(docs, min_jaccard=0.5, w=3, candidates=cands)
 
 
 def _q_minhash_signatures(spark, sf_dir):
@@ -170,10 +216,16 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_embed_near_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.35 (exact baseline)."""
-    from kafka_es_spark.operators.similarity import cosine_near_pairs_exact
+    """Embedding-cosine near-dup pairs ≥ 0.35, exact via blocked GEMM:
+    hash-blocked block-pair scoring in Arrow-batched numpy (no per-row
+    Python, no N²-row join explosion). At this threshold sign-LSH cannot
+    discriminate (measured recall ~0.7 on this corpus — isotropic pairs),
+    so the honest scale design is the blocked exact tier here and the LSH
+    path (cosine_near_pairs) for high-threshold near-dup, where its recall
+    is ~1 (pytest-asserted with planted near-duplicates)."""
+    from kafka_es_spark.operators.similarity import cosine_near_pairs_blocked
 
-    return cosine_near_pairs_exact(_emb(spark, sf_dir), min_cos=0.35)
+    return cosine_near_pairs_blocked(_emb(spark, sf_dir), min_cos=0.35, n_blocks=8)
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -489,13 +541,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
             "event_type AS topic FROM events"
         ),
-        "p1_route_resolve": (
-            "SELECT event_id, "
-            "CASE event_type WHEN 'click' THEN 'clicks-v1' WHEN 'view' THEN 'views-v1' "
-            "ELSE 'events-default' END AS index_name, "
-            "CAST((user_id * 2654435761) % 4294967296 % 8 AS BIGINT) AS route_group "
-            "FROM events"
-        ),
+        # Java String.hashCode mirror: fold codepoints with h = 31*h + c,
+        # wrapped into signed int32 each step (handles the Int.MIN_VALUE
+        # edge the reference tests, ActorsTests.kt:35-43)
+        "p1_route_resolve": """
+WITH k AS (
+  SELECT event_id, event_type, CAST(user_id AS VARCHAR) AS key FROM events
+),
+h AS (
+  SELECT event_id, event_type,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(key) + 1),
+                       i -> CAST(ascii(substr(key, i, 1)) AS BIGINT))),
+      (a, c) -> ((a * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648
+    ) AS hc
+  FROM k
+)
+SELECT event_id,
+  CASE event_type WHEN 'click' THEN 'clicks-v1' WHEN 'view' THEN 'views-v1'
+       ELSE 'events-default' END AS index_name,
+  CAST((hc & 2147483647) % 8 AS BIGINT) AS route_group
+FROM h
+""",
         "dd1_dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keeper, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"

@@ -128,7 +128,8 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, w: int = 3,
 def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """(band, band_hash, doc_id): docs sharing (band, band_hash) are
     near-dup candidates. band = seed % bands; band_hash = md5 of the
-    ordered minhash values in the band."""
+    seed-ordered minhash values joined with ',' (stable across engines and
+    Spark versions, unlike JSON serialization of a struct)."""
     return (
         signatures.withColumn("band", F.col("seed") % bands)
         .groupBy("doc_id", "band")
@@ -136,16 +137,35 @@ def lsh_buckets(signatures: DataFrame, bands: int = 4) -> DataFrame:
         .select(
             "doc_id",
             "band",
-            F.md5(F.to_json(F.col("sig"))).alias("band_hash"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("sig"), lambda s: s["minhash"].cast("string"))
+                )
+            ).alias("band_hash"),
         )
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, max_bucket_size: int | None = 10_000
+) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from shared LSH buckets (doc_a < doc_b).
     Self-join within buckets only — candidate volume is controlled by the
-    banding parameters, never all-pairs."""
+    banding parameters, never all-pairs.
+
+    ``max_bucket_size`` guards against degenerate buckets (e.g. a corpus
+    where many docs share a constant signature — empty texts, boilerplate):
+    a bucket of m docs contributes m²/2 pairs, so one 10⁶-doc bucket would
+    emit 5·10¹¹ rows. Oversized buckets are dropped — run ``dedup_exact``
+    first so identical content never reaches LSH."""
     b = lsh_buckets(signatures, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        b = (
+            b.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     l = b.alias("l")
     r = b.alias("r")
     return (

@@ -161,6 +161,113 @@ def cosine_near_pairs_exact(
     )
 
 
+def cosine_near_pairs_blocked(
+    emb: DataFrame,
+    min_cos: float = 0.35,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact near-pair join via blocked GEMM — the scale-sane exact tier.
+
+    Vectors are hash-partitioned into ``n_blocks`` blocks; the
+    B·(B+1)/2 block pairs are scored as dense float64 matrix products
+    inside an Arrow-batched ``applyInPandas`` (numpy BLAS), so the plan
+    shuffles each row B+1 times instead of exploding N² join rows, and no
+    per-row Python runs anywhere. Size n_blocks so a block (~N/B rows ×
+    dim × 8 bytes ×2) fits executor memory; parallelism = B(B+1)/2 tasks.
+
+    Exact all-pairs is inherently O(N²·d) FLOPs — no algorithm avoids that
+    at low thresholds on isotropic data (measured here: sign-LSH recall at
+    cos≥0.35 is ~0.7 even with 8 tables). Use this operator for the exact
+    tier (N up to ~10^7 per shard); at 10^12 rows use a high threshold with
+    ``cosine_near_pairs`` (LSH) or ANN and accept documented recall.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    B = int(n_blocks)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int"))
+    # each row participates in every block pair containing its block:
+    # as the "left" side of (blk, j>=blk) and the "right" side of (i<=blk, blk)
+    left = base.select(
+        "vec_id", "vec",
+        F.col("blk").alias("ka"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("kb"),
+        F.lit(0).alias("side"),
+    )
+    right = base.select(
+        "vec_id", "vec",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ka"),
+        F.col("blk").alias("kb"),
+        F.lit(1).alias("side"),
+    )
+    tasks = left.unionByName(right)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+    thr = float(min_cos)
+    rnd = round_to
+
+    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ka, kb = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype=np.int64),
+                "vec_b": pd.Series(dtype=np.int64),
+                "cos": pd.Series(dtype=np.float64),
+            }
+        )
+        if ka == kb:
+            sub = pdf[pdf["side"] == 0]
+            ids_a = sub["vec_id"].to_numpy(dtype=np.int64)
+            if ids_a.size < 2:
+                return empty
+            Va = np.stack(sub["vec"].to_numpy()).astype(np.float64)
+            ids_b, Vb = ids_a, Va
+        else:
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+            ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+            ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+            if ids_a.size == 0 or ids_b.size == 0:
+                return empty
+            Va = np.stack(a["vec"].to_numpy()).astype(np.float64)
+            Vb = np.stack(b["vec"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(Va, axis=1)
+        nb = na if ka == kb else np.linalg.norm(Vb, axis=1)
+        S = (Va @ Vb.T) / np.outer(na, nb)
+        if rnd is not None:
+            S = np.round(S, rnd)
+        ai, bi = np.nonzero(S >= thr)
+        if ka == kb:
+            m = ai < bi  # index-space upper triangle: each pair once, no self
+            ai, bi = ai[m], bi[m]
+        ia, ib = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cos": S[ai, bi],
+            }
+        )
+
+    return (
+        tasks.groupBy("ka", "kb")
+        .applyInPandas(score_block_pair, out_schema)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame,
     min_cos: float = 0.95,

@@ -208,9 +208,13 @@ class Searcher:
             self.term_stats.unpersist()
 
     def topk(self, query: str, k: int = 10, round_to: int | None = 4,
-             with_url: bool = False) -> DataFrame:
+             with_url: bool = False, fetch_k: int | None = None) -> DataFrame:
+        """fetch_k > k widens the per-range heaps and the final limit so a
+        caller can re-rank with its own tie-break (e.g. corpus doc id at a
+        rounded-score boundary) without losing tied candidates."""
         from kafka_es_spark.functions.tokenize import tokenize_py
 
+        k = max(k, fetch_k or 0)
         spark = self.spark
         qterms = sorted(set(tokenize_py(query)))
         if not qterms or self.n_docs == 0 or self.avgdl == 0:
@@ -258,10 +262,11 @@ def wand_topk(
     k: int = 10,
     round_to: int | None = 4,
     with_url: bool = False,
+    fetch_k: int | None = None,
 ) -> DataFrame:
     """One-shot distributed block-max WAND top-k over an index dataset."""
     return Searcher(spark, index_dir, cache=False).topk(
-        query, k=k, round_to=round_to, with_url=with_url
+        query, k=k, round_to=round_to, with_url=with_url, fetch_k=fetch_k
     )
 
 

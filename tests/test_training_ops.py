@@ -256,3 +256,83 @@ def test_audio_features_and_resize(spark, media):
 def test_real_codec_stub_raises(spark, media):
     with pytest.raises(Exception, match="NotImplementedError|not bundled"):
         decode_image_features(media, fake=False).collect()
+
+
+def test_lsh_candidates_cover_all_jaccard_pairs(spark, sf_dir):
+    """The dd2 driver entry routes jaccard verification through LSH
+    candidates — recall vs the exact all-co-shingled path must be 100% on
+    the synthetic corpus (it is: near-dups there are near-exact)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, min_jaccard=0.5, w=3).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, n_perm=8, w=3), bands=4
+        ).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    assert exact <= cands
+
+
+def test_lsh_bucket_size_guard(spark):
+    """Degenerate buckets (many docs with identical signatures) are dropped
+    when they exceed max_bucket_size — the 100 TB safety valve."""
+    rows = [(i, "same boilerplate text everywhere") for i in range(20)]
+    rows += [(100, "one unusual document about spark"), (101, "one unusual document about spark")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, n_perm=8, w=3)
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, bands=4, max_bucket_size=10).collect()
+    }
+    # the 20-doc degenerate bucket is dropped; the small bucket survives
+    assert (100, 101) in guarded
+    assert not any(a < 100 and b < 100 for a, b in guarded)
+    unguarded = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=None).count()
+    assert unguarded >= 20 * 19 // 2
+
+
+def test_cosine_near_pairs_blocked_equals_exact(spark, emb):
+    from kafka_es_spark.operators.similarity import (
+        cosine_near_pairs_blocked,
+        cosine_near_pairs_exact,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in cosine_near_pairs_exact(emb, min_cos=0.35).collect()
+    }
+    for nb in (1, 3, 8):
+        blocked = {
+            (r["vec_a"], r["vec_b"], r["cos"])
+            for r in cosine_near_pairs_blocked(emb, min_cos=0.35, n_blocks=nb).collect()
+        }
+        assert blocked == exact, f"n_blocks={nb}"
+
+
+def test_cosine_lsh_near_pairs_recall_on_planted_dups(spark):
+    """The LSH pair path is the high-threshold scale tier: with planted
+    near-duplicates (cos ≈ 0.99) its recall must be 1.0."""
+    from kafka_es_spark.operators.similarity import cosine_near_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-duplicate of every 4th vector
+        if i % 4 == 0:
+            w = v + 0.02 * rng.standard_normal(32)
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb_df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_pairs(
+            emb_df, min_cos=0.95, n_planes=10, n_tables=3
+        ).collect()
+    }
+    want = {(i, 1000 + i) for i in range(0, 40, 4)}
+    assert want <= got
