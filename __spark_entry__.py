@@ -153,6 +153,121 @@ def _q_route_resolve(spark, sf_dir):
     )
 
 
+def _q_upsert(spark, sf_dir):
+    """X9 upsert half — last-write-wins version resolution
+    (BulkAction.kt:55-102: index/create/update collapse to newest-version
+    per doc key in a batch rebuild): every 100th doc_id forms one logical
+    document (url), version timestamp grows with doc_id, the latest version
+    survives, then BM25 top-k over the surviving corpus."""
+    from kafka_es_spark.operators.deletes import latest_versions
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("doc://"), (F.col("doc_id") % 100).cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("warc_ts"),
+    )
+    latest = latest_versions(d, key="url", version="warc_ts")
+    return _bm25.bm25_topk(latest.select("doc_id", "text"), QUERY_TERMS, k=TOPK)
+
+
+def _q_extract_text(spark, sf_dir):
+    """X1 — the real HTML→text extractor (script/style/comment removal, tag
+    strip, entity decode, whitespace collapse) over html synthesized
+    deterministically from the documents text (the driver corpus carries no
+    html column); the oracle states the expected inverse."""
+    from kafka_es_spark.functions.extract import extract_text
+
+    d = _docs(spark, sf_dir)
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><script>var x=1;</script>"
+            "<style>.a{}</style></head><body><h1>"
+        ),
+        esc,
+        F.lit("</h1><!-- comment --><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    return d.select("doc_id", extract_text(html.cast("binary")).alias("extracted"))
+
+
+def _q_bulk_response(spark, sf_dir):
+    """K3 — bulk-response parse + positional zip + per-item classification
+    (ElasticsearchBulkSender.kt:130-196). No ES server exists in the
+    sandbox, so the /_bulk response JSON is fabricated as a deterministic
+    function of event_id (status 400/429/201 by modulus); the Spark side
+    must round-trip it through real JSON parse → posexplode → zip-with-sent
+    → classify, while the oracle states the expected classification
+    directly — any positional-zip or parse defect breaks the hash."""
+    from pyspark.sql import Window
+
+    from kafka_es_spark.operators import ingest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    status = (
+        F.when(F.col("event_id") % 17 == 0, 400)
+        .when(F.col("event_id") % 10 == 0, 429)
+        .otherwise(201)
+    )
+    etype = (
+        F.when(F.col("event_id") % 17 == 0, "elasticsearch_parse_exception")
+        .when(F.col("event_id") % 10 == 0, "es_rejected_execution_exception")
+    )
+    item = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_id").cast("string").alias("_id"),
+                F.lit("events-v1").alias("_index"),
+                status.alias("status"),
+                F.when(
+                    etype.isNotNull(),
+                    F.struct(etype.alias("type"), F.lit("fabricated").alias("reason")),
+                ).alias("error"),
+            ).alias("index")
+        )
+    )
+    tagged = ev.select(
+        "event_id", F.floor(F.col("event_id") / 50).alias("bulk_id"), item.alias("item_json")
+    )
+    responses = tagged.groupBy("bulk_id").agg(
+        F.concat(
+            F.lit('{"took": 7, "errors": true, "items": ['),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("event_id", "item_json"))),
+                    lambda s: s["item_json"],
+                ),
+            ),
+            F.lit("]}"),
+        ).alias("response")
+    )
+    w = Window.partitionBy("bulk_id").orderBy("event_id")
+    actions = tagged.select(
+        "event_id", "bulk_id", (F.row_number().over(w) - 1).cast("int").alias("pos")
+    )
+    items = ingest.parse_bulk_response(responses)
+    zipped = ingest.zip_bulk_items(actions, items, keys=["bulk_id"])
+    out = ingest.classify_bulk_results(zipped)
+    return out.select(
+        "event_id",
+        F.col("status").cast("int").alias("status"),
+        F.coalesce(F.col("error_type"), F.lit("none")).alias("error_type"),
+        "outcome",
+    )
+
+
 def _q_delete_tombstones(spark, sf_dir):
     """X9 — tombstone anti-join before scoring (ES bulk Delete semantics)."""
     from kafka_es_spark.operators.deletes import apply_tombstones
@@ -291,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
+        "x9_upsert": _q_upsert,
+        "x1_extract_text": _q_extract_text,
+        "k3_bulk_response": _q_bulk_response,
         "s2_json_convert": _q_json_convert,
         "p1_route_resolve": _q_route_resolve,
         "dd1_dedup_exact": _q_dedup_exact,
@@ -537,6 +655,33 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
+        # upsert: latest version per logical doc (url = doc_id % 100) wins
+        "x9_upsert": _bm25_sql(
+            "(SELECT doc_id, text FROM "
+            "(SELECT doc_id, text, row_number() OVER "
+            "(PARTITION BY doc_id % 100 ORDER BY doc_id DESC) AS rn FROM documents) "
+            "WHERE rn = 1)"
+        ),
+        # the extractor's expected inverse: title + twice the ws-collapsed text
+        "x1_extract_text": r"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS tt FROM documents)
+SELECT doc_id, CASE WHEN tt = '' THEN 'T' ELSE 'T ' || tt || ' ' || tt END AS extracted
+FROM t
+""",
+        # the fabricated response statuses are a pure function of event_id,
+        # so the oracle states the classification directly; the Spark side
+        # must reproduce it through JSON parse -> posexplode -> zip -> classify
+        "k3_bulk_response": """
+SELECT event_id,
+  CAST(CASE WHEN event_id % 17 = 0 THEN 400
+            WHEN event_id % 10 = 0 THEN 429 ELSE 201 END AS INT) AS status,
+  CASE WHEN event_id % 17 = 0 THEN 'elasticsearch_parse_exception'
+       WHEN event_id % 10 = 0 THEN 'es_rejected_execution_exception'
+       ELSE 'none' END AS error_type,
+  CASE WHEN event_id % 17 = 0 THEN 'fatal'
+       WHEN event_id % 10 = 0 THEN 'retry' ELSE 'ok' END AS outcome
+FROM events
+""",
         "s2_json_convert": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, "
             "event_type AS topic FROM events"

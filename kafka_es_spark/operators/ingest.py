@@ -203,21 +203,15 @@ def group_into_bulks(
 
     The time dimension (bulk.delay.ms) exists only under continuous arrival —
     that half lives in streaming/ingest_stream.windowed_action_counts."""
-    from pyspark.sql import Window
-
-    routed = bulk_ndjson(route(df, concurrency, **route_kw))
-    w = Window.partitionBy("route_group").orderBy(F.col(order_col).asc_nulls_last())
-    return (
-        routed.withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("bulk_id", (F.col("_rn") / bulk_size).cast("long"))
-        .groupBy("route_group", "bulk_id")
-        .agg(
-            F.count("*").alias("n_actions"),
-            F.concat_ws(
-                "\n", F.transform(F.sort_array(F.collect_list(F.struct("_rn", "ndjson"))),
-                                  lambda s: s["ndjson"])
-            ).alias("payload"),
-        )
+    numbered = number_into_bulks(
+        df, bulk_size=bulk_size, concurrency=concurrency, order_col=order_col, **route_kw
+    )
+    return numbered.groupBy("route_group", "bulk_id").agg(
+        F.count("*").alias("n_actions"),
+        F.concat_ws(
+            "\n", F.transform(F.sort_array(F.collect_list(F.struct("pos", "ndjson"))),
+                              lambda s: s["ndjson"])
+        ).alias("payload"),
     )
 
 
@@ -262,3 +256,173 @@ def split_retriable(df: DataFrame, error_col: str = "error_type"):
         F.col(error_col).isNotNull() & ~F.col(error_col).isin(NON_RETRIABLE_ERRORS)
     )
     return fatal, retriable
+
+
+# --- K3: bulk-response model (ElasticsearchBulkSender.kt:130-196) -------------
+
+_BULK_ITEM = (
+    "struct<_id: string, _index: string, status: int, "
+    "error: struct<type: string, reason: string>>"
+)
+BULK_RESPONSE_SCHEMA = (
+    "struct<took: bigint, errors: boolean, items: array<struct<"
+    f"index: {_BULK_ITEM}, create: {_BULK_ITEM}, "
+    f"update: {_BULK_ITEM}, delete: {_BULK_ITEM}>>>"
+)
+
+
+def parse_bulk_response(df: DataFrame, response_col: str = "response") -> DataFrame:
+    """K3 — parse an ES /_bulk response JSON column into one row per item:
+    (…passthrough…, took, errors, pos, op, item_id, item_index, status,
+    error_type, error_reason). Items are positional within the response,
+    mirroring the reference's zip-with-sent-actions
+    (ElasticsearchBulkSender.kt:130-196); each item is keyed by its op name
+    — exactly one of index/create/update/delete is non-null."""
+    keep = [c for c in df.columns if c != response_col]
+    parsed = df.withColumn("_r", F.from_json(F.col(response_col), BULK_RESPONSE_SCHEMA))
+    exploded = parsed.select(
+        *keep,
+        F.col("_r.took").alias("took"),
+        F.col("_r.errors").alias("errors"),
+        F.posexplode("_r.items").alias("pos", "_item"),
+    )
+    el = F.coalesce(
+        F.col("_item.index"), F.col("_item.create"),
+        F.col("_item.update"), F.col("_item.delete"),
+    )
+    op = (
+        F.when(F.col("_item.index").isNotNull(), "index")
+        .when(F.col("_item.create").isNotNull(), "create")
+        .when(F.col("_item.update").isNotNull(), "update")
+        .when(F.col("_item.delete").isNotNull(), "delete")
+    )
+    return exploded.select(
+        *keep,
+        "took",
+        "errors",
+        F.col("pos").cast("int").alias("pos"),
+        op.alias("item_op"),  # named to avoid colliding with the action's op
+        el["_id"].alias("item_id"),
+        el["_index"].alias("item_index"),
+        el["status"].alias("status"),
+        el["error"]["type"].alias("error_type"),
+        el["error"]["reason"].alias("error_reason"),
+    )
+
+
+def zip_bulk_items(
+    actions: DataFrame, items: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Positional zip of sent actions with parsed response items: join on
+    the bulk identity + item position. A left join keeps actions whose item
+    is missing (malformed response) with null status — the caller treats
+    those as retriable, like the reference treats a failed request."""
+    keys = (keys or ["route_group", "bulk_id"]) + ["pos"]
+    return actions.join(items, keys, "left")
+
+
+def classify_bulk_results(zipped: DataFrame) -> DataFrame:
+    """Adds ``outcome`` ∈ {ok, fatal, retry}: ok = 2xx without error; fatal
+    = non-retriable error type (F5); everything else (429s, rejections,
+    missing items, 5xx) retries — ElasticsearchBulkSender.kt:51-92."""
+    outcome = (
+        F.when(
+            F.col("error_type").isNull()
+            & F.col("status").isNotNull()
+            & (F.col("status") < 300),
+            "ok",
+        )
+        .when(F.col("error_type").isin(NON_RETRIABLE_ERRORS), "fatal")
+        .otherwise("retry")
+    )
+    return zipped.withColumn("outcome", outcome)
+
+
+def number_into_bulks(
+    df: DataFrame,
+    bulk_size: int = 100,
+    concurrency: int = 4,
+    order_col: str = "id",
+    **route_kw,
+) -> DataFrame:
+    """Row-level bulk assignment: route (P1), then within each route group
+    number consecutive actions into (bulk_id, pos) slots of ``bulk_size``.
+    ``group_into_bulks`` aggregates this into payloads; the retry path keeps
+    the row-level shape so response items can zip back positionally."""
+    from pyspark.sql import Window
+
+    routed = bulk_ndjson(route(df, concurrency, **route_kw))
+    w = Window.partitionBy("route_group").orderBy(F.col(order_col).asc_nulls_last())
+    return (
+        routed.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("bulk_id", (F.col("_rn") / bulk_size).cast("long"))
+        .withColumn("pos", (F.col("_rn") % bulk_size).cast("int"))
+        .drop("_rn")
+    )
+
+
+def resend_with_backoff(
+    actions: DataFrame,
+    send_fn,
+    max_attempts: int = 3,
+    backoff_base_ms: int = 100,
+    bulk_size: int = 100,
+    concurrency: int = 4,
+    sleep_fn=None,
+    **route_kw,
+):
+    """K4 — retry + exponential backoff for the bulk-export path
+    (Actors.kt:236-259). Each attempt: number actions into bulks, call
+    ``send_fn(numbered_actions) -> responses`` (a DataFrame with the bulk
+    keys + a ``response`` JSON column — injectable; tests use a canned
+    flaky sender, production would POST payloads), parse + zip + classify,
+    accumulate ok/fatal, re-bulk the retriable remainder and resend after
+    backoff_base_ms·2^attempt. Returns (ok, fatal, exhausted) DataFrames of
+    the original action rows + outcome metadata.
+
+    The backoff sleep is driver-side — the analogue of the reference
+    actor's delay() between resends; Spark task retries cover transient
+    executor failures underneath."""
+    import time as _time
+
+    sleep = sleep_fn if sleep_fn is not None else _time.sleep
+    action_cols = actions.columns
+    ok_parts: list[DataFrame] = []
+    fatal_parts: list[DataFrame] = []
+    pending = actions
+    for attempt in range(max_attempts):
+        if pending.isEmpty():
+            break
+        if attempt > 0:
+            sleep(backoff_base_ms * (2 ** (attempt - 1)) / 1000.0)
+        numbered = number_into_bulks(
+            pending, bulk_size=bulk_size, concurrency=concurrency, **route_kw
+        ).localCheckpoint()
+        responses = send_fn(numbered)
+        items = parse_bulk_response(
+            responses.select("route_group", "bulk_id", "response")
+        )
+        classified = classify_bulk_results(zip_bulk_items(numbered, items)).localCheckpoint()
+        keep = action_cols + ["status", "error_type", "outcome"]
+        ok_parts.append(classified.filter(F.col("outcome") == "ok").select(*keep))
+        fatal_parts.append(classified.filter(F.col("outcome") == "fatal").select(*keep))
+        pending = classified.filter(F.col("outcome") == "retry").select(*action_cols)
+    spark = actions.sparkSession
+    empty = spark.createDataFrame([], actions.schema)
+
+    def _union(parts):
+        out = None
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    ok = _union(ok_parts)
+    fatal = _union(fatal_parts)
+    if ok is None:
+        ok = empty.withColumns(
+            {"status": F.lit(None).cast("int"), "error_type": F.lit(None).cast("string"),
+             "outcome": F.lit(None).cast("string")}
+        )
+    if fatal is None:
+        fatal = ok.limit(0)
+    return ok, fatal, pending

@@ -105,40 +105,88 @@ def build_segments(
     seg_bits: int = SEG_BITS,
     codec: str = "varint",
 ) -> DataFrame:
-    """One shuffle: group (term, doc_id >> seg_bits) → encoded segment rows."""
-    enc = codecs.varint_encode if codec == "varint" else codecs.bp128_encode
+    """One shuffle: repartition by (term, seg = doc_id >> seg_bits), sort
+    each partition by (term, seg, doc_id), stream-encode groups inside
+    mapInPandas.
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, seg = key
-        pdf = pdf.sort_values("doc_id")
-        ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-        dls = pdf["dl"].to_numpy(dtype=np.uint64)
-        gaps = codecs.delta_encode(ids)
-        last, maxtf, mindl = codecs.block_meta(
-            ids.astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64)
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "term": term,
-                    "seg": int(seg),
-                    "df_seg": int(ids.size),
-                    "cf_seg": int(tfs.sum()),
-                    "first_docid": int(ids[0]),
-                    "last_docid": int(ids[-1]),
-                    "docs_blob": enc(gaps),
-                    "tfs_blob": enc(tfs),
-                    "dls_blob": enc(dls),
-                    "blk_last": last.tolist(),
-                    "blk_maxtf": maxtf.tolist(),
-                    "blk_mindl": mindl.tolist(),
-                }
-            ]
-        )
+    Why not groupBy().applyInPandas(): that pays ~ms of Arrow/pandas
+    plumbing PER GROUP (one function call, one 1-row result frame each) —
+    measured ~220 core-seconds for a 62k-term corpus whose actual encode
+    work is a few core-seconds. Here Python is invoked once per Arrow
+    batch; group boundaries are found vectorized; a batch that ends
+    mid-group carries its open tail into the next batch (bounded: a group
+    is ≤ 2^seg_bits docs by construction, so the tail never exceeds one
+    doc-range posting list)."""
+    from collections.abc import Iterator as _Iterator
+
+    enc = codecs.varint_encode if codec == "varint" else codecs.bp128_encode
+    cols = [f.name for f in SEGMENT_SCHEMA.fields]
+
+    def encode_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Encode a frame of COMPLETE groups, sorted by (term, seg, doc_id)."""
+        terms = pdf["term"].to_numpy(dtype=object)
+        segs_ = pdf["seg"].to_numpy(dtype=np.int64)
+        ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tf_all = pdf["tf"].to_numpy(dtype=np.int64)
+        dl_all = pdf["dl"].to_numpy(dtype=np.int64)
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(pdf)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            ids = ids_all[s:e].astype(np.uint64)
+            tfs = tf_all[s:e].astype(np.uint64)
+            dls = dl_all[s:e].astype(np.uint64)
+            gaps = codecs.delta_encode(ids)
+            last, maxtf, mindl = codecs.block_meta(ids_all[s:e], tf_all[s:e], dl_all[s:e])
+            rows.append(
+                (
+                    terms[s],
+                    int(segs_[s]),
+                    int(ids.size),
+                    int(tfs.sum()),
+                    int(ids[0]),
+                    int(ids[-1]),
+                    enc(gaps),
+                    enc(tfs),
+                    enc(dls),
+                    last.tolist(),
+                    maxtf.tolist(),
+                    mindl.tolist(),
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    def encode_stream(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        hold: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            # the final (term, seg) group may continue into the next batch
+            lt = pdf["term"].iat[len(pdf) - 1]
+            ls = pdf["seg"].iat[len(pdf) - 1]
+            tail_mask = (pdf["term"].to_numpy(dtype=object) == lt) & (
+                pdf["seg"].to_numpy(dtype=np.int64) == ls
+            )
+            # tail_mask is contiguous at the end (sorted input): cut = first
+            # tail-group row = len - count of trailing Trues
+            cut = int(len(pdf) - np.flip(tail_mask).argmin()) if not tail_mask.all() else 0
+            if cut == 0:
+                hold = pdf
+                continue
+            hold = pdf.iloc[cut:].copy()
+            out = encode_block(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if hold is not None and len(hold):
+            yield encode_block(hold)
 
     seg = postings.withColumn("seg", F.shiftright(F.col("doc_id"), seg_bits))
-    return seg.groupBy("term", "seg").applyInPandas(encode_group, SEGMENT_SCHEMA)
+    part = seg.repartition("term", "seg").sortWithinPartitions("term", "seg", "doc_id")
+    return part.mapInPandas(encode_stream, SEGMENT_SCHEMA)
 
 
 def decode_segment(row, codec: str = "varint"):

@@ -111,11 +111,15 @@ class _Cursor:
         self.pos += int(np.searchsorted(self.ids[self.pos:], doc, side="left"))
 
 
-def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def wand_range_topk(
+    cursors: list[_Cursor], k: int, excluded: frozenset[int] | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND over one doc range. Returns up to k (doc_id, score),
     best-first by (score desc, doc_id asc). Cursors MUST be in sorted-term
     order — contributions are accumulated in cursor-index order so the sum
-    is bit-identical to the exhaustive oracle."""
+    is bit-identical to the exhaustive oracle. ``excluded`` docs (delete
+    tombstones) are skipped inside the scorer — the live-docs-bitset
+    analogue; index-level stats are unchanged, like ES before merge."""
     heap: list[tuple[float, int]] = []  # (score, -doc_id): heap[0] = worst kept
     ubs = [c.term_ub() for c in cursors]
 
@@ -163,6 +167,13 @@ def wand_range_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
                 for ci in order[: pivot_j + 1]:
                     cursors[ci].advance_to(nxt)
                 continue
+            if excluded is not None and pivot_doc in excluded:
+                # tombstoned: step every cursor past it without scoring
+                for ci in range(len(cursors)):
+                    c = cursors[ci]
+                    if not c.exhausted and c.cur_doc == pivot_doc:
+                        c.pos += 1
+                continue
             # full evaluation — fixed cursor order for float determinism
             score = 0.0
             for ci in range(len(cursors)):
@@ -208,14 +219,33 @@ class Searcher:
             self.term_stats.unpersist()
 
     def topk(self, query: str, k: int = 10, round_to: int | None = 4,
-             with_url: bool = False, fetch_k: int | None = None) -> DataFrame:
+             with_url: bool = False, fetch_k: int | None = None,
+             exclude_doc_ids: set[int] | None = None,
+             exclude_urls: DataFrame | None = None) -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
-        rounded-score boundary) without losing tied candidates."""
+        rounded-score boundary) without losing tied candidates.
+
+        exclude_doc_ids / exclude_urls (a DataFrame with a ``url`` column)
+        are X9 delete tombstones, enforced INSIDE the scorer (skipped at
+        full-evaluation time, so per-range top-k stays exact); index stats
+        are unchanged — ES semantics between delete and segment merge. The
+        tombstone set is collected and shipped in the UDF closure: it is
+        small by contract (pending deletes since the last rebuild)."""
         from kafka_es_spark.functions.tokenize import tokenize_py
 
         k = max(k, fetch_k or 0)
         spark = self.spark
+        excluded = frozenset(int(d) for d in (exclude_doc_ids or ()))
+        if exclude_urls is not None:
+            import os as _os
+
+            dm = spark.read.parquet(_os.path.join(self.index_dir, "docmap"))
+            hits = dm.join(
+                F.broadcast(exclude_urls.select("url").distinct()), "url"
+            ).select("doc_id").collect()
+            excluded = excluded | frozenset(int(r["doc_id"]) for r in hits)
+        excluded = excluded or None
         qterms = sorted(set(tokenize_py(query)))
         if not qterms or self.n_docs == 0 or self.avgdl == 0:
             return spark.createDataFrame([], TOPK_SCHEMA)
@@ -238,7 +268,7 @@ class Searcher:
                 for t in term_order
                 if t in by_term
             ]
-            top = wand_range_topk(cursors, k)
+            top = wand_range_topk(cursors, k, excluded=excluded)
             return pd.DataFrame(top, columns=["doc_id", "score"])
 
         ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)

@@ -140,3 +140,53 @@ def test_resume_recomputes_only_missing_shard(spark, pages, tmp_path):
         for r in spark.read.parquet(os.path.join(d, "postings")).collect()
     }
     assert after == full
+
+
+def test_latest_versions_deterministic(spark):
+    from kafka_es_spark.operators.deletes import latest_versions
+
+    rows = [
+        ("u1", "2025-01-01 00:00:01", "v1"),
+        ("u1", "2025-01-01 00:00:03", "v3"),
+        ("u1", "2025-01-01 00:00:02", "v2"),
+        ("u2", "2025-01-01 00:00:01", "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, text string").select(
+        "url", F.to_timestamp("ts").alias("warc_ts"), "text"
+    )
+    got = {r["url"]: r["text"] for r in latest_versions(df).collect()}
+    assert got == {"u1": "v3", "u2": "only"}
+    # partitioning-invariant
+    got13 = {r["url"]: r["text"] for r in latest_versions(df.repartition(13)).collect()}
+    assert got13 == got
+
+
+def test_searcher_tombstones_in_query_path(spark, pages, index_dir, doc_terms):
+    """X9 in-query exclusion: tombstoned docs disappear from top-k while
+    index stats stay unchanged (ES semantics between delete and merge).
+    Expected = exhaustive ranking over the full corpus with the tombstoned
+    docs dropped post-scoring."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    full = exhaustive_topk_numpy(doc_terms, q.split(), k=30)
+    dead = {d for d, _ in full[:3]}  # kill the top 3
+    want = [(d, s) for d, s in full if d not in dead][:10]
+
+    s = Searcher(spark, index_dir, cache=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, exclude_doc_ids=dead).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10)
+
+    # exclusion by url resolves through the docmap to the same result
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    urls = dm.filter(F.col("doc_id").isin([int(d) for d in dead])).select("url")
+    got_u = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, exclude_urls=urls).collect()
+    ]
+    assert got_u == got

@@ -176,3 +176,136 @@ def test_protobuf_gate(spark, actions):
         pass
     with pytest.raises(NotImplementedError, match="spark-protobuf"):
         decode_protobuf_actions(actions, "source", "kafka_es.BulkAction", "/tmp/x.desc")
+
+
+# --- K3: bulk-response model (ElasticsearchBulkSenderTests.kt:107-205) -------
+
+RESP_OK = (
+    '{"took": 5, "errors": false, "items": ['
+    '{"index": {"_id": "1", "_index": "idx-v1", "status": 200}},'
+    '{"delete": {"_id": "2", "_index": "idx-v1", "status": 200}}]}'
+)
+RESP_PARTIAL = (
+    '{"took": 9, "errors": true, "items": ['
+    '{"index": {"_id": "1", "_index": "idx-v1", "status": 200}},'
+    '{"index": {"_id": "2", "_index": "idx-v1", "status": 429,'
+    ' "error": {"type": "es_rejected_execution_exception", "reason": "queue full"}}},'
+    '{"update": {"_id": "3", "_index": "idx-v1", "status": 400,'
+    ' "error": {"type": "elasticsearch_parse_exception", "reason": "bad json"}}}]}'
+)
+
+
+def test_parse_bulk_response_goldens(spark):
+    from kafka_es_spark.operators.ingest import parse_bulk_response
+
+    df = spark.createDataFrame(
+        [(0, RESP_OK), (1, RESP_PARTIAL)], "bulk_id long, response string"
+    )
+    rows = {
+        (r["bulk_id"], r["pos"]): r
+        for r in parse_bulk_response(df).collect()
+    }
+    assert len(rows) == 5
+    assert rows[(0, 0)]["item_op"] == "index" and rows[(0, 0)]["status"] == 200
+    assert rows[(0, 1)]["item_op"] == "delete" and rows[(0, 1)]["error_type"] is None
+    assert rows[(0, 0)]["took"] == 5 and rows[(0, 0)]["errors"] is False
+    assert rows[(1, 1)]["error_type"] == "es_rejected_execution_exception"
+    assert rows[(1, 1)]["error_reason"] == "queue full"
+    assert rows[(1, 2)]["item_op"] == "update" and rows[(1, 2)]["status"] == 400
+
+
+def test_zip_and_classify_partial_retry(spark):
+    from kafka_es_spark.operators.ingest import (
+        classify_bulk_results,
+        parse_bulk_response,
+        zip_bulk_items,
+    )
+
+    actions = spark.createDataFrame(
+        [(1, "a", 0, 0), (1, "b", 0, 1), (1, "c", 0, 2)],
+        "route_group int, id string, bulk_id long, pos int",
+    )
+    resp = spark.createDataFrame(
+        [(1, 0, RESP_PARTIAL)], "route_group int, bulk_id long, response string"
+    )
+    items = parse_bulk_response(resp)
+    out = {
+        r["id"]: r["outcome"]
+        for r in classify_bulk_results(zip_bulk_items(actions, items)).collect()
+    }
+    assert out == {"a": "ok", "b": "retry", "c": "fatal"}
+
+
+def test_zip_missing_item_is_retry(spark):
+    from kafka_es_spark.operators.ingest import (
+        classify_bulk_results,
+        parse_bulk_response,
+        zip_bulk_items,
+    )
+
+    # response carries only 2 items for 3 sent actions (malformed response)
+    actions = spark.createDataFrame(
+        [(1, "a", 0, 0), (1, "b", 0, 1), (1, "c", 0, 2)],
+        "route_group int, id string, bulk_id long, pos int",
+    )
+    resp = spark.createDataFrame(
+        [(1, 0, RESP_OK)], "route_group int, bulk_id long, response string"
+    )
+    items = parse_bulk_response(resp)
+    out = {
+        r["id"]: r["outcome"]
+        for r in classify_bulk_results(zip_bulk_items(actions, items)).collect()
+    }
+    assert out["c"] == "retry"
+
+
+def test_resend_with_backoff_flaky_sender(spark):
+    """K4 — a sender that 429s action id '7' on the first attempt and
+    accepts it on the second; fatal id '13' never succeeds."""
+    from kafka_es_spark.operators.ingest import resend_with_backoff
+
+    actions = spark.createDataFrame(
+        [(str(i), "idx", None, '{"f":1}', "index") for i in (1, 7, 13)],
+        "id string, index string, routing string, source string, op string",
+    )
+    attempt = {"n": 0}
+    sleeps: list[float] = []
+
+    def send_fn(numbered):
+        attempt["n"] += 1
+        first = attempt["n"] == 1
+        rows = []
+        for key, grp in __import__("itertools").groupby(
+            sorted(numbered.collect(), key=lambda r: (r["route_group"], r["bulk_id"], r["pos"])),
+            key=lambda r: (r["route_group"], r["bulk_id"]),
+        ):
+            items = []
+            for r in grp:
+                if r["id"] == "13":
+                    items.append(
+                        '{"index": {"_id": "13", "status": 400,'
+                        ' "error": {"type": "elasticsearch_parse_exception", "reason": "x"}}}'
+                    )
+                elif r["id"] == "7" and first:
+                    items.append(
+                        '{"index": {"_id": "7", "status": 429,'
+                        ' "error": {"type": "es_rejected_execution_exception", "reason": "q"}}}'
+                    )
+                else:
+                    items.append(f'{{"index": {{"_id": "{r["id"]}", "status": 201}}}}')
+            rows.append(
+                (key[0], key[1], '{"took": 1, "errors": true, "items": [' + ",".join(items) + "]}")
+            )
+        return spark.createDataFrame(rows, "route_group int, bulk_id long, response string")
+
+    ok, fatal, exhausted = resend_with_backoff(
+        actions, send_fn, max_attempts=3, backoff_base_ms=80, sleep_fn=sleeps.append
+    )
+    assert sorted(r["id"] for r in ok.collect()) == ["1", "7"]
+    fatal_rows = fatal.collect()
+    # id 13 goes fatal on every attempt it is sent (attempt 1 only — fatal
+    # items are not resent)
+    assert [r["id"] for r in fatal_rows] == ["13"]
+    assert exhausted.isEmpty()
+    assert attempt["n"] == 2  # second attempt only carried the retriable id 7
+    assert sleeps == [0.08]  # exponential backoff slept once before attempt 2

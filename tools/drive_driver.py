@@ -19,11 +19,17 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 def norm(v):
+    if v is None:
+        return ""  # null-safe sort key (hash-compare treats null as distinct token)
     if isinstance(v, float):
         return "nan" if math.isnan(v) else round(v, 4)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+
+def key(row):
+    return tuple(str(type(v).__name__) + ":" + str(v) for v in row)
 
 qs, osql = m.queries(), m.oracle_sql()
 for name, fn in qs.items():
@@ -37,8 +43,8 @@ for name, fn in qs.items():
     cols_ok = sorted(sdf.columns) == sorted(dcols)
     idx_s = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
     idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    gs = sorted(tuple(norm(r[i]) for i in idx_s) for r in srows)
-    gd = sorted(tuple(norm(r[i]) for i in idx_d) for r in drows)
+    gs = sorted((tuple(norm(r[i]) for i in idx_s) for r in srows), key=key)
+    gd = sorted((tuple(norm(r[i]) for i in idx_d) for r in drows), key=key)
     print(f"{name}: cols={'OK' if cols_ok else 'MISMATCH'} rows={len(srows)}/{len(drows)} values={'OK' if gs==gd else 'MISMATCH'} t={time.time()-t0:.1f}s")
     if gs != gd:
         bad = [(a,b) for a,b in zip(gs,gd) if a!=b][:3]

@@ -2,7 +2,12 @@
 substitution per BASELINE.md): run the SAME index build on the SAME input at
 local[N] and local[4N] cores, report docs/sec at both + scaling efficiency
 (T_N / T_4N) / 4. Each measurement runs in its own fresh process/JVM with a
-small warmup build first (steady-state measurement — JIT/codegen excluded).
+full-size warmup build first (steady-state measurement — JIT/codegen
+excluded), and — when taskset is available — pinned to exactly N host CPUs:
+an unpinned local[N] run leaks its Python UDF workers onto the other host
+cores, so T_N measures more than N cores of hardware and the computed
+efficiency under-states true N→4N scaling. Pinning makes "N cores" mean
+N cores, like a real N-core executor host.
 
 Usage: python tools/scaling_bench.py [n_pages] [N]   (defaults 100000, 8)
 Writes BENCH/BASELINE.md and prints a JSON summary line.
@@ -12,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -79,9 +85,15 @@ spark.stop()
 def run(cpus: int, n_pages: int, repo: str) -> dict:
     src_dir = f"/tmp/kes_corpus_{n_pages}"
     code = CHILD.format(cpus=cpus, n_pages=n_pages, repo=repo, src_dir=src_dir)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
+    cmd = [sys.executable, "-c", code]
+    try:
+        n_host = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n_host = os.cpu_count() or cpus
+    if shutil.which("taskset") and cpus <= n_host:
+        # pin JVM threads AND python workers to exactly `cpus` host CPUs
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
