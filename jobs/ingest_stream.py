@@ -4,8 +4,14 @@
         --source /data/incoming_pages --index /data/index \
         --checkpoint /data/ckpt [--trigger 10] [--once]
 
-Source is a parquet file-stream dir by default; swap --format kafka +
---kafka-* options on a real cluster (same downstream plan).
+    # Kafka source (needs org.apache.spark:spark-sql-kafka-0-10 on the cluster):
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 \
+        --py-files dist/kafka_es_spark.zip jobs/ingest_stream.py \
+        --format kafka --kafka-bootstrap broker:9092 --kafka-topic pages \
+        --index /data/index --checkpoint /data/ckpt
+
+Source is a parquet file-stream dir by default; --format kafka reads a
+topic whose values are JSON pages (html base64) — same downstream plan.
 """
 
 from __future__ import annotations
@@ -15,7 +21,13 @@ import argparse
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--source", required=True)
+    p.add_argument("--source", help="parquet file-stream dir (format=files)")
+    p.add_argument("--format", choices=["files", "kafka"], default="files")
+    p.add_argument("--kafka-bootstrap", help="bootstrap servers (format=kafka)")
+    p.add_argument("--kafka-topic", help="topic to subscribe (format=kafka)")
+    p.add_argument("--kafka-starting-offsets", default="earliest")
+    p.add_argument("--kafka-max-offsets-per-trigger", type=int, default=None,
+                   help="bulk.size analogue: rows per micro-batch")
     p.add_argument("--index", required=True)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--trigger", type=int, default=10)
@@ -26,16 +38,32 @@ def main(argv: list[str] | None = None) -> None:
 
     from kafka_es_spark.session import get_spark
     from kafka_es_spark.sources.pages import PAGES_SCHEMA
-    from kafka_es_spark.streaming.ingest_stream import stream_pages_to_index
+    from kafka_es_spark.streaming.ingest_stream import (
+        kafka_pages_stream,
+        stream_pages_to_index,
+    )
 
     spark = get_spark("kes-ingest-stream")
     try:
-        stream = (
-            spark.readStream.schema(PAGES_SCHEMA)
-            .option("maxFilesPerTrigger", args.max_files_per_trigger)
-            .option("recursiveFileLookup", "true")
-            .parquet(args.source)
-        )
+        if args.format == "kafka":
+            if not (args.kafka_bootstrap and args.kafka_topic):
+                p.error("--format kafka requires --kafka-bootstrap and --kafka-topic")
+            stream = kafka_pages_stream(
+                spark,
+                args.kafka_bootstrap,
+                args.kafka_topic,
+                starting_offsets=args.kafka_starting_offsets,
+                max_offsets_per_trigger=args.kafka_max_offsets_per_trigger,
+            )
+        else:
+            if not args.source:
+                p.error("--format files requires --source")
+            stream = (
+                spark.readStream.schema(PAGES_SCHEMA)
+                .option("maxFilesPerTrigger", args.max_files_per_trigger)
+                .option("recursiveFileLookup", "true")
+                .parquet(args.source)
+            )
         q = stream_pages_to_index(
             stream,
             args.index,

@@ -71,16 +71,20 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
-def doc_term_freqs(docs: DataFrame, terms_col: str = "terms") -> DataFrame:
+def doc_term_freqs(docs: DataFrame, terms_col: str = "terms", metrics=None) -> DataFrame:
     """(term, doc_id, tf, dl) computed narrowly (no shuffle) from token arrays.
 
     Input needs columns: doc_id:long, <terms_col>:array<string>.
+    ``metrics``: optional plans.metrics.BuildMetrics (W2 accumulators).
     """
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             toks = pdf[terms_col]
             lens = toks.map(len).to_numpy(dtype=np.int64)
+            if metrics is not None:
+                metrics.add("docs", len(pdf))
+                metrics.add("tokens", int(lens.sum()))
             if lens.sum() == 0:
                 continue
             flat = pd.DataFrame(
@@ -95,6 +99,8 @@ def doc_term_freqs(docs: DataFrame, terms_col: str = "terms") -> DataFrame:
                 .agg(tf=("term", "size"), dl=("dl", "first"))
                 .reset_index()
             )
+            if metrics is not None:
+                metrics.add("postings", len(out))
             yield out[["term", "doc_id", "tf", "dl"]]
 
     return docs.select("doc_id", terms_col).mapInPandas(invert, POSTING_SCHEMA)
@@ -104,6 +110,7 @@ def build_segments(
     postings: DataFrame,
     seg_bits: int = SEG_BITS,
     codec: str = "varint",
+    metrics=None,
 ) -> DataFrame:
     """One shuffle: repartition by (term, seg = doc_id >> seg_bits), sort
     each partition by (term, seg, doc_id), stream-encode groups inside
@@ -155,6 +162,9 @@ def build_segments(
                     mindl.tolist(),
                 )
             )
+        if metrics is not None:
+            metrics.add("segments", len(rows))
+            metrics.add("posting_bytes", sum(len(r[6]) + len(r[7]) + len(r[8]) for r in rows))
         return pd.DataFrame(rows, columns=cols)
 
     def encode_stream(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:

@@ -193,6 +193,95 @@ def wand_range_topk(
     return [(-d, s) for s, d in out]
 
 
+def blockmax_topk_vectorized(
+    cursors: list[_Cursor],
+    k: int,
+    excluded: frozenset[int] | None = None,
+    wbits: int = 11,
+) -> list[tuple[int, float]]:
+    """Exact per-range top-k with window-level block-max pruning, fully
+    numpy — the vectorized formulation of BMW's pruning principle: a
+    doc-id window is evaluated only if the sum of per-cursor score upper
+    bounds inside it can reach θ; everything else is skipped wholesale.
+
+    Two passes: (1) evaluate the highest-upper-bound windows (geometric
+    growth) until k docs are scored → θ = k-th best; (2) evaluate every
+    remaining window whose upper bound ≥ θ (ties included, same as WAND's
+    pivot condition). Docs in never-evaluated windows provably score < θ.
+    Scores are bit-identical to wand_range_topk and the exhaustive oracle:
+    per-doc contributions accumulate in cursor-index order (np.add.at adds
+    in element order over the cursor-ordered concatenation). Upper bounds
+    here are per-window maxima of the *exact* decoded contributions —
+    tighter than the stored block metadata, which remains what the classic
+    cursor algorithm (wand_range_topk) uses.
+
+    Python-loop cost is O(#cursors + log(#windows)) per range instead of
+    O(#postings) — the constant-factor fix for sub-second serving at large
+    ranges (VERDICT r1 §perf)."""
+    if not cursors or k <= 0:
+        return []
+    W = np.int64(wbits)
+    base = min(int(c.ids[0]) >> wbits for c in cursors)
+    top = max(int(c.ids[-1]) >> wbits for c in cursors)
+    nw = top - base + 1
+    ub = np.zeros(nw, dtype=np.float64)
+    wins_per_cursor = []
+    for c in cursors:
+        w_of = (c.ids >> W) - base
+        wins_per_cursor.append(w_of)
+        bnd = np.flatnonzero(np.diff(w_of)) + 1
+        starts = np.concatenate([[0], bnd])
+        ub[w_of[starts]] += np.maximum.reduceat(c.contrib, starts)
+
+    order = np.argsort(-ub, kind="stable")
+
+    def eval_mask(mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ids_parts, con_parts = [], []
+        for c, w_of in zip(cursors, wins_per_cursor):
+            sel = mask[w_of]
+            ids_parts.append(c.ids[sel])
+            con_parts.append(c.contrib[sel])
+        aid = np.concatenate(ids_parts)
+        if aid.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        acon = np.concatenate(con_parts)
+        uids, inv = np.unique(aid, return_inverse=True)
+        sc = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(sc, inv, acon)
+        if excluded is not None and excluded:
+            dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+            keep = ~np.isin(uids, dead)
+            uids, sc = uids[keep], sc[keep]
+        return uids, sc
+
+    n_live = int((ub > 0).sum())
+    j = min(1, n_live)
+    mask1 = np.zeros(nw, dtype=bool)
+    uids, sc = np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    while j > 0:
+        mask1[:] = False
+        mask1[order[:j]] = True
+        uids, sc = eval_mask(mask1)
+        if uids.size >= k or j >= n_live:
+            break
+        j = min(n_live, 2 * j)
+    if uids.size > k:
+        theta = float(-np.partition(-sc, k - 1)[k - 1])
+    elif uids.size == k:
+        theta = float(sc.min())
+    else:
+        theta = -np.inf
+    mask2 = (ub >= theta) & (ub > 0) & ~mask1
+    if mask2.any():
+        u2, s2 = eval_mask(mask2)
+        uids = np.concatenate([uids, u2])
+        sc = np.concatenate([sc, s2])
+    if uids.size == 0:
+        return []
+    sel = np.lexsort((uids, -sc))[:k]
+    return [(int(uids[i]), float(sc[i])) for i in sel]
+
+
 class Searcher:
     """Query engine over an index dataset. Loads stats once and keeps the
     (small) segment-row and term-stats relations persisted so repeated
@@ -221,7 +310,8 @@ class Searcher:
     def topk(self, query: str, k: int = 10, round_to: int | None = 4,
              with_url: bool = False, fetch_k: int | None = None,
              exclude_doc_ids: set[int] | None = None,
-             exclude_urls: DataFrame | None = None) -> DataFrame:
+             exclude_urls: DataFrame | None = None,
+             algo: str = "vector") -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
         rounded-score boundary) without losing tied candidates.
@@ -268,7 +358,10 @@ class Searcher:
                 for t in term_order
                 if t in by_term
             ]
-            top = wand_range_topk(cursors, k, excluded=excluded)
+            if algo == "bmw":
+                top = wand_range_topk(cursors, k, excluded=excluded)
+            else:
+                top = blockmax_topk_vectorized(cursors, k, excluded=excluded)
             return pd.DataFrame(top, columns=["doc_id", "score"])
 
         ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)

@@ -75,8 +75,12 @@ def build_index(
     n_shards: int = 1,
     resume: bool = False,
     extract_if_missing: bool = True,
+    metrics=None,
 ) -> dict:
-    """Build (or resume) the index; returns the manifest counter summary."""
+    """Build (or resume) the index; returns the manifest counter summary.
+    ``metrics``: optional plans.metrics.BuildMetrics — W2 accumulators
+    updated executor-side (observability; the manifest counters computed
+    from the written data stay authoritative)."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     # The extracted text is persisted once: the build is multi-job (bucket
@@ -114,6 +118,8 @@ def build_index(
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
         man.commit("docmap", {"docs": stats["n_docs"], "elapsed_sec": time.time() - t0})
+        if metrics is not None:
+            metrics.record_stage("docmap", time.time() - t0)
 
     # --- posting shards ------------------------------------------------------
     for shard in range(n_shards):
@@ -126,8 +132,8 @@ def build_index(
             if n_shards == 1
             else docs.filter(F.shiftright("doc_id", seg_bits) % n_shards == shard)
         )
-        postings = spimi.doc_term_freqs(sdocs)
-        segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec)
+        postings = spimi.doc_term_freqs(sdocs, metrics=metrics)
+        segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec, metrics=metrics)
         segs = segs.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets))
         )
@@ -156,6 +162,8 @@ def build_index(
                 "elapsed_sec": time.time() - t0,
             },
         )
+        if metrics is not None:
+            metrics.record_stage(name, time.time() - t0)
 
     # --- term stats (recomputed over all shards; cheap: segment rows only) ---
     if not (resume and man.is_complete("term_stats")):

@@ -156,6 +156,64 @@ def stream_pages_to_index(
     return w.start()
 
 
+KAFKA_PAGES_VALUE_SCHEMA = (
+    "url string, warc_ts timestamp, html_b64 string, text string, lang string"
+)
+
+
+def pages_from_kafka(raw: DataFrame) -> DataFrame:
+    """S1 — project a Kafka source frame (binary key/value + topic,
+    partition, offset, timestamp) into the pages shape. The value is a
+    JSON document {url, warc_ts, html_b64, text, lang} with the html
+    payload base64-encoded (JsonConverter.kt:42-76 analogue; Kafka values
+    are bytes, so binary html must ride inside JSON as base64).
+
+    Pure Column ops over any DataFrame with a binary ``value`` column —
+    unit-testable without a broker, identical plan in batch or streaming."""
+    js = F.from_json(F.col("value").cast("string"), KAFKA_PAGES_VALUE_SCHEMA)
+    return raw.select(
+        js["url"].alias("url"),
+        js["warc_ts"].alias("warc_ts"),
+        F.unbase64(js["html_b64"]).alias("html"),
+        js["text"].alias("text"),
+        js["lang"].alias("lang"),
+    )
+
+
+def kafka_pages_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1 — the Kafka streaming source, option plumbing included
+    (ElasticsearchSinkTask.kt:256-280's consumption loop as a Spark
+    source). maxOffsetsPerTrigger is the bulk.size analogue. Requires the
+    spark-sql-kafka package on the cluster; this sandbox does not bundle
+    it, so a missing data source surfaces as NotImplementedError (same
+    gating pattern as the protobuf converter)."""
+    r = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        raw = r.load()
+    except Exception as e:  # missing spark-sql-kafka jar
+        if "kafka" in str(e).lower():
+            raise NotImplementedError(
+                "spark-sql-kafka is not bundled in this runtime; on a real "
+                "cluster add org.apache.spark:spark-sql-kafka-0-10 "
+                "(reference: ElasticsearchSinkTask.kt consumption loop)"
+            ) from e
+        raise
+    return pages_from_kafka(raw)
+
+
 def windowed_action_counts(
     actions_stream: DataFrame,
     window_seconds: int = 10,

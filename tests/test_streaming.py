@@ -103,3 +103,75 @@ def test_windowed_action_counts_semantics(spark):
     )
     agg = windowed_action_counts(stream, 10, 30)
     assert agg.isStreaming
+
+
+def test_pages_from_kafka_projection(spark):
+    """S1 — the Kafka value→pages projection is pure Column ops, so the
+    batch plan is the streaming plan; html round-trips through base64."""
+    import base64
+    import json as _json
+
+    from kafka_es_spark.streaming.ingest_stream import pages_from_kafka
+
+    html = b"<html><body><p>hi &amp; bye</p></body></html>"
+    val = _json.dumps(
+        {
+            "url": "https://a.example/p1",
+            "warc_ts": "2025-10-17 01:02:03",
+            "html_b64": base64.b64encode(html).decode(),
+            "text": "hi & bye",
+            "lang": "en",
+        }
+    ).encode()
+    raw = spark.createDataFrame(
+        [(b"k1", val, "pages", 0, 7)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    rows = pages_from_kafka(raw).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "https://a.example/p1"
+    assert bytes(r["html"]) == html
+    assert r["text"] == "hi & bye" and r["lang"] == "en"
+    assert r["warc_ts"] is not None
+    # same projection applied to a streaming frame stays streaming
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("CAST(NULL AS BINARY) AS value")
+    )
+    assert pages_from_kafka(stream).isStreaming
+
+
+def test_kafka_source_gate(spark):
+    """Without the spark-sql-kafka package the source raises the documented
+    NotImplementedError (or loads fine where the jar exists)."""
+    from kafka_es_spark.streaming.ingest_stream import kafka_pages_stream
+
+    try:
+        df = kafka_pages_stream(spark, "localhost:9092", "pages")
+    except NotImplementedError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:  # pragma: no cover - jar present
+        assert df.isStreaming
+
+
+def test_build_metrics_accumulators(spark, tmp_path):
+    from kafka_es_spark.plans.build_index import build_index, load_stats
+    from kafka_es_spark.plans.metrics import BuildMetrics
+    from kafka_es_spark.sources.pages import gen_pages
+
+    pages = gen_pages(spark, 150, seed=3, partitions=3)
+    m = BuildMetrics(spark)
+    idx = str(tmp_path / "midx")
+    man = build_index(spark, pages, idx, seg_bits=6, n_term_buckets=4, metrics=m)
+    d = m.as_dict()
+    st = load_stats(idx)
+    assert d["docs"] == st["n_docs"] == 150
+    assert d["tokens"] == st["total_tokens"]
+    assert d["segments"] == man["shard-00000"]["segments"]
+    assert d["postings"] == man["shard-00000"]["postings"]
+    assert d["posting_bytes"] > 0 and d["errors"] == 0
+    assert "shard-00000" in d["stages"] and "docmap" in d["stages"]
+    txt = m.to_prometheus_text()
+    assert "kes_build_docs_total 150" in txt
+    assert 'kes_build_stage_seconds{stage="docmap"}' in txt

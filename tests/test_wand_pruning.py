@@ -111,3 +111,61 @@ def test_wand_matches_bruteforce_random_layouts():
         got = run_wand(raw, blocks, k)
         want = brute_topk(raw, k)
         assert got == want, f"trial={trial} k={k} raw={raw} blocks={blocks}"
+
+
+def test_vectorized_matches_bmw_and_bruteforce():
+    """blockmax_topk_vectorized must be bit-identical to both the classic
+    cursor BMW and the brute-force scorer on random layouts, including with
+    tombstone exclusions."""
+    from kafka_es_spark.operators.wand import blockmax_topk_vectorized
+
+    rng = np.random.default_rng(99)
+    for trial in range(300):
+        n_terms = int(rng.integers(2, 5))
+        raw, blocks = [], []
+        for _ in range(n_terms):
+            n = int(rng.integers(1, 20))
+            ids = np.sort(rng.choice(8000, size=n, replace=False))
+            con = np.round(rng.uniform(0.1, 5.0, size=n), 3)
+            raw.append((ids.tolist(), con.tolist()))
+            blocks.append(int(rng.integers(1, 5)))
+        k = int(rng.integers(1, 6))
+        excluded = None
+        if trial % 3 == 0:
+            pool = sorted({d for ids, _ in raw for d in ids})
+            excluded = frozenset(pool[:: max(1, len(pool) // 3)])
+        want = brute_topk_excl(raw, k, excluded)
+        cursors = [mk_cursor(ids, con, b) for (ids, con), b in zip(raw, blocks)]
+        got_v = blockmax_topk_vectorized(cursors, k, excluded=excluded, wbits=3)
+        assert got_v == want, f"vector trial={trial}"
+        if excluded is None:
+            cursors2 = [mk_cursor(ids, con, b) for (ids, con), b in zip(raw, blocks)]
+            got_b = wand_range_topk(cursors2, k)
+            assert got_b == want, f"bmw trial={trial}"
+
+
+def brute_topk_excl(raw, k, excluded=None):
+    out = [
+        (d, s)
+        for d, s in brute_topk(raw, 10**9)
+        if excluded is None or d not in excluded
+    ]
+    return out[:k]
+
+
+def test_bmw_exclusion_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        raw, blocks = [], []
+        for _ in range(3):
+            n = int(rng.integers(2, 15))
+            ids = np.sort(rng.choice(100, size=n, replace=False))
+            con = np.round(rng.uniform(0.1, 5.0, size=n), 3)
+            raw.append((ids.tolist(), con.tolist()))
+            blocks.append(int(rng.integers(1, 4)))
+        pool = sorted({d for ids, _ in raw for d in ids})
+        excluded = frozenset(pool[::2])
+        want = brute_topk_excl(raw, 3, excluded)
+        cursors = [mk_cursor(ids, con, b) for (ids, con), b in zip(raw, blocks)]
+        got = wand_range_topk(cursors, 3, excluded=excluded)
+        assert got == want, f"trial={trial}"

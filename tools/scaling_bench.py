@@ -100,19 +100,61 @@ def run(cpus: int, n_pages: int, repo: str) -> dict:
     raise RuntimeError(f"no RESULT line:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+RAW_WORK = "x=0\nfor i in range(20_000_000): x+=i\n"
+
+
+def raw_cpu_control(n: int) -> float:
+    """Wall seconds for n concurrent pinned pure-CPU processes doing fixed
+    work. The ratio raw(N)/raw(4N) is this host's per-core speed ratio at
+    the two occupancies — turbo/power scaling plus any neighbor noise —
+    i.e. the efficiency CEILING for ANY same-box N→4N comparison: a real
+    N→4N cluster adds machines at constant frequency, a single box does
+    not."""
+    ps = []
+    t0 = time.time()
+    for i in range(n):
+        ps.append(
+            subprocess.Popen(["taskset", "-c", str(i), sys.executable, "-c", RAW_WORK])
+        )
+    for p in ps:
+        p.wait()
+    return time.time() - t0
+
+
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r_n = run(n, n_pages, repo)
-    r_4n = run(4 * n, n_pages, repo)
+    # interleave N / 4N measurements: this host's per-core speed drifts
+    # (noisy-neighbor VM, ~50% swings across minutes), so paired sampling +
+    # best-of-k is the only defensible way to compare the two sizes
+    runs_n, runs_4n, raws_n, raws_4n = [], [], [], []
+    for _ in range(reps):
+        raws_n.append(raw_cpu_control(n))
+        runs_n.append(run(n, n_pages, repo))
+        raws_4n.append(raw_cpu_control(4 * n))
+        runs_4n.append(run(4 * n, n_pages, repo))
+    r_n = min(runs_n, key=lambda r: r["build_sec"])
+    r_4n = min(runs_4n, key=lambda r: r["build_sec"])
     assert r_n["topk"] == r_4n["topk"], "results differ across parallelism!"
     eff = (r_n["build_sec"] / r_4n["build_sec"]) / 4
+    ceiling = min(raws_n) / min(raws_4n)  # ≤1: per-core slowdown at 4N occupancy
+    eff_norm = eff / ceiling if ceiling > 0 else eff
     summary = {
         "n_pages": n_pages,
         "N_cores": n,
+        "reps": reps,
         "results": [r_n, r_4n],
+        "all_build_secs": {
+            str(n): [r["build_sec"] for r in runs_n],
+            str(4 * n): [r["build_sec"] for r in runs_4n],
+        },
+        "raw_cpu_secs": {str(n): [round(x, 2) for x in raws_n],
+                         str(4 * n): [round(x, 2) for x in raws_4n]},
+        "host_ceiling": round(ceiling, 3),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_hw_normalized": round(eff_norm, 3),
         "rank_identical_across_sizes": True,
     }
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -122,25 +164,50 @@ def main() -> None:
 
 Methodology: the SAME index-build job on the SAME {n_pages}-page synthetic
 input_hint corpus (seed 42, zipf head + 50k-term tail vocab), at local[{n}]
-(N cores) and local[{4*n}] (4N cores), each in a fresh JVM. One full-size
-warmup build is discarded and the best of two measured builds is reported
-(steady state: JVM C2 + python-worker warmup dominates early-session runs).
-This is the sandbox substitution for the north rule's N→4N-executor
-criterion (BASELINE.md). Query latencies over the built index via a warm
-Searcher, 8 queries.
+(N cores) and local[{4*n}] (4N cores). Each measurement child is PINNED via
+taskset to exactly that many host CPUs (otherwise local[N]'s Python workers
+leak onto unmeasured cores and deflate the ratio), runs in a fresh JVM,
+discards one full-size warmup build, and reports the best of two builds.
+N / 4N children are INTERLEAVED {reps}× and the best per size is taken:
+this host's per-core speed drifts up to ~50% across minutes (shared VM),
+so paired best-of-k sampling is required for a meaningful ratio. This is
+the sandbox substitution for the north rule's N→4N-executor criterion.
 
 | cores | build sec | docs/sec | query p50 s | query p99 s |
 |---|---|---|---|---|
 | local[{n}] (N) | {r_n['build_sec']} | {r_n['docs_per_sec']} | {r_n['q_p50']} | {r_n['q_p99']} |
 | local[{4*n}] (4N) | {r_4n['build_sec']} | {r_4n['docs_per_sec']} | {r_4n['q_p50']} | {r_4n['q_p99']} |
 
+All build samples: N={summary['all_build_secs'][str(n)]},
+4N={summary['all_build_secs'][str(4*n)]} (seconds).
+
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8).
+
+## Hardware ceiling of a same-box comparison
+
+A raw-CPU control ({4*n} concurrent pinned pure-Python loops vs {n}) run
+in the same session measures the host's per-core speed ratio at the two
+occupancies — turbo/power scaling that a real N→4N cluster scale-out does
+NOT suffer (it adds machines at constant frequency, this box does not):
+
+- raw control seconds: N={summary['raw_cpu_secs'][str(n)]},
+  4N={summary['raw_cpu_secs'][str(4*n)]}
+- **host ceiling = {ceiling:.3f}** — the maximum efficiency ANY perfectly
+  scaling CPU-bound job can show between local[{n}] and local[{4*n}] here
+- **hardware-normalized efficiency = {eff_norm:.3f}** (measured / ceiling)
 
 Top-10 results for the probe query are identical at both sizes
 (rank-identity across parallelism: verified in this run and in
 tests/test_index_build.py).
 
-Regenerate: `python tools/scaling_bench.py {n_pages} {n}`.
+Plan-level evidence that no serial stage exists: exactly one posting-sized
+shuffle (repartition by (term, doc-range) with the doc-range salt bounding
+any reducer at 2^17 docs); extraction/invert are narrow Arrow-batched maps;
+doc-id assignment collects only O(n_buckets) rows; segment encode is one
+Python call per Arrow batch (streaming group encoder). Reducer count grows
+with data and cores — nothing is driver-bound.
+
+Regenerate: `python tools/scaling_bench.py {n_pages} {n} {reps}`.
 """
         )
     print(json.dumps(summary))
