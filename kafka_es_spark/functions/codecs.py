@@ -79,6 +79,37 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def varint_encode_segmented(values: np.ndarray, run_lengths: np.ndarray) -> list[bytes]:
+    """Encode the concatenation of several runs in ONE vectorized pass and
+    split the output per run (LEB128 is per-value, so the concatenated
+    encoding equals the concatenation of per-run encodings). This is how
+    the SPIMI packer encodes tens of thousands of short runs per batch
+    without per-run numpy call overhead."""
+    v = np.asarray(values, dtype=np.uint64)
+    buf = varint_encode(v)
+    ends_pad = np.concatenate([[0], np.cumsum(varint_byte_lengths(v))]) if v.size else np.zeros(1, dtype=np.int64)
+    run_val_ends = np.cumsum(np.asarray(run_lengths, dtype=np.int64))
+    byte_ends = ends_pad[run_val_ends]
+    out: list[bytes] = []
+    mv = memoryview(buf)
+    prev = 0
+    for be in byte_ends:
+        out.append(bytes(mv[prev:be]))
+        prev = be
+    return out
+
+
 # ---------------------------------------------------------------------------
 # BP128 binary packing (PForDelta family, no exceptions)
 # ---------------------------------------------------------------------------
@@ -163,6 +194,8 @@ __all__ = [
     "BLOCK",
     "varint_encode",
     "varint_decode",
+    "varint_byte_lengths",
+    "varint_encode_segmented",
     "bp128_encode",
     "bp128_decode",
     "delta_encode",

@@ -199,6 +199,204 @@ def build_segments(
     return part.mapInPandas(encode_stream, SEGMENT_SCHEMA)
 
 
+RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("seg", T.LongType(), False),
+        T.StructField("first_docid", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("ids_blob", T.BinaryType(), False),
+        T.StructField("tfs_blob", T.BinaryType(), False),
+        T.StructField("dls_blob", T.BinaryType(), False),
+    ]
+)
+
+
+def build_segments_spimi(
+    docs: DataFrame,
+    seg_bits: int = SEG_BITS,
+    codec: str = "varint",
+    pack_docs: int = 100_000,
+    terms_col: str = "terms",
+    metrics=None,
+) -> DataFrame:
+    """X4/X5 — the true SPIMI two-stage build: per-partition inverted RUNS
+    are delta-gapped and varint-encoded BEFORE the shuffle (map-side
+    compression), then merged per (term, doc-range) into final segment
+    rows. vs shuffling raw (term, doc_id, tf, dl) rows this moves ~5-10×
+    fewer bytes and rows through the exchange — at 100 TB the posting
+    shuffle is THE dominant cost, so map-side encoding is the design, not
+    an optimization. Output rows are bit-identical to
+    ``build_segments(doc_term_freqs(docs))`` (tested).
+
+    Stage 1 (narrow): accumulate up to ``pack_docs`` docs per flush (longer
+    runs amortize per-run overhead), invert with a vectorized groupby, cut
+    runs on (term, seg) boundaries, encode ALL runs of the flush in one
+    segmented varint pass.
+    Stage 2 (the one posting shuffle): repartition by (term, seg), sort by
+    (term, seg, first_docid), stream-merge inside mapInPandas — decode all
+    runs of a batch in one pass (cumsum-of-gaps with per-run rebasing),
+    re-sort each group by doc_id (runs from different input partitions
+    interleave doc ranges), encode final blobs + block-max metadata.
+    Memory stays bounded: a (term, seg) group is ≤ 2^seg_bits postings by
+    construction (the doc-range salt)."""
+    from collections.abc import Iterator as _Iterator
+
+    if codec != "varint":
+        # bp128 blobs are block-structured, not concatenative — the partial
+        # runs still travel as varint; only final blobs use the codec
+        pass
+    final_enc = codecs.varint_encode if codec == "varint" else codecs.bp128_encode
+    run_cols = [f.name for f in RUN_SCHEMA.fields]
+    seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+
+    def pack_flush(frames: list[pd.DataFrame]) -> pd.DataFrame | None:
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        toks = pdf[terms_col]
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if metrics is not None:
+            metrics.add("docs", len(pdf))
+            metrics.add("tokens", int(lens.sum()))
+        if lens.sum() == 0:
+            return None
+        flat = pd.DataFrame(
+            {
+                "term": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if len(t)]
+                ),
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
+                "dl": np.repeat(lens, lens),
+            }
+        )
+        g = (
+            flat.groupby(["term", "doc_id"], sort=True)
+            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        terms = g["term"].to_numpy(dtype=object)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.int64)
+        dls = g["dl"].to_numpy(dtype=np.int64)
+        if metrics is not None:
+            metrics.add("postings", ids.size)
+        segs_ = ids >> seg_bits
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        nlens = np.diff(np.concatenate([starts, [ids.size]]))
+        gaps = ids.astype(np.uint64).copy()
+        gaps[1:] -= ids[:-1].astype(np.uint64)
+        gaps[starts] = ids[starts]  # absolute first id per run
+        return pd.DataFrame(
+            {
+                "term": terms[starts],
+                "seg": segs_[starts],
+                "first_docid": ids[starts],
+                "n": nlens,
+                "ids_blob": codecs.varint_encode_segmented(gaps, nlens),
+                "tfs_blob": codecs.varint_encode_segmented(tfs, nlens),
+                "dls_blob": codecs.varint_encode_segmented(dls, nlens),
+            }
+        )[run_cols]
+
+    def pack(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        buf: list[pd.DataFrame] = []
+        ndocs = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            ndocs += len(pdf)
+            if ndocs >= pack_docs:
+                out = pack_flush(buf)
+                buf, ndocs = [], 0
+                if out is not None and len(out):
+                    yield out
+        if buf:
+            out = pack_flush(buf)
+            if out is not None and len(out):
+                yield out
+
+    def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """pdf: complete (term, seg) groups of runs, sorted by
+        (term, seg, first_docid)."""
+        n_per = pdf["n"].to_numpy(dtype=np.int64)
+        total = int(n_per.sum())
+        gaps = codecs.varint_decode(b"".join(pdf["ids_blob"]), total)
+        tfs_all = codecs.varint_decode(b"".join(pdf["tfs_blob"]), total).astype(np.int64)
+        dls_all = codecs.varint_decode(b"".join(pdf["dls_blob"]), total).astype(np.int64)
+        rs = np.concatenate([[0], np.cumsum(n_per)])
+        gcum = np.cumsum(gaps)
+        base = gcum[rs[:-1]] - gaps[rs[:-1]]  # cumsum before each run's start
+        ids_all = (gcum - np.repeat(base, n_per)).astype(np.int64)
+        terms = pdf["term"].to_numpy(dtype=object)
+        segs_ = pdf["seg"].to_numpy(dtype=np.int64)
+        gchange = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
+        gstarts = np.concatenate([[0], gchange])  # in run index space
+        gends = np.concatenate([gchange, [len(pdf)]])
+        rows = []
+        for rs_i, re_i in zip(gstarts, gends):
+            s, e = int(rs[rs_i]), int(rs[re_i])
+            ids = ids_all[s:e]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            tfs = tfs_all[s:e][order]
+            dls = dls_all[s:e][order]
+            last, maxtf, mindl = codecs.block_meta(ids, tfs, dls)
+            rows.append(
+                (
+                    terms[rs_i],
+                    int(segs_[rs_i]),
+                    int(ids.size),
+                    int(tfs.sum()),
+                    int(ids[0]),
+                    int(ids[-1]),
+                    final_enc(codecs.delta_encode(ids.astype(np.uint64))),
+                    final_enc(tfs.astype(np.uint64)),
+                    final_enc(dls.astype(np.uint64)),
+                    last.tolist(),
+                    maxtf.tolist(),
+                    mindl.tolist(),
+                )
+            )
+        if metrics is not None:
+            metrics.add("segments", len(rows))
+            metrics.add(
+                "posting_bytes",
+                sum(len(r[6]) + len(r[7]) + len(r[8]) for r in rows),
+            )
+        return pd.DataFrame(rows, columns=seg_cols)
+
+    def merge_stream(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        hold: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            lt = pdf["term"].iat[len(pdf) - 1]
+            ls = pdf["seg"].iat[len(pdf) - 1]
+            tail = (pdf["term"].to_numpy(dtype=object) == lt) & (
+                pdf["seg"].to_numpy(dtype=np.int64) == ls
+            )
+            cut = int(len(pdf) - np.flip(tail).argmin()) if not tail.all() else 0
+            if cut == 0:
+                hold = pdf
+                continue
+            hold = pdf.iloc[cut:].copy()
+            out = merge_block(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if hold is not None and len(hold):
+            yield merge_block(hold)
+
+    runs = docs.select("doc_id", terms_col).mapInPandas(pack, RUN_SCHEMA)
+    part = runs.repartition("term", "seg").sortWithinPartitions(
+        "term", "seg", "first_docid"
+    )
+    return part.mapInPandas(merge_stream, SEGMENT_SCHEMA)
+
+
 def decode_segment(row, codec: str = "varint"):
     """Segment row → (doc_ids, tfs, dls) numpy arrays. Used by scorers/tests."""
     dec = codecs.varint_decode if codec == "varint" else codecs.bp128_decode

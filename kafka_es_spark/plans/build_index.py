@@ -132,8 +132,12 @@ def build_index(
             if n_shards == 1
             else docs.filter(F.shiftright("doc_id", seg_bits) % n_shards == shard)
         )
-        postings = spimi.doc_term_freqs(sdocs, metrics=metrics)
-        segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec, metrics=metrics)
+        # SPIMI two-stage: runs are varint-encoded map-side, so the one
+        # posting-sized exchange moves ~5-10x fewer bytes/rows than raw
+        # (term, doc, tf, dl) rows would (spimi.build_segments_spimi)
+        segs = spimi.build_segments_spimi(
+            sdocs, seg_bits=seg_bits, codec=codec, metrics=metrics
+        )
         segs = segs.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets))
         )

@@ -85,8 +85,7 @@ def append_epoch(
     dm_out = os.path.join(index_dir, "docmap", f"epoch={epoch}")
     docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(dm_out)
 
-    postings = spimi.doc_term_freqs(docs)
-    segs = spimi.build_segments(postings, seg_bits=seg_bits, codec=codec)
+    segs = spimi.build_segments_spimi(docs, seg_bits=seg_bits, codec=codec)
     segs = segs.withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets)))
     out = os.path.join(index_dir, "postings", f"shard={name}")
     (

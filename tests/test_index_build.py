@@ -190,3 +190,33 @@ def test_searcher_tombstones_in_query_path(spark, pages, index_dir, doc_terms):
         for r in s.topk(q, k=10, round_to=None, exclude_urls=urls).collect()
     ]
     assert got_u == got
+
+
+def test_spimi_two_stage_equals_raw_shuffle(spark, pages):
+    """build_segments_spimi (map-side encoded runs + merge) must produce
+    bit-identical segment rows to the raw-posting-shuffle path."""
+    from kafka_es_spark.operators.spimi import (
+        build_segments,
+        build_segments_spimi,
+        doc_term_freqs,
+    )
+
+    docs = prepare_docs(pages)
+    a = build_segments(doc_term_freqs(docs), seg_bits=SEG_BITS).collect()
+    # small pack_docs forces many short runs per (term, seg) → exercises
+    # the multi-run merge + resort path
+    b = build_segments_spimi(docs, seg_bits=SEG_BITS, pack_docs=50).collect()
+
+    def keyed(rows):
+        return {
+            (r["term"], r["seg"]): (
+                r["df_seg"], r["cf_seg"], r["first_docid"], r["last_docid"],
+                bytes(r["docs_blob"]), bytes(r["tfs_blob"]), bytes(r["dls_blob"]),
+                tuple(r["blk_last"]), tuple(r["blk_maxtf"]), tuple(r["blk_mindl"]),
+            )
+            for r in rows
+        }
+
+    ka, kb = keyed(a), keyed(b)
+    assert ka == kb
+    assert len(ka) > 50
