@@ -195,7 +195,10 @@ def build_segments(
             yield encode_block(hold)
 
     seg = postings.withColumn("seg", F.shiftright(F.col("doc_id"), seg_bits))
-    part = seg.repartition("term", "seg").sortWithinPartitions("term", "seg", "doc_id")
+    n_part = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = seg.repartition(n_part, "term", "seg").sortWithinPartitions(
+        "term", "seg", "doc_id"
+    )
     return part.mapInPandas(encode_stream, SEGMENT_SCHEMA)
 
 
@@ -391,7 +394,12 @@ def build_segments_spimi(
             yield merge_block(hold)
 
     runs = docs.select("doc_id", terms_col).mapInPandas(pack, RUN_SCHEMA)
-    part = runs.repartition("term", "seg").sortWithinPartitions(
+    # explicit partition count: a bare repartition(cols) is subject to AQE
+    # partition coalescing, which shrinks this (compressed, so small-looking)
+    # exchange to a handful of partitions and serializes the merge stage —
+    # measured as flat 8→32-core scaling before the fix
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = runs.repartition(n_part, "term", "seg").sortWithinPartitions(
         "term", "seg", "first_docid"
     )
     return part.mapInPandas(merge_stream, SEGMENT_SCHEMA)
