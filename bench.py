@@ -100,6 +100,10 @@ def main() -> None:
         lat.sort()
         queries["wand_query_p50"] = round(lat[len(lat) // 2], 3)
         queries["wand_query_max"] = round(lat[-1], 3)
+        # batch serving: one job for the whole query set — amortized per-query
+        t0 = time.time()
+        searcher.topk_many(qs, k=10).collect()
+        queries["wand_batch_per_query"] = round((time.time() - t0) / len(qs), 3)
         searcher.close()
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()

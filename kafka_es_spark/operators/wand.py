@@ -29,7 +29,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -376,6 +376,75 @@ class Searcher:
                 F.col("score").desc(), F.col("doc_id").asc()
             )
         return out
+
+
+    def topk_many(
+        self,
+        queries: list[str],
+        k: int = 10,
+        round_to: int | None = 4,
+        exclude_doc_ids: set[int] | None = None,
+    ) -> DataFrame:
+        """Batch query API: score a whole query batch in ONE Spark job —
+        (query_id, doc_id, score) rows, top-k per query. A serving engine
+        amortizes job scheduling/exchange over the batch: per-query cost
+        collapses to the scorer itself. Term weights (idf) are
+        query-independent, so per-range cursors are decoded ONCE and reused
+        by every query; the vectorized scorer is read-only over them.
+        query_id = position in ``queries``."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms_by_id = {
+            i: sorted(set(tokenize_py(q))) for i, q in enumerate(queries)
+        }
+        all_terms = sorted({t for ts in qterms_by_id.values() for t in ts})
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.IntegerType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        if not all_terms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], out_schema)
+        ts = self.term_stats.filter(F.col("term").isin(all_terms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights:
+            return spark.createDataFrame([], out_schema)
+        avgdl, codec = self.avgdl, self.codec
+        excluded = frozenset(int(d) for d in (exclude_doc_ids or ())) or None
+        segs = self.segs.filter(F.col("term").isin(list(weights)))
+
+        def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, list[dict]] = {}
+            for r in pdf.to_dict("records"):
+                by_term.setdefault(r["term"], []).append(r)
+            cursors = {
+                t: _Cursor(rows, weights[t], avgdl, codec)
+                for t, rows in by_term.items()
+            }
+            out_rows = []
+            for qid, qts in qterms_by_id.items():
+                qc = [cursors[t] for t in qts if t in cursors]
+                if not qc:
+                    continue
+                for d, s in blockmax_topk_vectorized(qc, k, excluded=excluded):
+                    out_rows.append((qid, d, s))
+            return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
+
+        ranged = segs.groupBy("seg").applyInPandas(score_range, out_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            ranged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
 
 
 def wand_topk(

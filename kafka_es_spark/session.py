@@ -15,12 +15,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+_MALLOC_TUNING = {
+    # Arrow-batched python workers allocate/free large buffers per batch;
+    # with glibc defaults those are mmap/munmap cycles → TLB-shootdown IPIs
+    # across every core, which collapses aggregate memory bandwidth as core
+    # count grows (measured on this host: 20×400MB streaming passes ran
+    # ~1 GB/s untuned vs ~45 GB/s with large buffers kept in the arena).
+    # Keep big allocations in the arena and never trim back to the kernel.
+    "MALLOC_MMAP_THRESHOLD_": str(512 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(512 * 1024 * 1024),
+}
+
+
 def get_spark(
     app_name: str = "kafka-es-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    for k, v in _MALLOC_TUNING.items():
+        # before the JVM + python-worker daemons launch so they inherit it
+        os.environ.setdefault(k, v)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -40,6 +55,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _MALLOC_TUNING.items():
+        # real clusters: ship the allocator tuning to executor-side workers
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -220,3 +220,19 @@ def test_spimi_two_stage_equals_raw_shuffle(spark, pages):
     ka, kb = keyed(a), keyed(b)
     assert ka == kb
     assert len(ka) > 50
+
+
+def test_topk_many_matches_single_queries(spark, index_dir):
+    from kafka_es_spark.operators.wand import Searcher
+
+    qs = ["data index search", "web page token", "der daten index"]
+    s = Searcher(spark, index_dir, cache=False)
+    batched = {}
+    for r in s.topk_many(qs, k=5, round_to=None).collect():
+        batched.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, q in enumerate(qs):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in s.topk(q, k=5, round_to=None).collect()
+        ]
+        assert batched.get(i, []) == single, q
