@@ -15,6 +15,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--index", required=True)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--no-url", action="store_true")
+    p.add_argument("--batch", action="store_true",
+                   help="score all queries in ONE Spark job (amortized latency)")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -24,9 +26,18 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("kes-query-index")
     try:
         s = Searcher(spark, args.index)
-        for q in args.queries:
-            rows = s.topk(q, k=args.k, with_url=not args.no_url).collect()
-            print(json.dumps({"query": q, "hits": [r.asDict() for r in rows]}))
+        if args.batch:
+            by_q: dict[int, list] = {}
+            for r in s.topk_many(args.queries, k=args.k).collect():
+                by_q.setdefault(r["query_id"], []).append(
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                )
+            for i, q in enumerate(args.queries):
+                print(json.dumps({"query": q, "hits": by_q.get(i, [])}))
+        else:
+            for q in args.queries:
+                rows = s.topk(q, k=args.k, with_url=not args.no_url).collect()
+                print(json.dumps({"query": q, "hits": [r.asDict() for r in rows]}))
         s.close()
     finally:
         spark.stop()
