@@ -367,6 +367,15 @@ def _q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(e, q, k=5, n_planes=6, n_tables=4)
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based event sessionization (30-min gap): one window shuffle by
+    user + hash aggregate — the standard web-log pipeline operator."""
+    from kafka_es_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=1800)
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-ratio language ID heuristic."""
     from kafka_es_spark.functions.textstats import lang_id
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd6_embed_near_pairs": _q_embed_near_pairs,
         "sim1_cosine_topk": _q_cosine_topk,
         "sim2_lsh_ann_topk": _q_lsh_ann_topk,
+        "ev1_sessionize": _q_sessionize,
         "ts1_lang_id": _q_lang_id,
         "ts2_quality_features": _q_quality,
         "ts3_token_counts": _q_token_counts,
@@ -719,6 +729,28 @@ FROM h
         "dd5_simhash": _SIMHASH_SQL,
         "dd6_embed_near_pairs": _EMB_PAIRS_SQL,
         "sim1_cosine_topk": _COSINE_TOPK_SQL,
+        "ev1_sessionize": """
+WITH l AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+""",
         # sim2_lsh_ann_topk: approximate by construction — rows-only check
         "ts1_lang_id": _LANG_ID_SQL,
         "ts2_quality_features": _QUALITY_SQL,

@@ -30,8 +30,16 @@ from kafka_es_spark.functions.tokenize import tokens
 
 def hash32(col: Column) -> Column:
     """Portable 32-bit hash: first 8 hex chars of md5, as a long.
-    DuckDB equivalent: CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)."""
+    DuckDB equivalent: CAST(('0x' || substr(md5(x),1,8)) AS BIGINT);
+    Python equivalent: hash32_py (bucket pruning computes it driver-side)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def hash32_py(s: str) -> int:
+    """Driver-side mirror of hash32 (identical value for identical input)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
 
 
 # --- exact -------------------------------------------------------------------

@@ -295,12 +295,26 @@ class Searcher:
         self.index_dir = index_dir
         st = load_stats(index_dir)
         self.n_docs, self.avgdl, self.codec = st["n_docs"], st["avgdl"], st["codec"]
+        self.n_term_buckets = st.get("n_term_buckets")
         self.segs = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._cached = cache
         if cache:
             self.segs = self.segs.persist()
             self.term_stats = self.term_stats.persist()
+
+    def _query_segs(self, terms) -> DataFrame:
+        """Segment rows for the query terms, with term-bucket pruning pushed
+        into the scan: the bucket hash is the portable md5 hash32, computed
+        driver-side, so `bucket IN (...)` skips whole files of non-query
+        buckets (plus row-group min/max pruning on `term` within files)."""
+        segs = self.segs.filter(F.col("term").isin(list(terms)))
+        if self.n_term_buckets:
+            from kafka_es_spark.operators.dedup import hash32_py
+
+            bs = sorted({hash32_py(t) % self.n_term_buckets for t in terms})
+            segs = segs.filter(F.col("bucket").isin(bs))
+        return segs
 
     def close(self) -> None:
         if self._cached:
@@ -347,7 +361,7 @@ class Searcher:
         term_order = sorted(weights)
         avgdl, codec = self.avgdl, self.codec
 
-        segs = self.segs.filter(F.col("term").isin(list(weights)))
+        segs = self._query_segs(list(weights))
 
         def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             by_term: dict[str, list[dict]] = {}
@@ -414,7 +428,7 @@ class Searcher:
             return spark.createDataFrame([], out_schema)
         avgdl, codec = self.avgdl, self.codec
         excluded = frozenset(int(d) for d in (exclude_doc_ids or ())) or None
-        segs = self.segs.filter(F.col("term").isin(list(weights)))
+        segs = self._query_segs(list(weights))
 
         def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             by_term: dict[str, list[dict]] = {}

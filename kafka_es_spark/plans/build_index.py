@@ -114,6 +114,7 @@ def build_index(
             "total_tokens": int(st["tok"] or 0),
             "codec": codec,
             "seg_bits": seg_bits,
+            "n_term_buckets": n_term_buckets,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -138,8 +139,14 @@ def build_index(
         segs = spimi.build_segments_spimi(
             sdocs, seg_bits=seg_bits, codec=codec, metrics=metrics
         )
+        # bucket hash is the engine-portable md5 hash32 so the query side can
+        # compute a term's bucket driver-side (no Spark job) and push
+        # `bucket IN (...)` into the parquet scan — each bucket lands in one
+        # file per shard, so non-query buckets are never read
+        from kafka_es_spark.operators.dedup import hash32
+
         segs = segs.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets))
+            "bucket", F.pmod(hash32(F.col("term")), F.lit(n_term_buckets))
         )
         out = os.path.join(index_dir, "postings", f"shard={shard}")
         (

@@ -86,7 +86,9 @@ def append_epoch(
     docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(dm_out)
 
     segs = spimi.build_segments_spimi(docs, seg_bits=seg_bits, codec=codec)
-    segs = segs.withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_term_buckets)))
+    from kafka_es_spark.operators.dedup import hash32
+
+    segs = segs.withColumn("bucket", F.pmod(hash32(F.col("term")), F.lit(n_term_buckets)))
     out = os.path.join(index_dir, "postings", f"shard={name}")
     (
         segs.repartition(n_term_buckets, "bucket")
@@ -105,12 +107,15 @@ def append_epoch(
     )
     dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
     st = dm.agg(F.count("*").alias("n"), F.avg("dl").alias("a"), F.sum("dl").alias("s")).collect()[0]
+    # bucket pruning stays valid only if every epoch used the same bucketing
+    prev_b = stats.get("n_term_buckets", n_term_buckets)
     new_stats = {
         "n_docs": int(st["n"]),
         "avgdl": float(st["a"] or 0.0),
         "total_tokens": int(st["s"] or 0),
         "codec": codec,
         "seg_bits": seg_bits,
+        "n_term_buckets": n_term_buckets if prev_b == n_term_buckets else None,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(new_stats, f)

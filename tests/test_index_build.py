@@ -236,3 +236,42 @@ def test_topk_many_matches_single_queries(spark, index_dir):
             for r in s.topk(q, k=5, round_to=None).collect()
         ]
         assert batched.get(i, []) == single, q
+
+
+def test_hash32_py_matches_spark(spark):
+    from kafka_es_spark.operators.dedup import hash32, hash32_py
+
+    vals = ["abc", "data", "t4711", "héllo"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["v"])
+        .select("v", hash32(F.col("v")).alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert got[v] == hash32_py(v), v
+
+
+def test_query_bucket_pruning_pushed_and_correct(spark, index_dir, doc_terms):
+    """The postings scan for a query filters bucket IN (...) (file-level
+    pruning; bucket hash computable driver-side), and results stay
+    rank-identical to the exhaustive oracle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    assert s.n_term_buckets
+    segs = s._query_segs(["data", "index"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        segs.explain(extended=False)
+    assert "bucket" in buf.getvalue()
+    q = "data index search"
+    want = exhaustive_topk_numpy(doc_terms, q.split(), k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
