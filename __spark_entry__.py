@@ -323,6 +323,23 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sigs, bands=4)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Dedup-group resolution: connected components (min-label propagation)
+    over the verified Jaccard near-dup pairs — turns pairwise matches into
+    keep/drop groups (keeper = component id = min doc_id)."""
+    from kafka_es_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(docs, n_perm=8, w=3), bands=4)
+    pairs = jaccard_pairs(docs, min_jaccard=0.5, w=3, candidates=cands)
+    return connected_components(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     """SimHash 32-bit fingerprints (Charikar) from tf-weighted term bits."""
     from kafka_es_spark.operators.dedup import simhash
@@ -425,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd3_minhash_signatures": _q_minhash_signatures,
         "dd4_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dd5_simhash": _q_simhash,
+        "dd7_dedup_components": _q_dedup_components,
         "dd6_embed_near_pairs": _q_embed_near_pairs,
         "sim1_cosine_topk": _q_cosine_topk,
         "sim2_lsh_ann_topk": _q_lsh_ann_topk,
@@ -519,6 +537,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+"""
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_shingles_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
 """
 
 _SIMHASH_SQL = f"""
@@ -727,6 +772,7 @@ FROM h
         "dd3_minhash_signatures": _MINHASH_SQL,
         "dd4_minhash_lsh_pairs": _LSH_PAIRS_SQL,
         "dd5_simhash": _SIMHASH_SQL,
+        "dd7_dedup_components": _COMPONENTS_SQL,
         "dd6_embed_near_pairs": _EMB_PAIRS_SQL,
         "sim1_cosine_topk": _COSINE_TOPK_SQL,
         "ev1_sessionize": """

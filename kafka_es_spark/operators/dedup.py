@@ -221,6 +221,67 @@ def jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.8, w: int = 3,
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+# --- dedup-group resolution ----------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component): connected components over near-dup pairs —
+    the step that turns pairwise matches into dedup groups (keep
+    component == doc_id, drop the rest). Label propagation to the minimum
+    reachable id: each iteration joins labels across edges and keeps the
+    min; converges in O(component diameter) rounds (near-dup clusters are
+    shallow — a handful of rounds in practice; ``max_iter`` bounds
+    adversarial chains). Each round is one shuffle join; at extreme skew
+    use the large-star/small-star variant (Kiveris et al.) — the loop
+    structure here is the same.
+
+    Only nodes appearing in ``pairs`` are returned (singletons are their
+    own component by definition)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # candidate label for dst = min component among its neighbors
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("cand"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 # --- simhash -----------------------------------------------------------------
 
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",

@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
+        # W1 stuck-task watchdog analogue (WatchDog.kt:41-125): speculative
+        # re-launch of straggler tasks + task retries; manifest resume covers
+        # the restart-from-checkpoint half. No effect in local mode (one
+        # executor), so enable via env on a real cluster.
+        .config(
+            "spark.speculation",
+            os.environ.get("SPARK_GRAFT_SPECULATION", "false"),
+        )
     )
     for k, v in _MALLOC_TUNING.items():
         # real clusters: ship the allocator tuning to executor-side workers

@@ -275,3 +275,34 @@ def test_query_bucket_pruning_pushed_and_correct(spark, index_dir, doc_terms):
         for r in s.topk(q, k=10, round_to=None).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_connected_components_label_propagation(spark):
+    from kafka_es_spark.operators.dedup import connected_components
+
+    # two chains + one triangle; a chain of length 5 exercises multi-round
+    # propagation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_build_index_empty_and_blank_corpus(spark, tmp_path):
+    """Zero-token corpora must build a valid, queryable (empty-result)
+    index rather than crash: all-blank docs → docmap rows, no postings."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    rows = [(f"u{i}", "2025-01-01 00:00:00", None, "", "en") for i in range(5)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    ).select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts"), "html", "text", "lang"
+    )
+    idx = str(tmp_path / "blank_idx")
+    build_index(spark, pages, idx, seg_bits=6, n_term_buckets=2)
+    s = Searcher(spark, idx, cache=False)
+    assert s.n_docs == 5
+    assert s.topk("anything at all", k=5).collect() == []
