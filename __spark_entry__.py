@@ -393,6 +393,19 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(ev, gap_seconds=1800)
 
 
+def _q_ivf_ann_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN top-5 (spherical k-means lists, multi-probe)
+    — the second scale path next to sign-LSH; approximate by construction
+    → rows-only driver check, recall pytest-asserted vs the exact scorer."""
+    from kafka_es_spark.operators.similarity import ivf_ann_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_ann_topk(e, q, k=5, n_clusters=8, n_probe=3)
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-ratio language ID heuristic."""
     from kafka_es_spark.functions.textstats import lang_id
@@ -446,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd6_embed_near_pairs": _q_embed_near_pairs,
         "sim1_cosine_topk": _q_cosine_topk,
         "sim2_lsh_ann_topk": _q_lsh_ann_topk,
+        "sim3_ivf_ann_topk": _q_ivf_ann_topk,
         "ev1_sessionize": _q_sessionize,
         "ts1_lang_id": _q_lang_id,
         "ts2_quality_features": _q_quality,

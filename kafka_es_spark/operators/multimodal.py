@@ -65,6 +65,21 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 _IMG_MAGIC = b"KESIMG01"
 _AUD_MAGIC = b"KESAUD01"
+_VID_MAGIC = b"KESVID01"
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_video_bytes(width: int, height: int, n_frames: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return _VID_MAGIC + struct.pack(">IIQ", width, height, n_frames) + frames.tobytes()
 
 
 def fake_image_bytes(width: int, height: int, seed: int = 0) -> bytes:
@@ -271,4 +286,69 @@ def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) 
 
     return media.filter(media.kind == "image").select("media_id", "payload").mapInPandas(
         run, out_schema
+    )
+
+
+def sample_frames(
+    media: DataFrame,
+    n_samples: int | None = None,
+    every_k: int | None = None,
+    fake: bool = True,
+) -> DataFrame:
+    """video payload → one row per sampled frame, re-packed as a KESIMG01
+    image payload (so the image feature/resize operators compose
+    downstream). Sampling: ``n_samples`` evenly spaced frames, or every
+    ``every_k``-th frame. Header parsing is vectorized (offset gathers over
+    the batch-concatenated buffer); per-frame output assembly is one bytes
+    slice each — the binary column forces one object per row.
+
+    Real containers (mp4/webm) need a demuxer — same batch-level
+    NotImplementedError gate as the other codecs."""
+    if (n_samples is None) == (every_k is None):
+        raise ValueError("exactly one of n_samples / every_k required")
+    out_hdr = _IMG_MAGIC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nrow = len(pdf)
+            if nrow == 0:
+                continue
+            if not fake:
+                raise NotImplementedError("real video demuxer not bundled")
+            cat, starts, lens = _concat_payloads(pdf["payload"])
+            ok = _magic_ok(cat, starts, lens, _VID_MAGIC, 24)
+            wh = (
+                np.ascontiguousarray(_gather_rows(cat, starts + 8, 8))
+                .view(">u4")
+                .reshape(nrow, 2)
+                .astype(np.int64)
+            )
+            nf = (
+                np.ascontiguousarray(_gather_rows(cat, starts + 16, 8))
+                .view(">u8")
+                .reshape(nrow)
+                .astype(np.int64)
+            )
+            w, h = wh[:, 0], wh[:, 1]
+            ok &= lens >= 24 + w * h * np.where(ok, nf, 0)
+            mids = pdf["media_id"].to_numpy(dtype=np.int64)
+            out_rows = []
+            buf = cat.tobytes()  # zero-copy view source for slicing
+            mv = memoryview(buf)
+            for i in np.flatnonzero(ok & (nf > 0)):
+                fsz = int(w[i] * h[i])
+                if n_samples is not None:
+                    idxs = (np.arange(n_samples) * nf[i]) // n_samples
+                    idxs = np.unique(np.clip(idxs, 0, nf[i] - 1))
+                else:
+                    idxs = np.arange(0, nf[i], every_k)
+                hdr = out_hdr + struct.pack(">II", int(w[i]), int(h[i]))
+                base = int(starts[i]) + 24
+                for f in idxs:
+                    a = base + int(f) * fsz
+                    out_rows.append((int(mids[i]), int(f), hdr + bytes(mv[a : a + fsz])))
+            yield pd.DataFrame(out_rows, columns=["media_id", "frame_idx", "payload"])
+
+    return media.filter(media.kind == "video").select("media_id", "payload").mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA
     )

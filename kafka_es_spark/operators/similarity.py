@@ -140,6 +140,111 @@ def lsh_ann_topk(
     )
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Tiny seeded k-means on unit-normalized vectors (spherical k-means:
+    assignment by max dot product, centroid = normalized mean). Runs on a
+    driver-side sample — the standard IVF training step; at 10^12 rows the
+    sample is still driver-sized (e.g. 256k vectors)."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    c = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(c.shape[0]):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF approximate top-k — the coarse-quantizer scale path alongside
+    sign-LSH: vectors are assigned to their nearest spherical-k-means
+    centroid (one vectorized GEMM inside mapInPandas; centroids broadcast
+    in the closure), each query probes its ``n_probe`` nearest centroids,
+    and only those inverted lists are exact-cosine re-ranked. Scan cost
+    drops to ~n_probe/n_clusters of the corpus; recall is tunable via
+    n_probe (pytest-asserted vs the exact scorer)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(int(sample_size)).collect()]
+    ).astype(np.float64)
+    cent = _kmeans_centroids(sample, n_clusters, seed=seed)
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("vec", emb.schema[vec_col].dataType, True),
+            T.StructField("cluster", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            cl = np.argmax(V @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "vec": pdf["vec"], "cluster": cl}
+            )
+
+    assigned = base.mapInPandas(assign, assign_schema)
+
+    qrows = queries.select("query_id", "qvec").collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        top = np.argsort(-(cent @ qv))[:n_probe]
+        for c in top:
+            probe_rows.append((r["query_id"], list(r["qvec"]), int(c)))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qvec", T.ArrayType(T.DoubleType()), False),
+                T.StructField("cluster", T.IntegerType(), False),
+            ]
+        ),
+    )
+    cands = assigned.join(F.broadcast(probes), "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn("cos", cosine(F.col("vec"), F.col("qvec")))
+    if round_to is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_to))
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    return (
+        scored.withColumn("rank", w)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
 def cosine_near_pairs_exact(
     emb: DataFrame,
     min_cos: float = 0.35,

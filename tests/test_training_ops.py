@@ -336,3 +336,65 @@ def test_cosine_lsh_near_pairs_recall_on_planted_dups(spark):
     }
     want = {(i, 1000 + i) for i in range(0, 40, 4)}
     assert want <= got
+
+
+def test_ivf_ann_recall(spark, emb):
+    """IVF with enough probes must recover the exact top-k (full probe =
+    exact); at partial probe, recall@5 should stay high on this corpus."""
+    from kafka_es_spark.operators.similarity import ivf_ann_topk
+
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = _np_topk(emb.toPandas(), qids, k=5)
+    # full probe == exact (every cluster scanned)
+    full = {}
+    for r in ivf_ann_topk(emb, queries, k=5, n_clusters=8, n_probe=8).collect():
+        full.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for q in qids:
+        assert [v for v, _ in full[q]] == [v for v, _ in exact[q]]
+    # partial probe: decent recall, scan bounded to n_probe/n_clusters
+    part = {}
+    for r in ivf_ann_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect():
+        part.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(
+        len(part.get(q, set()) & {v for v, _ in exact[q]}) for q in qids
+    ) / (5 * len(qids))
+    assert rec >= 0.5
+
+
+def test_video_frame_sampling(spark):
+    from kafka_es_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+        fake_video_bytes,
+        sample_frames,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (0, "video", "video/fake", fake_video_bytes(6, 4, 10, seed=1)),
+        (1, "video", "video/fake", fake_video_bytes(3, 3, 4, seed=2)),
+        (2, "video", "video/fake", b"garbage"),
+        (3, "image", "image/fake", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, n_samples=4).collect()
+    got = {}
+    for r in frames:
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(got[0]) == [0, 2, 5, 7]
+    assert sorted(got[1]) == [0, 1, 2, 3]
+    assert 2 not in got  # garbage payload dropped
+    # sampled frames are valid KESIMG01 payloads for the image decoders
+    fdf = spark.createDataFrame(
+        [(r["media_id"], "image", "image/fake", r["payload"]) for r in frames],
+        MEDIA_SCHEMA,
+    )
+    feats = decode_image_features(fdf).collect()
+    assert all(f["ok"] for f in feats)
+    assert {(f["width"], f["height"]) for f in feats if f["media_id"] == 0} == {(6, 4)}
+    # every_k variant
+    ek = sample_frames(media, every_k=3).collect()
+    assert sorted(r["frame_idx"] for r in ek if r["media_id"] == 0) == [0, 3, 6, 9]
