@@ -398,3 +398,96 @@ def test_video_frame_sampling(spark):
     # every_k variant
     ek = sample_frames(media, every_k=3).collect()
     assert sorted(r["frame_idx"] for r in ek if r["media_id"] == 0) == [0, 3, 6, 9]
+
+
+# --- exact prefix-filter jaccard (VERDICT r2 §wrong 1 / §next 1) -------------
+
+
+def _join_key_lists(df):
+    """First equi-key list of every join node in the executed plan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        [k.split("#")[0].strip() for k in m.split(",")]
+        for m in re.findall(r"Join(?:Exec)?\s+\[([^\]]+)\]", plan)
+    ], plan
+
+
+def test_prefix_filter_jaccard_equals_exhaustive(spark, sf_dir):
+    """The default (prefix-filter) path is provably exact — identical output
+    to the exhaustive co-shingled join at every threshold tried."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.3, 0.5, 0.8):
+        exact = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, min_jaccard=t, w=3, prefix_filter=False).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, min_jaccard=t, w=3).collect()
+        }
+        assert pref == exact, f"t={t}"
+    assert exact or t == 0.8  # corpus carries near-dups at lower thresholds
+
+
+def test_prefix_filter_kills_stop_shingle_blowup(spark):
+    """A corpus-wide boilerplate shingle must NOT drive candidate volume:
+    800 docs share one stop shingle (exhaustive inter-join: ~320k pairs);
+    the prefix filter ranks it last in every doc, so candidates collapse to
+    the genuinely similar pairs only."""
+    from kafka_es_spark.operators.dedup import prefix_filter_candidates
+
+    rows = []
+    for i in range(800):
+        rows.append((i, f"alpha beta gamma u{i}x u{i}y u{i}z u{i}w u{i}v"))
+    # two genuine near-dup pairs
+    rows.append((900, "alpha beta gamma u5x u5y u5z u5w u5v extra"))
+    rows.append((901, "один два три четыре пять шесть семь"))
+    rows.append((902, "один два три четыре пять шесть восемь"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, w=3)
+    cands = prefix_filter_candidates(sh, 0.5).collect()
+    # far below the ~320k co-shingled pairs; only near-dup-ish pairs remain
+    assert len(cands) < 50
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, min_jaccard=0.5, w=3).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, min_jaccard=0.5, w=3, prefix_filter=False).collect()
+    }
+    assert got == want
+    assert (5, 900) in got and (901, 902) in got
+
+
+def test_jaccard_verify_plan_has_no_shingle_self_join(spark, dup_docs):
+    """With candidates supplied, no join in the plan may be keyed on
+    ``shingle`` alone (the quadratic all-co-shingled self-join); the
+    exhaustive path is the positive control for the detector."""
+    sigs = minhash_signatures(dup_docs, n_perm=8, w=3)
+    cands = lsh_candidate_pairs(sigs, bands=4)
+    verified = jaccard_pairs(dup_docs, min_jaccard=0.5, w=3, candidates=cands)
+    keys, plan = _join_key_lists(verified)
+    assert keys, f"no joins found in plan:\n{plan}"
+    assert all(kl != ["shingle"] for kl in keys), plan
+    # positive control: the exhaustive path DOES contain a shingle-only join
+    ex = jaccard_pairs(dup_docs, min_jaccard=0.5, w=3, prefix_filter=False)
+    ex_keys, ex_plan = _join_key_lists(ex)
+    assert any(kl == ["shingle"] for kl in ex_keys), ex_plan
+    # and the verify path still produces the right answer through LSH cands
+    got = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert (0, 1) in got and (5, 6) in got
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from kafka_es_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=15)
+    assert {r["component"] for r in ok.collect()} == {0}
