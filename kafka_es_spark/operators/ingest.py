@@ -87,20 +87,36 @@ def assert_index_resolved(df: DataFrame, index_col: str = "index") -> None:
 # --- P1 ---------------------------------------------------------------------
 
 def java_string_hashcode(col: Column | str) -> Column:
-    """Java/Kotlin String.hashCode as a Column: h = 31*h + c, wrapped int32.
+    """Java/Kotlin String.hashCode as a Column: h = 31*h + c over UTF-16
+    code units, wrapped int32.
 
-    Pure Column ops: aggregate over the codepoint array with 64-bit math,
-    wrapping into signed 32-bit each step ((x+2^31) mod 2^32 - 2^31).
-    Matches JVM semantics incl. the Integer.MIN_VALUE edge."""
+    Pure Column ops: split yields codepoints; codepoints above the BMP are
+    expanded to their surrogate pair (high = 0xD800 + ((cp-0x10000) >> 10),
+    low = 0xDC00 + ((cp-0x10000) & 0x3FF)) because the JVM hashes UTF-16
+    units, not codepoints — an emoji in a routing key must route to the
+    same group as on the JVM. The fold wraps into signed 32-bit each step
+    ((x+2^31) mod 2^32 - 2^31), matching JVM overflow incl. the
+    Integer.MIN_VALUE edge (ActorsTests.kt:35-43)."""
     c = F.col(col) if isinstance(col, str) else col
-    # split to chars; '' yields [''], filtered out; surrogate pairs: JVM hashes
-    # UTF-16 units — we use codepoints, identical for BMP text (documented).
     chars = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    cps = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    units = F.flatten(
+        F.transform(
+            cps,
+            lambda cp: F.when(
+                cp > 0xFFFF,
+                F.array(
+                    F.lit(0xD800) + F.shiftright(cp - F.lit(0x10000), 10),
+                    F.lit(0xDC00) + (cp - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF)),
+                ),
+            ).otherwise(F.array(cp)),
+        )
+    )
     wrap = lambda x: F.pmod(x + F.lit(2**31), F.lit(2**32)) - F.lit(2**31)  # noqa: E731
     return F.aggregate(
-        chars,
+        units,
         F.lit(0).cast("long"),
-        lambda acc, ch: wrap(acc * F.lit(31) + F.ascii(ch)),
+        lambda acc, u: wrap(acc * F.lit(31) + u),
     ).cast("int")
 
 
@@ -398,11 +414,21 @@ def resend_with_backoff(
         numbered = number_into_bulks(
             pending, bulk_size=bulk_size, concurrency=concurrency, **route_kw
         ).localCheckpoint()
-        responses = send_fn(numbered)
-        items = parse_bulk_response(
-            responses.select("route_group", "bulk_id", "response")
-        )
-        classified = classify_bulk_results(zip_bulk_items(numbered, items)).localCheckpoint()
+        try:
+            responses = send_fn(numbered)
+            items = parse_bulk_response(
+                responses.select("route_group", "bulk_id", "response")
+            )
+            classified = classify_bulk_results(
+                zip_bulk_items(numbered, items)
+            ).localCheckpoint()
+        except Exception:
+            # whole-bulk transport failure (thrown IOError/timeout instead of
+            # a response frame): the entire attempt is retriable with the
+            # same backoff — the reference retries the whole bulk on a failed
+            # POST (Actors.kt:236-246), not just per-item 429s. `pending`
+            # stays unchanged; if attempts run out it is returned exhausted.
+            continue
         keep = action_cols + ["status", "error_type", "outcome"]
         ok_parts.append(classified.filter(F.col("outcome") == "ok").select(*keep))
         fatal_parts.append(classified.filter(F.col("outcome") == "fatal").select(*keep))

@@ -273,6 +273,7 @@ def cosine_near_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    max_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact near-pair join via blocked GEMM — the scale-sane exact tier.
 
@@ -288,11 +289,25 @@ def cosine_near_pairs_blocked(
     cos≥0.35 is ~0.7 even with 8 tables). Use this operator for the exact
     tier (N up to ~10^7 per shard); at 10^12 rows use a high threshold with
     ``cosine_near_pairs`` (LSH) or ANN and accept documented recall.
+
+    ``max_rows`` ENFORCES that tier boundary (one cheap count job): above
+    it the O(N²·d) FLOP budget is a silent scale-killer, so the call raises
+    with a pointer to the LSH/ANN tier instead of launching it. Pass
+    ``max_rows=None`` only when the quadratic cost is a considered choice.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_pairs_blocked is the exact O(N²·d) tier; got "
+                f"N={n} > max_rows={max_rows}. Use cosine_near_pairs (LSH, "
+                "high thresholds) or lsh_ann_topk/ivf_ann_topk, or raise "
+                "max_rows deliberately."
+            )
     B = int(n_blocks)
     base = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")

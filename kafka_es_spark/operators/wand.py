@@ -293,9 +293,18 @@ class Searcher:
 
         self.spark = spark
         self.index_dir = index_dir
+        from kafka_es_spark.plans.build_index import BUCKET_SCHEME
+
         st = load_stats(index_dir)
         self.n_docs, self.avgdl, self.codec = st["n_docs"], st["avgdl"], st["codec"]
-        self.n_term_buckets = st.get("n_term_buckets")
+        # prune only when the index explicitly records the scheme this query
+        # side computes (md5 hash32) — a legacy/mixed-scheme index falls back
+        # to unpruned scans instead of silently skipping segments (ADVICE r2)
+        self.n_term_buckets = (
+            st.get("n_term_buckets")
+            if st.get("bucket_scheme") == BUCKET_SCHEME
+            else None
+        )
         self.segs = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
         self._cached = cache

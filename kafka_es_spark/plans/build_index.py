@@ -38,6 +38,13 @@ from kafka_es_spark.operators.docids import assign_doc_ids
 from kafka_es_spark.operators import spimi
 from kafka_es_spark.plans.manifest import Manifest
 
+# Identifier of the term→bucket hash scheme used for file-level pruning.
+# Recorded in stats.json; the query side prunes `bucket IN (...)` ONLY when
+# the recorded scheme matches what it computes driver-side — an index built
+# (or partially built) under a different scheme must fall back to unpruned
+# scans rather than silently dropping query terms (ADVICE r2).
+BUCKET_SCHEME = "md5h32"
+
 
 def extracted_pages(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → (url, text). The ONLY column
@@ -115,6 +122,7 @@ def build_index(
             "codec": codec,
             "seg_bits": seg_bits,
             "n_term_buckets": n_term_buckets,
+            "bucket_scheme": BUCKET_SCHEME,
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)

@@ -107,15 +107,29 @@ def append_epoch(
     )
     dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
     st = dm.agg(F.count("*").alias("n"), F.avg("dl").alias("a"), F.sum("dl").alias("s")).collect()[0]
-    # bucket pruning stays valid only if every epoch used the same bucketing
-    prev_b = stats.get("n_term_buckets", n_term_buckets)
+    # bucket pruning stays valid only if every epoch used the same bucket
+    # count AND the same hash scheme. A legacy stats.json that predates the
+    # scheme tag (or the key) gives NO default — its epochs may have been
+    # bucketed under a different hash, and pruning against them would
+    # silently drop query terms (ADVICE r2). Fresh index (base == 0)
+    # establishes the scheme.
+    from kafka_es_spark.plans.build_index import BUCKET_SCHEME
+
+    if base == 0:
+        consistent = True
+    else:
+        consistent = (
+            stats.get("n_term_buckets") == n_term_buckets
+            and stats.get("bucket_scheme") == BUCKET_SCHEME
+        )
     new_stats = {
         "n_docs": int(st["n"]),
         "avgdl": float(st["a"] or 0.0),
         "total_tokens": int(st["s"] or 0),
         "codec": codec,
         "seg_bits": seg_bits,
-        "n_term_buckets": n_term_buckets if prev_b == n_term_buckets else None,
+        "n_term_buckets": n_term_buckets if consistent else None,
+        "bucket_scheme": BUCKET_SCHEME if consistent else None,
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(new_stats, f)

@@ -26,14 +26,19 @@ def actions(spark):
 
 
 def _java_hash_py(s: str) -> int:
+    """Bit-exact JVM String.hashCode: folds UTF-16 code units (surrogate
+    pairs for astral codepoints), not codepoints."""
     h = 0
-    for c in s:
-        h = (h * 31 + ord(c)) & 0xFFFFFFFF
+    b = s.encode("utf-16-be")
+    for i in range(0, len(b), 2):
+        h = (h * 31 + ((b[i] << 8) | b[i + 1])) & 0xFFFFFFFF
     return h - 2**32 if h >= 2**31 else h
 
 
 def test_java_hashcode_parity(spark):
-    keys = ["", "a", "some key", "another-key-42", "polygenelubricants", "ффф", "0", "テスト"]
+    # incl. astral-plane keys (surrogate pairs): JVM hashes UTF-16 units
+    keys = ["", "a", "some key", "another-key-42", "polygenelubricants",
+            "ффф", "0", "テスト", "😀", "a😀b", "🦀-route-🔥", "𐍈𐍈"]
     df = spark.createDataFrame([(k,) for k in keys], ["k"])
     got = {r["k"]: r["h"] for r in df.select("k", java_string_hashcode("k").alias("h")).collect()}
     for k in keys:
@@ -309,3 +314,61 @@ def test_resend_with_backoff_flaky_sender(spark):
     assert exhausted.isEmpty()
     assert attempt["n"] == 2  # second attempt only carried the retriable id 7
     assert sleeps == [0.08]  # exponential backoff slept once before attempt 2
+
+
+def test_resend_with_backoff_thrown_transport_error(spark):
+    """K4 — a send_fn that RAISES (transport failure, not a per-item 429)
+    twice then succeeds: the whole bulk is retriable with the same backoff
+    (reference Actors.kt:236-246 retries the failed POST wholesale)."""
+    from kafka_es_spark.operators.ingest import resend_with_backoff
+
+    actions = spark.createDataFrame(
+        [(str(i), "idx", None, '{"f":1}', "index") for i in (1, 2)],
+        "id string, index string, routing string, source string, op string",
+    )
+    attempt = {"n": 0}
+    sleeps: list[float] = []
+
+    def send_fn(numbered):
+        attempt["n"] += 1
+        if attempt["n"] <= 2:
+            raise IOError("connection refused")
+        rows = []
+        for key, grp in __import__("itertools").groupby(
+            sorted(numbered.collect(), key=lambda r: (r["route_group"], r["bulk_id"], r["pos"])),
+            key=lambda r: (r["route_group"], r["bulk_id"]),
+        ):
+            items = ",".join(
+                f'{{"index": {{"_id": "{r["id"]}", "status": 201}}}}' for r in grp
+            )
+            rows.append((key[0], key[1], '{"took": 1, "errors": false, "items": [' + items + "]}"))
+        return spark.createDataFrame(rows, "route_group int, bulk_id long, response string")
+
+    ok, fatal, exhausted = resend_with_backoff(
+        actions, send_fn, max_attempts=3, backoff_base_ms=50, sleep_fn=sleeps.append
+    )
+    assert sorted(r["id"] for r in ok.collect()) == ["1", "2"]
+    assert fatal.isEmpty() and exhausted.isEmpty()
+    assert attempt["n"] == 3
+    assert sleeps == [0.05, 0.1]  # backed off before each retried attempt
+
+    # attempts exhausted by a sender that always raises -> everything pending
+    def dead(numbered):
+        raise IOError("down")
+
+    ok2, fatal2, exhausted2 = resend_with_backoff(
+        actions, dead, max_attempts=2, backoff_base_ms=10, sleep_fn=sleeps.append
+    )
+    assert ok2.isEmpty() and fatal2.isEmpty()
+    assert sorted(r["id"] for r in exhausted2.collect()) == ["1", "2"]
+
+
+def test_cosine_blocked_size_guard(spark):
+    from kafka_es_spark.operators.similarity import cosine_near_pairs_blocked
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        cosine_near_pairs_blocked(emb, min_cos=0.9, max_rows=10)
+    assert cosine_near_pairs_blocked(emb, min_cos=0.99, max_rows=100).count() > 0

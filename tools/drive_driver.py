@@ -20,7 +20,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 def norm(v):
     if v is None:
-        return ""  # null-safe sort key (hash-compare treats null as distinct token)
+        # distinct sentinel: a SQL NULL must NOT normalize equal to '' (an
+        # engine emitting '' where the oracle emits NULL is a real bug)
+        return ("\x00null",)
     if isinstance(v, float):
         return "nan" if math.isnan(v) else round(v, 4)
     if isinstance(v, list):

@@ -109,13 +109,23 @@ def raw_cpu_control(n: int) -> float:
     the two occupancies — turbo/power scaling plus any neighbor noise —
     i.e. the efficiency CEILING for ANY same-box N→4N comparison: a real
     N→4N cluster adds machines at constant frequency, a single box does
-    not."""
+    not.
+
+    Falls back to unpinned control processes when taskset is missing or the
+    host has fewer CPUs than n (same guard as run(); an unpinned control
+    still measures occupancy scaling, just less precisely)."""
+    try:
+        n_host = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n_host = os.cpu_count() or n
+    pin = shutil.which("taskset") is not None and n <= n_host
     ps = []
     t0 = time.time()
     for i in range(n):
-        ps.append(
-            subprocess.Popen(["taskset", "-c", str(i), sys.executable, "-c", RAW_WORK])
-        )
+        cmd = [sys.executable, "-c", RAW_WORK]
+        if pin:
+            cmd = ["taskset", "-c", str(i)] + cmd
+        ps.append(subprocess.Popen(cmd))
     for p in ps:
         p.wait()
     return time.time() - t0
