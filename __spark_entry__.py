@@ -99,7 +99,9 @@ def _q_wand_topk(spark, sf_dir):
     from kafka_es_spark.plans.build_index import build_index
     from kafka_es_spark.sources.pages import docs_as_pages
 
-    idx = f"/tmp/kafka_es_index_{_corpus_tag(sf_dir)}"
+    # v2 in the path: a cached format-1 index from an earlier round must
+    # never be picked up by the format-2 reader
+    idx = f"/tmp/kafka_es_index_v2_{_corpus_tag(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
         build_index(spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8, n_term_buckets=8)
     out = wand_topk(

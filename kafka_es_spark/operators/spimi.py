@@ -19,10 +19,18 @@ Two stages, exactly one wide shuffle:
    since ranges partition the doc space). No second merge pass is needed;
    segments ARE the index format.
 
-Segment row schema: term, seg, df_seg, cf_seg, first_docid, last_docid,
-docs_blob (delta-gap + codec), tfs_blob, dls_blob, blk_last/blk_maxtf/
-blk_mindl (per-128-doc block-max metadata for WAND upper bounds — dl is
-stored per posting so scoring needs no docmap join at query time).
+Segment row schema (format 2): term, seg, df_seg, cf_seg, first_docid,
+last_docid, docs_blob (delta-gap + codec), tfs_blob.
+
+Doc lengths do NOT ride with postings: dl-per-posting is redundant with the
+docmap (~⅓ of every shuffled/stored posting triple), and at 100 TB the
+posting shuffle is the dominant byte mover — so the per-RANGE dl array is
+materialized ONCE from the docmap (``build_range_dls``, the Lucene-norms
+analogue: doc ids are dense, so a doc range's lengths are one
+position-indexed varint blob) and the query side gathers
+``dl = dls[doc_id - base]`` per cursor. Block-max metadata
+(last/maxtf/mindl per 128-doc block) is likewise derived at cursor init
+from the decoded arrays — cheaper to recompute than to shuffle and store.
 
 Reference parity: the per-partition batch builder replaces the sink's
 BufferingActor/BulkSinkActor pipeline (Actors.kt:107-259); blobs replace
@@ -49,7 +57,6 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
-        T.StructField("dl", T.LongType(), False),
     ]
 )
 
@@ -63,16 +70,23 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("last_docid", T.LongType(), False),
         T.StructField("docs_blob", T.BinaryType(), False),
         T.StructField("tfs_blob", T.BinaryType(), False),
+    ]
+)
+
+RANGE_DLS_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.LongType(), False),
+        T.StructField("first_docid", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
         T.StructField("dls_blob", T.BinaryType(), False),
-        T.StructField("blk_last", T.ArrayType(T.LongType()), False),
-        T.StructField("blk_maxtf", T.ArrayType(T.LongType()), False),
-        T.StructField("blk_mindl", T.ArrayType(T.LongType()), False),
     ]
 )
 
 
 def doc_term_freqs(docs: DataFrame, terms_col: str = "terms", metrics=None) -> DataFrame:
-    """(term, doc_id, tf, dl) computed narrowly (no shuffle) from token arrays.
+    """(term, doc_id, tf) computed narrowly (no shuffle) from token arrays.
+    Doc length is NOT carried per posting — it lives in the docmap / range
+    dl arrays (format 2).
 
     Input needs columns: doc_id:long, <terms_col>:array<string>.
     ``metrics``: optional plans.metrics.BuildMetrics (W2 accumulators).
@@ -91,17 +105,16 @@ def doc_term_freqs(docs: DataFrame, terms_col: str = "terms", metrics=None) -> D
                 {
                     "term": np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)]),
                     "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
-                    "dl": np.repeat(lens, lens),
                 }
             )
             out = (
                 flat.groupby(["doc_id", "term"], sort=False)
-                .agg(tf=("term", "size"), dl=("dl", "first"))
+                .agg(tf=("term", "size"))
                 .reset_index()
             )
             if metrics is not None:
                 metrics.add("postings", len(out))
-            yield out[["term", "doc_id", "tf", "dl"]]
+            yield out[["term", "doc_id", "tf"]]
 
     return docs.select("doc_id", terms_col).mapInPandas(invert, POSTING_SCHEMA)
 
@@ -135,7 +148,6 @@ def build_segments(
         segs_ = pdf["seg"].to_numpy(dtype=np.int64)
         ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
         tf_all = pdf["tf"].to_numpy(dtype=np.int64)
-        dl_all = pdf["dl"].to_numpy(dtype=np.int64)
         change = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(pdf)]])
@@ -143,9 +155,7 @@ def build_segments(
         for s, e in zip(starts, ends):
             ids = ids_all[s:e].astype(np.uint64)
             tfs = tf_all[s:e].astype(np.uint64)
-            dls = dl_all[s:e].astype(np.uint64)
             gaps = codecs.delta_encode(ids)
-            last, maxtf, mindl = codecs.block_meta(ids_all[s:e], tf_all[s:e], dl_all[s:e])
             rows.append(
                 (
                     terms[s],
@@ -156,15 +166,11 @@ def build_segments(
                     int(ids[-1]),
                     enc(gaps),
                     enc(tfs),
-                    enc(dls),
-                    last.tolist(),
-                    maxtf.tolist(),
-                    mindl.tolist(),
                 )
             )
         if metrics is not None:
             metrics.add("segments", len(rows))
-            metrics.add("posting_bytes", sum(len(r[6]) + len(r[7]) + len(r[8]) for r in rows))
+            metrics.add("posting_bytes", sum(len(r[6]) + len(r[7]) for r in rows))
         return pd.DataFrame(rows, columns=cols)
 
     def encode_stream(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
@@ -210,7 +216,6 @@ RUN_SCHEMA = T.StructType(
         T.StructField("n", T.LongType(), False),
         T.StructField("ids_blob", T.BinaryType(), False),
         T.StructField("tfs_blob", T.BinaryType(), False),
-        T.StructField("dls_blob", T.BinaryType(), False),
     ]
 )
 
@@ -268,18 +273,16 @@ def build_segments_spimi(
                     [np.asarray(t, dtype=object) for t in toks if len(t)]
                 ),
                 "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
-                "dl": np.repeat(lens, lens),
             }
         )
         g = (
             flat.groupby(["term", "doc_id"], sort=True)
-            .agg(tf=("dl", "size"), dl=("dl", "first"))
+            .agg(tf=("doc_id", "size"))
             .reset_index()
         )
         terms = g["term"].to_numpy(dtype=object)
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         tfs = g["tf"].to_numpy(dtype=np.int64)
-        dls = g["dl"].to_numpy(dtype=np.int64)
         if metrics is not None:
             metrics.add("postings", ids.size)
         segs_ = ids >> seg_bits
@@ -297,7 +300,6 @@ def build_segments_spimi(
                 "n": nlens,
                 "ids_blob": codecs.varint_encode_segmented(gaps, nlens),
                 "tfs_blob": codecs.varint_encode_segmented(tfs, nlens),
-                "dls_blob": codecs.varint_encode_segmented(dls, nlens),
             }
         )[run_cols]
 
@@ -326,7 +328,6 @@ def build_segments_spimi(
         total = int(n_per.sum())
         gaps = codecs.varint_decode(b"".join(pdf["ids_blob"]), total)
         tfs_all = codecs.varint_decode(b"".join(pdf["tfs_blob"]), total).astype(np.int64)
-        dls_all = codecs.varint_decode(b"".join(pdf["dls_blob"]), total).astype(np.int64)
         rs = np.concatenate([[0], np.cumsum(n_per)])
         gcum = np.cumsum(gaps)
         base = gcum[rs[:-1]] - gaps[rs[:-1]]  # cumsum before each run's start
@@ -343,8 +344,6 @@ def build_segments_spimi(
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
             tfs = tfs_all[s:e][order]
-            dls = dls_all[s:e][order]
-            last, maxtf, mindl = codecs.block_meta(ids, tfs, dls)
             rows.append(
                 (
                     terms[rs_i],
@@ -355,17 +354,13 @@ def build_segments_spimi(
                     int(ids[-1]),
                     final_enc(codecs.delta_encode(ids.astype(np.uint64))),
                     final_enc(tfs.astype(np.uint64)),
-                    final_enc(dls.astype(np.uint64)),
-                    last.tolist(),
-                    maxtf.tolist(),
-                    mindl.tolist(),
                 )
             )
         if metrics is not None:
             metrics.add("segments", len(rows))
             metrics.add(
                 "posting_bytes",
-                sum(len(r[6]) + len(r[7]) + len(r[8]) for r in rows),
+                sum(len(r[6]) + len(r[7]) for r in rows),
             )
         return pd.DataFrame(rows, columns=seg_cols)
 
@@ -406,15 +401,90 @@ def build_segments_spimi(
 
 
 def decode_segment(row, codec: str = "varint"):
-    """Segment row → (doc_ids, tfs, dls) numpy arrays. Used by scorers/tests."""
+    """Segment row → (doc_ids, tfs) numpy arrays. Used by scorers/tests.
+    Doc lengths come from the range dl array (``decode_range_dls``)."""
     dec = codecs.varint_decode if codec == "varint" else codecs.bp128_decode
     n = int(row["df_seg"])
-    if codec == "varint":
-        gaps = codecs.varint_decode(bytes(row["docs_blob"]), n)
-        tfs = codecs.varint_decode(bytes(row["tfs_blob"]), n)
-        dls = codecs.varint_decode(bytes(row["dls_blob"]), n)
-    else:
-        gaps = dec(bytes(row["docs_blob"]), n)
-        tfs = dec(bytes(row["tfs_blob"]), n)
-        dls = dec(bytes(row["dls_blob"]), n)
-    return codecs.delta_decode(gaps).astype(np.int64), tfs.astype(np.int64), dls.astype(np.int64)
+    gaps = dec(bytes(row["docs_blob"]), n)
+    tfs = dec(bytes(row["tfs_blob"]), n)
+    return codecs.delta_decode(gaps).astype(np.int64), tfs.astype(np.int64)
+
+
+def build_range_dls(docs: DataFrame, seg_bits: int = SEG_BITS) -> DataFrame:
+    """(seg, first_docid, n, dls_blob): per-doc-range varint dl arrays —
+    the Lucene-norms analogue, materialized ONCE from (doc_id, dl) instead
+    of repeating dl on every posting. Doc ids are dense (docids.assign /
+    epoch bases), so each row covers the contiguous id range
+    [first_docid, first_docid + n) and the query side gathers
+    ``dl = dls[doc_id - base]``. One row per (range × build unit); a
+    streaming epoch appends its own rows, which concatenate contiguously.
+    Size: ~1-2 bytes/doc — negligible next to postings."""
+
+    def encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hold: pd.DataFrame | None = None
+        cols = [f.name for f in RANGE_DLS_SCHEMA.fields]
+
+        def enc_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            segs_ = pdf["seg"].to_numpy(dtype=np.int64)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.uint64)
+            change = np.flatnonzero(segs_[1:] != segs_[:-1]) + 1
+            starts = np.concatenate([[0], change])
+            nlens = np.diff(np.concatenate([starts, [ids.size]]))
+            blobs = codecs.varint_encode_segmented(dls, nlens)
+            return pd.DataFrame(
+                {
+                    "seg": segs_[starts],
+                    "first_docid": ids[starts],
+                    "n": nlens,
+                    "dls_blob": blobs,
+                }
+            )[cols]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            last_seg = pdf["seg"].iat[len(pdf) - 1]
+            tail = pdf["seg"].to_numpy(dtype=np.int64) == last_seg
+            cut = int(len(pdf) - np.flip(tail).argmin()) if not tail.all() else 0
+            if cut == 0:
+                hold = pdf
+                continue
+            hold = pdf.iloc[cut:].copy()
+            yield enc_block(pdf.iloc[:cut])
+        if hold is not None and len(hold):
+            yield enc_block(hold)
+
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rel = docs.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.shiftright(F.col("doc_id"), seg_bits).alias("seg"),
+    )
+    return (
+        rel.repartition(n_part, "seg")
+        .sortWithinPartitions("seg", "doc_id")
+        .mapInPandas(encode_stream, RANGE_DLS_SCHEMA)
+    )
+
+
+def decode_range_dls(rows: list[dict]) -> tuple[int, np.ndarray]:
+    """Range-dl rows of ONE seg → (base_doc_id, dl array). Rows (one per
+    build unit/epoch) are sorted by first_docid; dense ids make them
+    contiguous, so the concatenation is position-indexed from base."""
+    rows = sorted(rows, key=lambda r: r["first_docid"])
+    base = int(rows[0]["first_docid"])
+    expect = base
+    parts = []
+    for r in rows:
+        if int(r["first_docid"]) != expect:
+            raise ValueError(
+                f"range dl rows not contiguous: expected first_docid={expect}, "
+                f"got {r['first_docid']} (doc ids must be dense)"
+            )
+        parts.append(codecs.varint_decode(bytes(r["dls_blob"]), int(r["n"])))
+        expect += int(r["n"])
+    return base, np.concatenate(parts).astype(np.int64)

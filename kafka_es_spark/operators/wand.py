@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kafka_es_spark.operators.spimi import decode_segment
+from kafka_es_spark.operators.spimi import decode_range_dls, decode_segment
 from kafka_es_spark.operators.bm25 import K1, B
 
 TOPK_SCHEMA = T.StructType(
@@ -57,33 +57,34 @@ def _contrib(tfs: np.ndarray, dls: np.ndarray, w: float, avgdl: float,
 
 class _Cursor:
     """One query term's postings within a doc range (possibly several
-    segment rows from different shards, concatenated in doc order)."""
+    segment rows from different shards/epochs, concatenated in doc order).
+
+    Format 2: per-posting dl is gathered from the range dl array
+    (``dl_arr[doc_id - dl_base]``, the norms analogue) and block-max
+    metadata (last/maxtf/mindl per 128-posting block) is recomputed here
+    from the decoded arrays — one reduceat per cursor, cheaper than
+    shuffling and storing it per segment."""
 
     __slots__ = ("ids", "contrib", "blk_last", "blk_ub", "pos", "n")
 
     def __init__(self, rows: list[dict], w: float, avgdl: float, codec: str,
+                 dl_base: int, dl_arr: np.ndarray,
                  k1: float = K1, b: float = B):
+        from kafka_es_spark.functions.codecs import block_meta
+
         rows = sorted(rows, key=lambda r: r["first_docid"])
-        ids_l, tf_l, dl_l, bl_l, bub_l = [], [], [], [], []
+        ids_l, tf_l = [], []
         for r in rows:
-            i, tfs, dls = decode_segment(r, codec)
+            i, tfs = decode_segment(r, codec)
             ids_l.append(i)
             tf_l.append(tfs)
-            dl_l.append(dls)
-            bl_l.append(np.asarray(r["blk_last"], dtype=np.int64))
-            bub_l.append(
-                _contrib(
-                    np.asarray(r["blk_maxtf"], dtype=np.int64),
-                    np.asarray(r["blk_mindl"], dtype=np.int64),
-                    w, avgdl, k1, b,
-                )
-            )
         self.ids = np.concatenate(ids_l)
-        self.contrib = np.concatenate(
-            [_contrib(t, d, w, avgdl, k1, b) for t, d in zip(tf_l, dl_l)]
-        )
-        self.blk_last = np.concatenate(bl_l)
-        self.blk_ub = np.concatenate(bub_l)
+        tfs = np.concatenate(tf_l)
+        dls = dl_arr[self.ids - dl_base]
+        self.contrib = _contrib(tfs, dls, w, avgdl, k1, b)
+        last, maxtf, mindl = block_meta(self.ids, tfs, dls)
+        self.blk_last = last
+        self.blk_ub = _contrib(maxtf, mindl, w, avgdl, k1, b)
         self.pos = 0
         self.n = self.ids.size
 
@@ -296,6 +297,12 @@ class Searcher:
         from kafka_es_spark.plans.build_index import BUCKET_SCHEME
 
         st = load_stats(index_dir)
+        if st.get("format") != 2:
+            raise ValueError(
+                f"index at {index_dir} is format {st.get('format', 1)}; this "
+                "engine reads format 2 (postings without per-posting dl + "
+                "range_dls norms) — rebuild with build_index"
+            )
         self.n_docs, self.avgdl, self.codec = st["n_docs"], st["avgdl"], st["codec"]
         # prune only when the index explicitly records the scheme this query
         # side computes (md5 hash32) — a legacy/mixed-scheme index falls back
@@ -307,10 +314,13 @@ class Searcher:
         )
         self.segs = spark.read.parquet(os.path.join(index_dir, "postings"))
         self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        # the norms analogue: tiny (1-2 bytes/doc), resident while serving
+        self.range_dls = spark.read.parquet(os.path.join(index_dir, "range_dls"))
         self._cached = cache
         if cache:
             self.segs = self.segs.persist()
             self.term_stats = self.term_stats.persist()
+            self.range_dls = self.range_dls.persist()
 
     def _query_segs(self, terms) -> DataFrame:
         """Segment rows for the query terms, with term-bucket pruning pushed
@@ -329,6 +339,20 @@ class Searcher:
         if self._cached:
             self.segs.unpersist()
             self.term_stats.unpersist()
+            self.range_dls.unpersist()
+
+    def _query_dls(self, segs: DataFrame) -> DataFrame:
+        """Range-dl rows for exactly the doc ranges the query touches. The
+        seg list comes from one tiny job over the (pruned, persisted)
+        segment rows; the IN filter prunes the range_dls scan the same way
+        buckets prune postings. Head-term queries touch every range —
+        above 10k segs the filter is skipped (full scan is the right plan
+        there anyway, and a 10⁵-literal IN list would bloat the plan)."""
+        qsegs = [r["seg"] for r in segs.select("seg").distinct().collect()]
+        dls = self.range_dls
+        if 0 < len(qsegs) <= 10_000:
+            dls = dls.filter(F.col("seg").isin(qsegs))
+        return dls
 
     def topk(self, query: str, k: int = 10, round_to: int | None = 4,
              with_url: bool = False, fetch_k: int | None = None,
@@ -371,13 +395,20 @@ class Searcher:
         avgdl, codec = self.avgdl, self.codec
 
         segs = self._query_segs(list(weights))
+        dls_rel = self._query_dls(segs)
 
-        def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0 or len(dpdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
             by_term: dict[str, list[dict]] = {}
             for r in pdf.to_dict("records"):
                 by_term.setdefault(r["term"], []).append(r)
             cursors = [
-                _Cursor(by_term[t], weights[t], avgdl, codec)
+                _Cursor(by_term[t], weights[t], avgdl, codec, dl_base, dl_arr)
                 for t in term_order
                 if t in by_term
             ]
@@ -387,7 +418,11 @@ class Searcher:
                 top = blockmax_topk_vectorized(cursors, k, excluded=excluded)
             return pd.DataFrame(top, columns=["doc_id", "score"])
 
-        ranged = segs.groupBy("seg").applyInPandas(score_range, TOPK_SCHEMA)
+        ranged = (
+            segs.groupBy("seg")
+            .cogroup(dls_rel.groupBy("seg"))
+            .applyInPandas(score_range, TOPK_SCHEMA)
+        )
         out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
         if round_to is not None:
             out = out.withColumn("score", F.round("score", round_to))
@@ -438,13 +473,21 @@ class Searcher:
         avgdl, codec = self.avgdl, self.codec
         excluded = frozenset(int(d) for d in (exclude_doc_ids or ())) or None
         segs = self._query_segs(list(weights))
+        dls_rel = self._query_dls(segs)
 
-        def score_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0 or len(dpdf) == 0:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype=np.int32),
+                     "doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
             by_term: dict[str, list[dict]] = {}
             for r in pdf.to_dict("records"):
                 by_term.setdefault(r["term"], []).append(r)
             cursors = {
-                t: _Cursor(rows, weights[t], avgdl, codec)
+                t: _Cursor(rows, weights[t], avgdl, codec, dl_base, dl_arr)
                 for t, rows in by_term.items()
             }
             out_rows = []
@@ -456,7 +499,11 @@ class Searcher:
                     out_rows.append((qid, d, s))
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 
-        ranged = segs.groupBy("seg").applyInPandas(score_range, out_schema)
+        ranged = (
+            segs.groupBy("seg")
+            .cogroup(dls_rel.groupBy("seg"))
+            .applyInPandas(score_range, out_schema)
+        )
         w = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )

@@ -5,8 +5,12 @@ Layout of an index dataset at ``index_dir``:
 
     postings/shard=<i>/*.parquet   segment rows (spimi.SEGMENT_SCHEMA + bucket)
     docmap/*.parquet               (doc_id, url, dl)
+    range_dls/*.parquet            per-doc-range dl arrays (norms analogue;
+                                   format 2 — dl no longer rides per posting)
     term_stats/*.parquet           (term, df, cf) — aggregated post-build
-    stats.json                     {n_docs, avgdl, total_tokens, codec, seg_bits}
+    stats.json                     {format, n_docs, avgdl, total_tokens,
+                                    codec, seg_bits, n_term_buckets,
+                                    bucket_scheme}
     _manifest/*.json               per-stage commit entries + counters
 
 Plan shape / scale notes:
@@ -116,6 +120,7 @@ def build_index(
             F.sum("dl").alias("tok"),
         ).collect()[0]
         stats = {
+            "format": 2,
             "n_docs": int(st["n"]),
             "avgdl": float(st["avgdl"] or 0.0),
             "total_tokens": int(st["tok"] or 0),
@@ -129,6 +134,18 @@ def build_index(
         man.commit("docmap", {"docs": stats["n_docs"], "elapsed_sec": time.time() - t0})
         if metrics is not None:
             metrics.record_stage("docmap", time.time() - t0)
+
+    # --- range dl arrays (format 2: dl rides ONCE per doc, not per posting) --
+    if not (resume and man.is_complete("range_dls")):
+        t0 = time.time()
+        rd_dir = os.path.join(index_dir, "range_dls")
+        spimi.build_range_dls(
+            docs.select("doc_id", "dl"), seg_bits=seg_bits
+        ).write.mode("overwrite").parquet(rd_dir)
+        n_ranges = spark.read.parquet(rd_dir).count()
+        man.commit("range_dls", {"ranges": int(n_ranges), "elapsed_sec": time.time() - t0})
+        if metrics is not None:
+            metrics.record_stage("range_dls", time.time() - t0)
 
     # --- posting shards ------------------------------------------------------
     for shard in range(n_shards):
@@ -168,8 +185,7 @@ def build_index(
             F.count("*").alias("segments"),
             F.count_distinct("term").alias("terms"),
             F.sum("df_seg").alias("postings"),
-            F.sum(F.octet_length("docs_blob") + F.octet_length("tfs_blob")
-                  + F.octet_length("dls_blob")).alias("bytes"),
+            F.sum(F.octet_length("docs_blob") + F.octet_length("tfs_blob")).alias("bytes"),
         ).collect()[0]
         man.commit(
             name,

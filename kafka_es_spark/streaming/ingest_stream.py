@@ -46,8 +46,8 @@ def _read_stats(index_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"n_docs": 0, "avgdl": 0.0, "total_tokens": 0, "codec": "varint",
-            "seg_bits": spimi.SEG_BITS}
+    return {"format": 2, "n_docs": 0, "avgdl": 0.0, "total_tokens": 0,
+            "codec": "varint", "seg_bits": spimi.SEG_BITS}
 
 
 def append_epoch(
@@ -84,6 +84,14 @@ def append_epoch(
 
     dm_out = os.path.join(index_dir, "docmap", f"epoch={epoch}")
     docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(dm_out)
+
+    # per-epoch range dl rows: epoch doc-id ranges are contiguous (dense ids
+    # from the manifest base), so query-side concatenation per seg stays
+    # position-indexed (format 2)
+    rd_out = os.path.join(index_dir, "range_dls", f"epoch={epoch}")
+    spimi.build_range_dls(
+        docs.select("doc_id", "dl"), seg_bits=seg_bits
+    ).write.mode("overwrite").parquet(rd_out)
 
     segs = spimi.build_segments_spimi(docs, seg_bits=seg_bits, codec=codec)
     from kafka_es_spark.operators.dedup import hash32
@@ -123,6 +131,7 @@ def append_epoch(
             and stats.get("bucket_scheme") == BUCKET_SCHEME
         )
     new_stats = {
+        "format": 2,
         "n_docs": int(st["n"]),
         "avgdl": float(st["a"] or 0.0),
         "total_tokens": int(st["s"] or 0),

@@ -46,7 +46,10 @@ def test_doc_ids_dense_and_parallelism_invariant(spark, pages):
 
 
 def test_segments_roundtrip_equals_dataframe_tf(spark, pages, index_dir):
-    """Decoded postings == the Step-1 uncompressed posting relation."""
+    """Decoded postings == the Step-1 uncompressed posting relation; per-doc
+    dl round-trips through the range dl arrays (format 2)."""
+    from kafka_es_spark.operators.spimi import decode_range_dls
+
     want = {
         (r["term"], r["doc_id"]): (r["tf"], r["dl"])
         for r in (
@@ -57,20 +60,29 @@ def test_segments_roundtrip_equals_dataframe_tf(spark, pages, index_dir):
             .collect()
         )
     }
+    dl_rows = spark.read.parquet(os.path.join(index_dir, "range_dls")).collect()
+    by_seg: dict[int, list] = {}
+    for r in dl_rows:
+        by_seg.setdefault(r["seg"], []).append(r.asDict())
+    dl_of = {}
+    for seg, rows in by_seg.items():
+        base, arr = decode_range_dls(rows)
+        for i, d in enumerate(arr):
+            dl_of[base + i] = int(d)
     got = {}
     segs = spark.read.parquet(os.path.join(index_dir, "postings")).collect()
     for row in segs:
-        ids, tfs, dls = decode_segment(row.asDict())
+        ids, tfs = decode_segment(row.asDict())
         assert np.all(np.diff(ids) > 0), "doc ids strictly increasing"
-        for i, t, d in zip(ids, tfs, dls):
-            got[(row["term"], int(i))] = (int(t), int(d))
+        for i, t in zip(ids, tfs):
+            got[(row["term"], int(i))] = (int(t), dl_of[int(i)])
     assert got == want
 
 
 def test_manifest_counters(index_dir, spark, pages):
     man = Manifest(index_dir)
     names = {e["name"] for e in man.entries()}
-    assert {"docmap", "shard-00000", "term_stats"} <= names
+    assert {"docmap", "range_dls", "shard-00000", "term_stats"} <= names
     sh = man.read("shard-00000")
     assert sh["postings"] > 0 and sh["bytes"] > 0 and sh["terms"] > 0
     assert man.read("docmap")["docs"] == pages.count()
@@ -211,8 +223,7 @@ def test_spimi_two_stage_equals_raw_shuffle(spark, pages):
         return {
             (r["term"], r["seg"]): (
                 r["df_seg"], r["cf_seg"], r["first_docid"], r["last_docid"],
-                bytes(r["docs_blob"]), bytes(r["tfs_blob"]), bytes(r["dls_blob"]),
-                tuple(r["blk_last"]), tuple(r["blk_maxtf"]), tuple(r["blk_mindl"]),
+                bytes(r["docs_blob"]), bytes(r["tfs_blob"]),
             )
             for r in rows
         }
