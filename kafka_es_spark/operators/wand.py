@@ -313,7 +313,13 @@ class Searcher:
             else None
         )
         self.segs = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self.term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        # term_stats holds PARTIALS (unit=base + one per streaming epoch;
+        # doc sets are disjoint so df/cf sum exactly) — aggregate per term
+        self.term_stats = (
+            spark.read.parquet(os.path.join(index_dir, "term_stats"))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        )
         # the norms analogue: tiny (1-2 bytes/doc), resident while serving
         self.range_dls = spark.read.parquet(os.path.join(index_dir, "range_dls"))
         self._cached = cache

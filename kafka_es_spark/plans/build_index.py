@@ -7,7 +7,8 @@ Layout of an index dataset at ``index_dir``:
     docmap/*.parquet               (doc_id, url, dl)
     range_dls/*.parquet            per-doc-range dl arrays (norms analogue;
                                    format 2 — dl no longer rides per posting)
-    term_stats/*.parquet           (term, df, cf) — aggregated post-build
+    term_stats/unit=*/*.parquet    (term, df, cf) PARTIALS (base + one per
+                                   streaming epoch); readers sum per term
     stats.json                     {format, n_docs, avgdl, total_tokens,
                                     codec, seg_bits, n_term_buckets,
                                     bucket_scheme}
@@ -131,7 +132,14 @@ def build_index(
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
-        man.commit("docmap", {"docs": stats["n_docs"], "elapsed_sec": time.time() - t0})
+        man.commit(
+            "docmap",
+            {
+                "docs": stats["n_docs"],
+                "tokens": stats["total_tokens"],
+                "elapsed_sec": time.time() - t0,
+            },
+        )
         if metrics is not None:
             metrics.record_stage("docmap", time.time() - t0)
 
@@ -200,7 +208,10 @@ def build_index(
         if metrics is not None:
             metrics.record_stage(name, time.time() - t0)
 
-    # --- term stats (recomputed over all shards; cheap: segment rows only) ---
+    # --- term stats (recomputed over all shards; cheap: segment rows only).
+    # Written as a PARTIAL under unit=base: streaming epochs append their own
+    # unit=<epoch> partials and the query side sums per term, so a stream
+    # never re-aggregates the whole index per micro-batch. ---
     if not (resume and man.is_complete("term_stats")):
         t0 = time.time()
         all_segs = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -209,7 +220,7 @@ def build_index(
             all_segs.groupBy("term")
             .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
             .write.mode("overwrite")
-            .parquet(ts_dir)
+            .parquet(os.path.join(ts_dir, "unit=base"))
         )
         n_terms = spark.read.parquet(ts_dir).count()
         man.commit("term_stats", {"terms": int(n_terms), "elapsed_sec": time.time() - t0})

