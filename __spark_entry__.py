@@ -364,16 +364,20 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_lsh_ann_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (sign hyperplanes, multi-probe) — scale path;
-    approximate by construction → rows-only driver check, recall is
-    pytest-asserted against the exact path."""
+    """LSH-bucketed ANN top-5, PORTABLE tables (md5-derived integer
+    hyperplanes, integer-exact sign decisions, multi-probe Hamming-1):
+    approximate vs the exact scorer by construction, but fully
+    deterministic ACROSS ENGINES — the DuckDB oracle reproduces buckets,
+    candidates and re-rank value-for-value, restoring a hash-green check
+    for the ANN path (VERDICT r2 §next 3). Recall vs exact is separately
+    pytest-asserted."""
     from kafka_es_spark.operators.similarity import lsh_ann_topk
 
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_ann_topk(e, q, k=5, n_planes=6, n_tables=4)
+    return lsh_ann_topk(e, q, k=5, n_planes=6, n_tables=2, portable=True)
 
 
 def _q_sessionize(spark, sf_dir):
@@ -615,6 +619,62 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
 """
 
+# sim2 oracle: reproduce the portable LSH pipeline in SQL — md5-derived
+# integer planes (h32(t:i:j) − 2³¹), vectors quantized floor(v·10⁶) so the
+# sign decision is an order-free int64 sum (bit-identical to Spark), 2
+# tables × 6 planes, Hamming-1 multi-probe, exact re-rank rounded to 4dp.
+_LSH_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+iv AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+  FROM e
+),
+vecel AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS j, unnest(q) AS x FROM iv
+),
+planes AS (
+  SELECT t.t, p.i, j.j,
+         {_h32_sql("t.t || ':' || p.i || ':' || j.j")} - 2147483648 AS c
+  FROM unnest(range(0, 2)) AS t(t),
+       unnest(range(0, 6)) AS p(i),
+       unnest(range(0, (SELECT len(q) FROM iv LIMIT 1))) AS j(j)
+),
+dots AS (
+  SELECT v.vec_id, p.t, p.i, sum(v.x * p.c) AS dot
+  FROM vecel v JOIN planes p ON p.j = v.j
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+qb AS (SELECT vec_id AS query_id, t, bucket AS b0 FROM buckets WHERE vec_id IN (0, 1, 2)),
+probes AS (
+  SELECT DISTINCT query_id, t,
+         CASE WHEN i.i < 0 THEN b0 ELSE xor(b0, 1::BIGINT << i.i) END AS bucket
+  FROM qb, unnest(range(-1, 6)) AS i(i)
+),
+cands AS (
+  SELECT DISTINCT p.query_id, b.vec_id
+  FROM probes p JOIN buckets b ON b.t = p.t AND b.bucket = p.bucket
+  WHERE b.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(ev.v, eq.v), 4) AS cos
+  FROM cands c
+  JOIN e ev ON ev.vec_id = c.vec_id
+  JOIN e eq ON eq.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
 _STOP_EN = "['the','of','and','to','in','a','is','for','on','with']"
 _STOP_DE = "['der','die','das','und','zu','ist','ein','nicht','mit','auf']"
 _STOP_FR = "['le','la','les','de','et','un','une','est','pour','que']"
@@ -803,7 +863,9 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
        count(*) AS n_events
 FROM s GROUP BY user_id, sess
 """,
-        # sim2_lsh_ann_topk: approximate by construction — rows-only check
+        "sim2_lsh_ann_topk": _LSH_ANN_SQL,
+        # sim3_ivf_ann_topk: k-means centroids are not SQL-expressible —
+        # rows-only by design; recall is pytest-asserted vs the exact scorer
         "ts1_lang_id": _LANG_ID_SQL,
         "ts2_quality_features": _QUALITY_SQL,
         "ts3_token_counts": _TOKEN_COUNTS_SQL,

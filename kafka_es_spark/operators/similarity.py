@@ -89,6 +89,45 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _planes_hash_int(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """ENGINE-PORTABLE hyperplanes: coefficient (i, j) of table t is
+    hash32(f"{t}:{i}:{j}") − 2³¹ — uniform in ±2³¹, derivable in any engine
+    that has md5 (the same portability contract as dedup.hash32), so a SQL
+    oracle can reproduce the buckets bit-for-bit (VERDICT r2 §next 3)."""
+    from kafka_es_spark.operators.dedup import hash32_py
+
+    return np.array(
+        [
+            [hash32_py(f"{table}:{i}:{j}") - 2**31 for j in range(dim)]
+            for i in range(n_planes)
+        ],
+        dtype=np.int64,
+    )
+
+
+def lsh_bucket_col_portable(col_name: str, qplanes: np.ndarray) -> Column:
+    """Bucket id with INTEGER-EXACT sign decisions: the vector quantizes to
+    iv_j = floor(v_j · 10⁶) (identical double→long in every IEEE engine —
+    floor is exact, unlike a float dot whose summation order could flip a
+    sign at |dot| ≈ ulp) and the dot is a pure int64 sum, order-free. This
+    is what makes the ANN entry hash-comparable against a DuckDB oracle.
+
+    Takes a column NAME: the whole bucket is assembled as one SQL
+    expression string (one py4j call) — building n_planes × dim literal
+    arrays through the Column API costs one JVM round-trip per literal
+    (measured ~30 s of driver time for 2×6×64 planes)."""
+    iv = (
+        f"transform({col_name}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
+    )
+    bits = []
+    for i, p in enumerate(qplanes):
+        arr = "array(" + ",".join(f"{int(c)}L" for c in p) + ")"
+        dot = f"aggregate(zip_with({iv}, {arr}, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -100,20 +139,32 @@ def lsh_ann_topk(
     seed: int = 7,
     round_to: int | None = 4,
     multiprobe: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: union of candidates from n_tables independent
     sign-LSH tables, exact cosine re-rank. Recall grows with n_tables and
     with multi-probe (query also probes all Hamming-1 buckets — n_planes+1
     probes per table, the standard recall/cost lever when the corpus has
-    little cluster structure). Cost stays bucket-sized, never corpus-sized."""
+    little cluster structure). Cost stays bucket-sized, never corpus-sized.
+
+    ``portable=True`` switches to md5-derived integer hyperplanes with
+    integer-exact sign decisions (see ``lsh_bucket_col_portable``): the
+    whole pipeline becomes deterministic ACROSS ENGINES, so a SQL oracle
+    can verify it value-for-value; ``seed`` is ignored (tables are keyed by
+    index)."""
     dim = len(emb.select(vec_col).first()[0])
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     q = queries.select("query_id", "qvec")
     cands = None
     for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + t)
-        e = base.withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
-        qq = q.withColumn("bucket0", lsh_bucket_col(F.col("qvec"), planes))
+        if portable:
+            planes = _planes_hash_int(dim, n_planes, t)
+            e = base.withColumn("bucket", lsh_bucket_col_portable("vec", planes))
+            qq = q.withColumn("bucket0", lsh_bucket_col_portable("qvec", planes))
+        else:
+            planes = _planes(dim, n_planes, seed + t)
+            e = base.withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
+            qq = q.withColumn("bucket0", lsh_bucket_col(F.col("qvec"), planes))
         if multiprobe:
             probes = F.array(
                 F.col("bucket0"),
