@@ -402,6 +402,32 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(e, q, k=5, n_clusters=8, n_probe=3)
 
 
+def _q_image_features(spark, sf_dir):
+    """MM — image decode/feature-extract through the real multimodal
+    plumbing (batch-concatenated buffer, offset gathers, cumsum stats in
+    mapInPandas): payloads are synthesized deterministically per doc_id
+    (arith pixels — same pattern as x1's synthetic html), so the oracle
+    states the exact (width, height, mean_luma) in closed form."""
+    from kafka_es_spark.operators.multimodal import decode_image_features, synth_media
+
+    media = synth_media(_docs(spark, sf_dir).select("doc_id"), kind="image")
+    return decode_image_features(media).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    """MM — audio decode (2-byte-aligned batch buffer, int16 view, cumsum
+    of squares) over deterministic arithmetic payloads; oracle recomputes
+    the RMS series."""
+    from kafka_es_spark.operators.multimodal import decode_audio_features, synth_media
+
+    media = synth_media(_docs(spark, sf_dir).select("doc_id"), kind="audio")
+    return decode_audio_features(media).select(
+        "media_id", "sample_rate", "n_samples", "rms"
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-ratio language ID heuristic."""
     from kafka_es_spark.functions.textstats import lang_id
@@ -457,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim2_lsh_ann_topk": _q_lsh_ann_topk,
         "sim3_ivf_ann_topk": _q_ivf_ann_topk,
         "ev1_sessionize": _q_sessionize,
+        "mm1_image_features": _q_image_features,
+        "mm2_audio_features": _q_audio_features,
         "ts1_lang_id": _q_lang_id,
         "ts2_quality_features": _q_quality,
         "ts3_token_counts": _q_token_counts,
@@ -864,6 +892,34 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
 FROM s GROUP BY user_id, sess
 """,
         "sim2_lsh_ann_topk": _LSH_ANN_SQL,
+        # mm oracles: re-derive the arithmetic generators' feature series
+        "mm1_image_features": """
+WITH m AS (
+  SELECT doc_id AS media_id, 9 + 2*(doc_id % 8) AS w, 7 + 2*(doc_id % 5) AS h
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, (media_id*31 + i.i*7) % 256 AS v
+  FROM m, unnest(range(0, w*h)) AS i(i)
+)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(CAST(sum(v) AS DOUBLE) / (w*h), 4) AS mean_luma
+FROM px GROUP BY media_id, w, h
+""",
+        "mm2_audio_features": """
+WITH m AS (
+  SELECT doc_id AS media_id, 8000 + 1000*(doc_id % 5) AS sr,
+         101 + 50*(doc_id % 7) AS n
+  FROM documents
+),
+s AS (
+  SELECT media_id, sr, n, ((media_id*17 + i.i*13) % 2001) - 1000 AS v
+  FROM m, unnest(range(0, n)) AS i(i)
+)
+SELECT media_id, CAST(sr AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+       round(sqrt(CAST(sum(v*v) AS DOUBLE) / n), 4) AS rms
+FROM s GROUP BY media_id, sr, n
+""",
         # sim3_ivf_ann_topk: k-means centroids are not SQL-expressible —
         # rows-only by design; recall is pytest-asserted vs the exact scorer
         "ts1_lang_id": _LANG_ID_SQL,
