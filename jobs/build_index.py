@@ -17,7 +17,16 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="parquet dir with pages (url, warc_ts, html, text, lang)")
+    p.add_argument("--input", help="pages source: parquet dir or iceberg table/path")
+    p.add_argument(
+        "--input-format",
+        choices=["auto", "parquet", "iceberg"],
+        default="auto",
+        help="auto = iceberg for dotted table identifiers, parquet for paths",
+    )
+    p.add_argument(
+        "--snapshot-id", type=int, help="pin an iceberg snapshot (resume reads the same bytes)"
+    )
     p.add_argument("--gen", type=int, help="synthesize N pages instead of --input")
     p.add_argument("--output", required=True, help="index dataset dir")
     p.add_argument("--shards", type=int, default=1)
@@ -36,7 +45,11 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("kes-build-index")
     try:
         if args.input:
-            pages = spark.read.parquet(args.input)
+            from kafka_es_spark.sources.iceberg import read_pages_table
+
+            pages = read_pages_table(
+                spark, args.input, fmt=args.input_format, snapshot_id=args.snapshot_id
+            )
         else:
             from kafka_es_spark.sources.pages import gen_pages_distributed
 
