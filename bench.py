@@ -12,7 +12,12 @@ Methodology (same as tools/scaling_bench.py, per BENCH/BASELINE.md):
 - one full-size warmup build is discarded (JVM C2 + python-worker warmup
   dominates the first minutes of a session — a cold single run measures
   JVM startup, not the engine);
-- best of two measured builds is reported.
+- best of FOUR measured builds is reported: this host has multi-minute
+  co-tenant performance waves of up to 5-7x (BENCH/BASELINE.md), so
+  best-of-2 still landed inside a wave in round 2 (VERDICT r2 §wrong 2).
+- default corpus is 500k pages: big enough that the fixed per-build cost
+  (F ≈ 10 s of job barriers) stops dominating, small enough that warmup +
+  four measured builds fit the driver budget even through a host slow-wave.
 Corpus generation is excluded from all timed regions and cached across
 rounds at /tmp/kes_corpus_{N}.
 """
@@ -26,7 +31,7 @@ import sys
 import tempfile
 import time
 
-N_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "500000"))
 
 
 def main() -> None:
@@ -72,13 +77,13 @@ def main() -> None:
         return d
 
     try:
-        # --- index build (north-star metric): warmup discarded, best of 2 --
+        # --- index build (north-star metric): warmup discarded, best of 4 --
         t0 = time.time()
         one_build()
         queries["index_build_warmup"] = round(time.time() - t0, 3)
         build_times = []
         idx = None
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.time()
             idx = one_build()
             build_times.append(time.time() - t0)
@@ -126,7 +131,7 @@ def main() -> None:
                 {
                     "metric": (
                         f"steady-state index-build wall sec for {N_PAGES} parquet-backed "
-                        f"pages on local[{cpus}], warmup discarded, best of 2 "
+                        f"pages on local[{cpus}], warmup discarded, best of 4 "
                         f"(docs_per_sec={round(N_PAGES / build_sec, 1)}); per-query sec alongside"
                     ),
                     "value": build_sec,

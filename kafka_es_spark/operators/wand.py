@@ -304,6 +304,7 @@ class Searcher:
                 "range_dls norms) — rebuild with build_index"
             )
         self.n_docs, self.avgdl, self.codec = st["n_docs"], st["avgdl"], st["codec"]
+        self.seg_bits = int(st.get("seg_bits", 17))
         # prune only when the index explicitly records the scheme this query
         # side computes (md5 hash32) — a legacy/mixed-scheme index falls back
         # to unpruned scans instead of silently skipping segments (ADVICE r2)
@@ -348,12 +349,20 @@ class Searcher:
             self.range_dls.unpersist()
 
     def _query_dls(self, segs: DataFrame) -> DataFrame:
-        """Range-dl rows for exactly the doc ranges the query touches. The
-        seg list comes from one tiny job over the (pruned, persisted)
-        segment rows; the IN filter prunes the range_dls scan the same way
+        """Range-dl rows for the doc ranges the query touches.
+
+        Small index (≤1024 ranges total — from n_docs/2^seg_bits, pure
+        driver arithmetic, no job): return the whole (persisted) relation;
+        the cogroup only materializes groups and a per-query seg-list
+        collect would cost more than it prunes. Large index: one tiny job
+        over the (pruned, persisted) segment rows yields the query's seg
+        list and the IN filter prunes the range_dls scan the same way
         buckets prune postings. Head-term queries touch every range —
         above 10k segs the filter is skipped (full scan is the right plan
         there anyway, and a 10⁵-literal IN list would bloat the plan)."""
+        n_segs_total = (self.n_docs + (1 << self.seg_bits) - 1) >> self.seg_bits
+        if n_segs_total <= 1024:
+            return self.range_dls
         qsegs = [r["seg"] for r in segs.select("seg").distinct().collect()]
         dls = self.range_dls
         if 0 < len(qsegs) <= 10_000:

@@ -102,12 +102,18 @@ def build_index(
     # cached (JVM regex recompute is cheaper than caching 60× more strings).
     # At cluster scale: DISK_ONLY or checkpoint the extracted-text dataset
     # (it is a deliverable of its own anyway).
+    t_ex = time.time()
     slim = extracted_pages(pages, extract_if_missing).persist()
     docs = assign_doc_ids(slim)  # the bucket-count job materializes `slim`
     _t = tokens(F.col("text"))
     docs = docs.select(
         "doc_id", "url", F.size(_t).cast("long").alias("dl"), _t.alias("terms")
     )
+    # not resume-gated (the persist must rebuild every run) — recorded so
+    # per-stage attribution covers the whole build, not just committed stages
+    man.commit("extract_docids", {"elapsed_sec": time.time() - t_ex})
+    if metrics is not None:
+        metrics.record_stage("extract_docids", time.time() - t_ex)
 
     # --- docmap + global stats (its own committed stage) -------------------
     docmap_dir = os.path.join(index_dir, "docmap")
@@ -143,12 +149,16 @@ def build_index(
         if metrics is not None:
             metrics.record_stage("docmap", time.time() - t0)
 
-    # --- range dl arrays (format 2: dl rides ONCE per doc, not per posting) --
+    # --- range dl arrays (format 2: dl rides ONCE per doc, not per posting).
+    # Derived from the WRITTEN docmap parquet — reading (doc_id, dl) back is
+    # a two-column scan; deriving from `docs` would re-tokenize the whole
+    # corpus just to recompute dl (measured ~4 s of the fixed per-build cost
+    # at 1M pages). --
     if not (resume and man.is_complete("range_dls")):
         t0 = time.time()
         rd_dir = os.path.join(index_dir, "range_dls")
         spimi.build_range_dls(
-            docs.select("doc_id", "dl"), seg_bits=seg_bits
+            spark.read.parquet(docmap_dir).select("doc_id", "dl"), seg_bits=seg_bits
         ).write.mode("overwrite").parquet(rd_dir)
         n_ranges = spark.read.parquet(rd_dir).count()
         man.commit("range_dls", {"ranges": int(n_ranges), "elapsed_sec": time.time() - t0})

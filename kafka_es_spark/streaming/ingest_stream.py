@@ -104,7 +104,7 @@ def append_epoch(
     # position-indexed (format 2)
     rd_out = os.path.join(index_dir, "range_dls", f"epoch={epoch}")
     spimi.build_range_dls(
-        docs.select("doc_id", "dl"), seg_bits=seg_bits
+        spark.read.parquet(dm_out).select("doc_id", "dl"), seg_bits=seg_bits
     ).write.mode("overwrite").parquet(rd_out)
 
     segs = spimi.build_segments_spimi(docs, seg_bits=seg_bits, codec=codec)

@@ -51,15 +51,21 @@ wi = tempfile.mkdtemp(prefix="kes_warm_")
 build_index(spark, pages, wi, n_term_buckets={cpus}); shutil.rmtree(wi)
 
 times = []
+stages_by_rep = []
 idx = None
 for rep in range(2):
     d = tempfile.mkdtemp(prefix="kes_scale_")
     t0 = time.time()
     build_index(spark, pages, d, n_term_buckets={cpus})
     times.append(time.time() - t0)
+    from kafka_es_spark.plans.manifest import Manifest
+    stages_by_rep.append({{
+        e["name"]: round(e.get("elapsed_sec", 0.0), 2) for e in Manifest(d).entries()
+    }})
     if idx: shutil.rmtree(idx, ignore_errors=True)
     idx = d
 build_sec = min(times)
+stages = stages_by_rep[times.index(build_sec)]
 
 s = Searcher(spark, idx)
 qs = ["data index search", "the crawl text", "kafka sink retry flush",
@@ -75,6 +81,7 @@ print("RESULT " + json.dumps({{
     "cpus": {cpus}, "build_sec": round(build_sec, 2),
     "docs_per_sec": round({n_pages} / build_sec, 1),
     "q_p50": round(lat[len(lat)//2], 3), "q_p99": round(lat[-1], 3),
+    "stages": stages,
     "topk": top,
 }}))
 shutil.rmtree(idx, ignore_errors=True)
@@ -168,6 +175,8 @@ def main() -> None:
         "rank_identical_across_sizes": True,
     }
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    stages_n = json.dumps(r_n.get("stages", {}))
+    stages_4n = json.dumps(r_4n.get("stages", {}))
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers (sandbox)
@@ -190,6 +199,12 @@ the sandbox substitution for the north rule's N→4N-executor criterion.
 
 All build samples: N={summary['all_build_secs'][str(n)]},
 4N={summary['all_build_secs'][str(4*n)]} (seconds).
+
+Per-stage seconds of each best build (manifest `elapsed_sec`; attributes
+where the non-scaling time lives):
+
+- N=local[{n}]: {stages_n}
+- 4N=local[{4*n}]: {stages_4n}
 
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8).
 
