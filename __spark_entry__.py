@@ -428,6 +428,44 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Data mixing: deterministic per-language keep-rates via the portable
+    hash (no RNG state — reruns, parallelism and the SQL oracle agree
+    row-for-row). en kept at 60%, de 30%, fr 100%, everything else dropped."""
+    from kafka_es_spark.operators.traindata import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.6, "de": 0.3, "fr": 1.0}, strata_col="lang"
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing: contiguous token bins (budget 512) by distributed
+    exclusive prefix sum (range-group partials -> driver offsets ->
+    broadcast join + bounded per-group window; no global single-partition
+    window)."""
+    from kafka_es_spark.operators.traindata import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def _q_windowed_counts(spark, sf_dir):
+    """A1's size/time batching surface, batch form: tumbling 10-minute
+    windows per event type (same aggregation expression the streaming
+    variant runs with a watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "600 seconds"), "event_type")
+        .agg(F.count("*").alias("n_actions"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).cast("long").alias("win_start"),
+            F.col("event_type"),
+            F.col("n_actions"),
+        )
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-ratio language ID heuristic."""
     from kafka_es_spark.functions.textstats import lang_id
@@ -485,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev1_sessionize": _q_sessionize,
         "mm1_image_features": _q_image_features,
         "mm2_audio_features": _q_audio_features,
+        "sp1_stratified_sample": _q_stratified_sample,
+        "pk1_pack_sequences": _q_pack_sequences,
+        "ev2_windowed_counts": _q_windowed_counts,
         "ts1_lang_id": _q_lang_id,
         "ts2_quality_features": _q_quality,
         "ts3_token_counts": _q_token_counts,
@@ -892,6 +933,31 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
 FROM s GROUP BY user_id, sess
 """,
         "sim2_lsh_ann_topk": _LSH_ANN_SQL,
+        "sp1_stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_h32_sql("'s1:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+  CASE lang WHEN 'en' THEN 600000 WHEN 'de' THEN 300000
+            WHEN 'fr' THEN 1000000 ELSE 0 END
+""",
+        # the oracle states the packing as ONE global window — DuckDB is
+        # single-node; the Spark side must reproduce it via the distributed
+        # prefix sum (group partials + offsets), so the comparison checks
+        # exactly the part that could go wrong
+        "pk1_pack_sequences": f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(floor(pe / 512.0) AS BIGINT) AS bin_id FROM p
+""",
+        "ev2_windowed_counts": """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       event_type, count(*) AS n_actions
+FROM events GROUP BY 1, 2
+""",
         # mm oracles: re-derive the arithmetic generators' feature series
         "mm1_image_features": """
 WITH m AS (

@@ -1,0 +1,99 @@
+"""Training-corpus assembly operators: deterministic sampling + sequence
+packing — the steps between "deduped, scored documents" and "token batches
+a trainer can consume".
+
+* ``stratified_sample`` — per-stratum (e.g. language) keep-rates applied
+  via the engine-portable md5 hash32 of the doc id: reproducible across
+  runs, engines and cluster sizes (no RNG state), O(1) per row, trivially
+  pushed into a scan. The standard data-mixing primitive.
+* ``pack_sequences`` — assign documents to fixed-token-budget bins by the
+  exclusive prefix sum of their token counts in a global deterministic
+  order (contiguous packing: bin = ⌊prefix/budget⌋; a doc crossing a
+  boundary starts in the earlier bin — greedy-split semantics, the
+  streaming formulation used when sequences are concatenated + chunked).
+  The prefix sum is computed DISTRIBUTED: range-group partial sums →
+  O(#groups) driver cumsum → broadcast offsets + per-group window cumsum,
+  never a single global window partition (which would serialize the whole
+  corpus through one task at 10^12 docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_es_spark.functions.tokenize import tokens
+from kafka_es_spark.operators.dedup import hash32
+
+RATE_DENOM = 1_000_000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Keep each row iff hash32(salt:id) mod 10⁶ < rate(stratum)·10⁶.
+    Strata missing from ``rates`` are dropped (rate 0). Deterministic —
+    the same (salt, id) always lands on the same side, so reruns,
+    different parallelism, and the SQL oracle agree row-for-row; distinct
+    salts give independent samples."""
+    h = hash32(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    m = F.create_map(
+        *[x for k, v in sorted(rates.items())
+          for x in (F.lit(k), F.lit(int(round(v * RATE_DENOM))))]
+    )
+    thr = F.coalesce(m[F.col(strata_col)], F.lit(0))
+    return docs.filter(F.pmod(h, F.lit(RATE_DENOM)) < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_bits: int = 10,
+) -> DataFrame:
+    """(doc_id, n_tokens, bin_id): contiguous token packing in doc-id order.
+
+    bin_id = ⌊(exclusive prefix sum of n_tokens) / budget⌋. Distributed
+    prefix sum: rows group by ``doc_id >> group_bits`` (dense ids → ranges
+    are contiguous in the packing order), per-group token sums are
+    collected (O(#groups) driver rows — 10⁶ groups at 10⁹ docs), the
+    driver computes exclusive group offsets, and each row's prefix is
+    offset(group) + a within-group window cumsum. No global single
+    -partition window anywhere; the per-group window is bounded at
+    2^group_bits rows."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("grp", F.shiftright("doc_id", group_bits))
+    gsums = {
+        int(r["grp"]): int(r["s"])
+        for r in d.groupBy("grp").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets = []
+    acc = 0
+    for g in sorted(gsums):
+        offsets.append((g, acc))
+        acc += gsums[g]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "grp long, grp_offset long")
+    # broadcast-joined offsets (NOT a literal map — 10⁶ groups would bloat
+    # the plan; a broadcast relation stays O(#groups) off-plan bytes)
+    d = d.join(F.broadcast(off_df), "grp", "left").withColumn(
+        "grp_offset", F.coalesce(F.col("grp_offset"), F.lit(0))
+    )
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    prefix_excl = (
+        F.col("grp_offset")
+        + F.sum("n_tokens").over(w)
+        - F.col("n_tokens")
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(prefix_excl / F.lit(budget)).cast("long").alias("bin_id"),
+    )

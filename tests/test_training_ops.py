@@ -519,3 +519,62 @@ def test_lsh_ann_planted_neighbor_recall(spark):
             got[r["query_id"]] = r["vec_id"]
         hits = sum(got.get(1000 + qi) == qi for qi in range(10))
         assert hits >= 9, f"portable={portable}: {got}"
+
+
+# --- corpus assembly: sampling + packing -------------------------------------
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    from kafka_es_spark.operators.traindata import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 0.5, "de": 0.25}
+    a = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs.repartition(13), rates).collect()}
+    assert a == b and a  # parallelism-invariant, non-empty
+    # unlisted strata are dropped entirely
+    langs = {r["lang"] for r in stratified_sample(docs, rates).select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    # realized rate tracks the target (hash uniformity; generous tolerance)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = stratified_sample(docs, rates).filter(F.col("lang") == "en").count()
+    assert abs(k_en / n_en - 0.5) < 0.15
+    # a different salt gives a different (independent) sample
+    c = {r["doc_id"] for r in stratified_sample(docs, rates, salt="s2").collect()}
+    assert c != a
+
+
+def test_pack_sequences_matches_naive_global_window(spark, sf_dir):
+    """The distributed prefix sum (group partials -> driver offsets ->
+    broadcast join + bounded window) must equal the naive one-window
+    packing at any parallelism and group size."""
+    from pyspark.sql import Window as W
+
+    from kafka_es_spark.functions.tokenize import tokens as tok
+    from kafka_es_spark.operators.traindata import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = (
+        docs.select("doc_id", F.size(tok("text")).cast("long").alias("n_tokens"))
+        .withColumn(
+            "pe",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("doc_id", "n_tokens", F.floor(F.col("pe") / 512).cast("long").alias("bin_id"))
+    )
+    want = {(r["doc_id"], r["n_tokens"], r["bin_id"]) for r in naive.collect()}
+    for gb in (4, 10):
+        got = {
+            (r["doc_id"], r["n_tokens"], r["bin_id"])
+            for r in pack_sequences(docs.repartition(7), budget=512, group_bits=gb).collect()
+        }
+        assert got == want, f"group_bits={gb}"
+    # bins fill to the budget: every bin except the last reaches >= budget
+    # when the NEXT doc is added (contiguity), and bin ids are dense
+    bins = sorted({b for _, _, b in want})
+    assert bins == list(range(len(bins)))
