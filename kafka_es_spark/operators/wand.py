@@ -80,6 +80,20 @@ class _Cursor:
             tf_l.append(tfs)
         self.ids = np.concatenate(ids_l)
         tfs = np.concatenate(tf_l)
+        # fancy indexing would silently gather WRONG dls for any id outside
+        # [dl_base, dl_base + len): negative offsets wrap, positives past the
+        # end only sometimes raise — exactly the silent-corruption mode of a
+        # mixed docmap/range_dls layout (ADVICE r3 #3). Validate hard.
+        if self.ids.size and (
+            int(self.ids[0]) < dl_base
+            or int(self.ids[-1]) >= dl_base + dl_arr.size
+        ):
+            raise ValueError(
+                f"posting doc ids [{int(self.ids[0])}, {int(self.ids[-1])}] "
+                f"fall outside the range-dl array [{dl_base}, "
+                f"{dl_base + dl_arr.size}): docmap/range_dls rows are missing "
+                "for this doc range (corrupt or mixed-layout index)"
+            )
         dls = dl_arr[self.ids - dl_base]
         self.contrib = _contrib(tfs, dls, w, avgdl, k1, b)
         last, maxtf, mindl = block_meta(self.ids, tfs, dls)
@@ -413,10 +427,18 @@ class Searcher:
         dls_rel = self._query_dls(segs)
 
         def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0 or len(dpdf) == 0:
+            if len(pdf) == 0:
                 return pd.DataFrame(
                     {"doc_id": pd.Series(dtype=np.int64),
                      "score": pd.Series(dtype=np.float64)}
+                )
+            if len(dpdf) == 0:
+                # postings exist for this doc range but no dl rows — never a
+                # legal state (dls derive from the same docmap); returning
+                # empty would silently drop the range's docs (ADVICE r3 #3)
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
                 )
             dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
             by_term: dict[str, list[dict]] = {}
@@ -491,11 +513,16 @@ class Searcher:
         dls_rel = self._query_dls(segs)
 
         def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0 or len(dpdf) == 0:
+            if len(pdf) == 0:
                 return pd.DataFrame(
                     {"query_id": pd.Series(dtype=np.int32),
                      "doc_id": pd.Series(dtype=np.int64),
                      "score": pd.Series(dtype=np.float64)}
+                )
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
                 )
             dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
             by_term: dict[str, list[dict]] = {}

@@ -4,8 +4,12 @@ pipeline: Kafka sink → ES bulk → ES index build, SURVEY.md §3.1).
 Layout of an index dataset at ``index_dir``:
 
     postings/shard=<i>/*.parquet   segment rows (spimi.SEGMENT_SCHEMA + bucket)
-    docmap/*.parquet               (doc_id, url, dl)
-    range_dls/*.parquet            per-doc-range dl arrays (norms analogue;
+    docmap/epoch=*/*.parquet       (doc_id, url, dl); epoch=base for the
+                                   batch unit, epoch=<n> per streaming epoch
+                                   (one uniform partitioned layout — mixed
+                                   flat+partitioned dirs silently drop the
+                                   flat files at partition discovery)
+    range_dls/epoch=*/*.parquet    per-doc-range dl arrays (norms analogue;
                                    format 2 — dl no longer rides per posting)
     term_stats/unit=*/*.parquet    (term, df, cf) PARTIALS (base + one per
                                    streaming epoch); readers sum per term
@@ -116,10 +120,16 @@ def build_index(
         metrics.record_stage("extract_docids", time.time() - t_ex)
 
     # --- docmap + global stats (its own committed stage) -------------------
+    # The batch unit writes under epoch=base so batch and streaming layouts
+    # are IDENTICAL: appending an epoch to a flat-file docmap would make
+    # Spark partition discovery silently resolve to the epoch subdirs only,
+    # losing the base corpus from every full docmap read (ADVICE r3 #1/#2).
     docmap_dir = os.path.join(index_dir, "docmap")
     if not (resume and man.is_complete("docmap")):
         t0 = time.time()
-        docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(docmap_dir)
+        docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(
+            os.path.join(docmap_dir, "epoch=base")
+        )
         dm = spark.read.parquet(docmap_dir)
         st = dm.agg(
             F.count("*").alias("n"),
@@ -159,8 +169,10 @@ def build_index(
         rd_dir = os.path.join(index_dir, "range_dls")
         spimi.build_range_dls(
             spark.read.parquet(docmap_dir).select("doc_id", "dl"), seg_bits=seg_bits
-        ).write.mode("overwrite").parquet(rd_dir)
-        n_ranges = spark.read.parquet(rd_dir).count()
+        ).write.mode("overwrite").parquet(os.path.join(rd_dir, "epoch=base"))
+        # range count is driver arithmetic over dense ids — no count job
+        st0 = load_stats(index_dir)
+        n_ranges = (int(st0["n_docs"]) + (1 << seg_bits) - 1) >> seg_bits
         man.commit("range_dls", {"ranges": int(n_ranges), "elapsed_sec": time.time() - t0})
         if metrics is not None:
             metrics.record_stage("range_dls", time.time() - t0)

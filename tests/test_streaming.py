@@ -229,6 +229,36 @@ def test_append_epoch_incremental_stats_and_partial_failure_replay(spark, tmp_pa
     assert after == before
 
 
+def test_batch_build_then_append_epoch_uniform_layout(spark, tmp_path):
+    """ADVICE r3 #1/#2: appending an epoch to a BATCH-built index must keep
+    the full docmap/range_dls visible (one uniform epoch=* layout — the old
+    mixed flat+partitioned layout made partition discovery silently resolve
+    to the epoch rows only) and wand_topk over base+epoch must be
+    rank-identical to the exhaustive oracle over the combined corpus."""
+    from kafka_es_spark.plans.build_index import build_index
+
+    idx = str(tmp_path / "mixidx")
+    p1 = gen_pages(spark, 120, seed=1, partitions=2)
+    p2 = gen_pages(spark, 80, seed=2, partitions=2)
+    build_index(spark, p1, idx, seg_bits=6, n_term_buckets=4)
+    append_epoch(spark, p2, idx, epoch=0, seg_bits=6, n_term_buckets=4)
+
+    # full reads see BOTH units
+    assert spark.read.parquet(os.path.join(idx, "docmap")).count() == 200
+    rd = spark.read.parquet(os.path.join(idx, "range_dls"))
+    assert rd.agg(F.sum("n")).collect()[0][0] == 200
+    assert load_stats(idx)["n_docs"] == 200
+
+    # rank-identity vs the exhaustive oracle over the union corpus
+    both = p1.unionByName(p2)
+    doc_terms = prepare_docs(both).select("doc_id", "url", "terms").toPandas()
+    want = exhaustive_topk_numpy(doc_terms, ["data", "index", "search"], k=10)
+    got = wand_topk(spark, idx, "data index search", k=10, round_to=None).collect()
+    assert len(got) == 10
+    for r, (_, ws) in zip(got, want):
+        assert r["score"] == pytest.approx(ws, abs=1e-10)
+
+
 def test_iceberg_source_gate_and_parquet_fallback(spark, tmp_path):
     """BASELINE input_hint: the pages loader reads Iceberg where the runtime
     jar exists and raises the documented NotImplementedError where it does
