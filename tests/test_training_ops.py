@@ -364,6 +364,41 @@ def test_ivf_ann_recall(spark, emb):
     assert rec >= 0.5
 
 
+def test_ivf_ann_portable_exactness_and_recall(spark, emb):
+    """Portable IVF (md5-derived centroids, integer-exact assignment):
+    full probe must equal the exact scorer, partial probe keeps useful
+    recall, and two runs are row-identical (no RNG state anywhere)."""
+    from kafka_es_spark.operators.similarity import ivf_ann_topk
+
+    qids = [0, 1, 2]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = _np_topk(emb.toPandas(), qids, k=5)
+    full = {}
+    for r in ivf_ann_topk(
+        emb, queries, k=5, n_clusters=8, n_probe=8, portable=True
+    ).collect():
+        full.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for q in qids:
+        assert [v for v, _ in full[q]] == [v for v, _ in exact[q]]
+    run = lambda: sorted(
+        tuple(r)
+        for r in ivf_ann_topk(
+            emb, queries, k=5, n_clusters=8, n_probe=3, portable=True
+        ).collect()
+    )
+    a = run()
+    assert a == run()  # deterministic across runs
+    part = {}
+    for qid, _, vid, _ in a:
+        part.setdefault(qid, set()).add(vid)
+    rec = sum(
+        len(part.get(q, set()) & {v for v, _ in exact[q]}) for q in qids
+    ) / (5 * len(qids))
+    assert rec >= 0.5
+
+
 def test_video_frame_sampling(spark):
     from kafka_es_spark.operators.multimodal import (
         MEDIA_SCHEMA,
