@@ -87,27 +87,26 @@ def _corpus_tag(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
-def _q_wand_topk(spark, sf_dir):
-    """X4/X5/X8 — full index path: SPIMI build (varint+block-max segments,
-    doc-range salted) then distributed block-max WAND top-k. Must be
-    rank-identical to the exhaustive x7 oracle: fetch 3k candidates then
-    re-rank by (rounded score desc, corpus doc_id asc) — the oracle's
-    ordering — so equal-score ties at the k boundary select the same docs."""
+def _ensure_index(spark, sf_dir) -> str:
+    """Build (once, content-keyed cache) the SPIMI index over the driver
+    corpus; returns the index dir. v2 in the path: a cached format-1 index
+    from an earlier round must never be picked up by the format-2 reader."""
     import os
 
-    from kafka_es_spark.operators.wand import wand_topk
     from kafka_es_spark.plans.build_index import build_index
     from kafka_es_spark.sources.pages import docs_as_pages
 
-    # v2 in the path: a cached format-1 index from an earlier round must
-    # never be picked up by the format-2 reader
     idx = f"/tmp/kafka_es_index_v2_{_corpus_tag(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
         build_index(spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8, n_term_buckets=8)
-    out = wand_topk(
-        spark, idx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True
-    )
-    # map internal dense doc ids back to the corpus doc_id carried in the url
+    return idx
+
+
+def _topk_by_corpus_id(out: DataFrame) -> DataFrame:
+    """Map internal dense doc ids back to the corpus doc_id carried in the
+    url and re-rank by (rounded score desc, corpus doc_id asc) — the
+    oracle's ordering — so equal-score ties at the k boundary select the
+    same docs."""
     return (
         out.select(
             F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
@@ -116,6 +115,34 @@ def _q_wand_topk(spark, sf_dir):
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(TOPK)
     )
+
+
+def _q_wand_topk(spark, sf_dir):
+    """X4/X5/X8 — full index path: SPIMI build (varint+block-max segments,
+    doc-range salted) then distributed block-max WAND top-k. Must be
+    rank-identical to the exhaustive x7 oracle: fetch 3k candidates so
+    boundary tie groups survive the re-rank (see _topk_by_corpus_id)."""
+    from kafka_es_spark.operators.wand import wand_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    out = wand_topk(
+        spark, idx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_wand_and_topk(spark, sf_dir):
+    """X8 conjunctive half (ES bool.must): every query term must match —
+    per-range posting-list INTERSECTION over the same index, same BM25
+    scores as OR-mode on the surviving docs (VERDICT r3 §next 4)."""
+    from kafka_es_spark.operators.wand import wand_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    out = wand_topk(
+        spark, idx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3,
+        with_url=True, mode="and",
+    )
+    return _topk_by_corpus_id(out)
 
 
 def _q_json_convert(spark, sf_dir):
@@ -509,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_doc_lengths": _q_doc_lengths,
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
+        "x8_and_topk": _q_wand_and_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -545,7 +573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = duckdb_tokens_sql("text")
 _QT = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
-def _bm25_sql(docs_rel: str = "documents") -> str:
+def _bm25_sql(docs_rel: str = "documents", conjunctive: bool = False) -> str:
+    # conjunctive (bool.must): keep only docs matching EVERY query term —
+    # tf is already one row per (doc, matched term), so the count(*) per
+    # doc equals the number of distinct matched terms
+    having = (
+        "HAVING count(*) = (SELECT count(*) FROM qt)" if conjunctive else ""
+    )
     return f"""
 WITH corpus AS (SELECT * FROM {docs_rel}),
 toks AS (
@@ -561,7 +595,7 @@ s AS (
          sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-  GROUP BY 1
+  GROUP BY 1 {having}
 )
 SELECT doc_id, round(score, 4) AS score FROM s
 ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
@@ -918,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "x7_bm25_topk": _BM25_SQL,
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
+        "x8_and_topk": _bm25_sql("documents", conjunctive=True),
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins
         "x9_upsert": _bm25_sql(

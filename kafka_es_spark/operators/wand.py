@@ -297,6 +297,38 @@ def blockmax_topk_vectorized(
     return [(int(uids[i]), float(sc[i])) for i in sel]
 
 
+def conjunctive_range_topk(
+    cursors: list[_Cursor], k: int, excluded: frozenset[int] | None = None
+) -> list[tuple[int, float]]:
+    """Conjunctive (AND / ES bool.must) top-k over one doc range: every
+    query term must match. The optimal plan is posting-list INTERSECTION
+    (cost ~ the shortest list — Lucene's ConjunctionDISI shape), then exact
+    scoring of the survivors; WAND-style pivoting buys nothing when all
+    terms are required. Cursors MUST be in sorted-term order: contributions
+    accumulate in cursor-index order, so scores are bit-identical to the
+    OR-mode scorers on the same docs."""
+    if not cursors or k <= 0:
+        return []
+    ids = cursors[0].ids
+    for c in cursors[1:]:
+        if ids.size == 0:
+            return []
+        ids = np.intersect1d(ids, c.ids, assume_unique=True)
+    if ids.size == 0:
+        return []
+    if excluded is not None and excluded:
+        dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+        ids = ids[~np.isin(ids, dead)]
+        if ids.size == 0:
+            return []
+    score = np.zeros(ids.size, dtype=np.float64)
+    for c in cursors:
+        pos = np.searchsorted(c.ids, ids)
+        score += c.contrib[pos]
+    sel = np.lexsort((ids, -score))[:k]
+    return [(int(ids[i]), float(score[i])) for i in sel]
+
+
 class Searcher:
     """Query engine over an index dataset. Loads stats once and keeps the
     (small) segment-row and term-stats relations persisted so repeated
@@ -387,10 +419,17 @@ class Searcher:
              with_url: bool = False, fetch_k: int | None = None,
              exclude_doc_ids: set[int] | None = None,
              exclude_urls: DataFrame | None = None,
-             algo: str = "vector") -> DataFrame:
+             algo: str = "vector", mode: str = "or") -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
         rounded-score boundary) without losing tied candidates.
+
+        ``mode="and"`` switches to conjunctive semantics (ES bool.must,
+        SURVEY §2.8 X8's other half): a doc must contain EVERY query term.
+        A term absent from the whole index ⇒ empty result; per range the
+        scorer intersects posting lists instead of pivoting. Scores of
+        surviving docs are identical to OR-mode scores (same contributions,
+        same accumulation order).
 
         exclude_doc_ids / exclude_urls (a DataFrame with a ``url`` column)
         are X9 delete tombstones, enforced INSIDE the scorer (skipped at
@@ -420,6 +459,9 @@ class Searcher:
         weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
         if not weights:
             return spark.createDataFrame([], TOPK_SCHEMA)
+        if mode == "and" and len(weights) < len(qterms):
+            # a required term has no postings anywhere — no doc can match
+            return spark.createDataFrame([], TOPK_SCHEMA)
         term_order = sorted(weights)
         avgdl, codec = self.avgdl, self.codec
 
@@ -444,12 +486,21 @@ class Searcher:
             by_term: dict[str, list[dict]] = {}
             for r in pdf.to_dict("records"):
                 by_term.setdefault(r["term"], []).append(r)
+            if mode == "and" and len(by_term) < len(term_order):
+                # some required term has no postings in this doc range —
+                # the intersection is empty, skip without decoding
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
             cursors = [
                 _Cursor(by_term[t], weights[t], avgdl, codec, dl_base, dl_arr)
                 for t in term_order
                 if t in by_term
             ]
-            if algo == "bmw":
+            if mode == "and":
+                top = conjunctive_range_topk(cursors, k, excluded=excluded)
+            elif algo == "bmw":
                 top = wand_range_topk(cursors, k, excluded=excluded)
             else:
                 top = blockmax_topk_vectorized(cursors, k, excluded=excluded)
@@ -567,10 +618,12 @@ def wand_topk(
     round_to: int | None = 4,
     with_url: bool = False,
     fetch_k: int | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """One-shot distributed block-max WAND top-k over an index dataset."""
     return Searcher(spark, index_dir, cache=False).topk(
-        query, k=k, round_to=round_to, with_url=with_url, fetch_k=fetch_k
+        query, k=k, round_to=round_to, with_url=with_url, fetch_k=fetch_k,
+        mode=mode,
     )
 
 

@@ -116,6 +116,40 @@ def test_wand_rank_identical_to_exhaustive(spark, index_dir, doc_terms, q):
         assert gs == pytest.approx(ws, abs=1e-10), f"score {gd} {q!r}"
 
 
+@pytest.mark.parametrize("q", ["data index search", "the data", "zzz data"])
+def test_and_mode_rank_identical_to_exhaustive_intersection(
+    spark, index_dir, doc_terms, q
+):
+    """Conjunctive (bool.must) semantics: results = docs containing EVERY
+    query term, scored identically to OR-mode (same contributions, same
+    accumulation order), ranked (score desc, doc_id asc)."""
+    qterms = sorted(set(q.split()))
+    # exhaustive: score over the full corpus (stats unchanged), then keep
+    # only docs where every query term occurs
+    full = exhaustive_topk_numpy(doc_terms, qterms, k=len(doc_terms))
+    has_all = set(doc_terms["doc_id"])
+    for t in qterms:
+        has_all &= {
+            d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+            if t in set(ts)
+        }
+    want = [(d, s) for d, s in full if d in has_all][:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wand_topk(spark, index_dir, q, k=10, round_to=None, mode="and").collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], f"doc ids differ for {q!r}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10), f"score {gd} {q!r}"
+
+
+def test_and_mode_empty_when_term_absent_from_index(spark, index_dir):
+    got = wand_topk(
+        spark, index_dir, "data qqqqzz", k=10, round_to=None, mode="and"
+    ).collect()
+    assert got == []
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")

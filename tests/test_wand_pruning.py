@@ -169,3 +169,65 @@ def test_bmw_exclusion_matches_bruteforce():
         cursors = [mk_cursor(ids, con, b) for (ids, con), b in zip(raw, blocks)]
         got = wand_range_topk(cursors, 3, excluded=excluded)
         assert got == want, f"trial={trial}"
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive (AND) mode — posting-list intersection semantics
+# ---------------------------------------------------------------------------
+
+
+def brute_and_topk(raw, k):
+    """Docs present in EVERY list, scored in cursor-index order."""
+    common = set(int(d) for d in raw[0][0])
+    for ids, _ in raw[1:]:
+        common &= set(int(d) for d in ids)
+    out = []
+    for d in sorted(common):
+        s = 0.0
+        for ids, con in raw:
+            j = int(np.searchsorted(ids, d))
+            s += float(con[j])
+        out.append((d, s))
+    out.sort(key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+def test_conjunctive_matches_brute_intersection():
+    from kafka_es_spark.operators.wand import conjunctive_range_topk
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        raw = []
+        for _ in range(rng.integers(2, 5)):
+            n = int(rng.integers(3, 40))
+            ids = np.sort(rng.choice(100, size=n, replace=False))
+            con = np.round(rng.uniform(0.1, 3.0, size=n), 6)
+            raw.append((ids.astype(np.int64), con))
+        cursors = [mk_cursor(ids, con, 4) for ids, con in raw]
+        k = int(rng.integers(1, 8))
+        got = conjunctive_range_topk(cursors, k)
+        want = brute_and_topk(raw, k)
+        assert got == want, f"trial {trial}"
+
+
+def test_conjunctive_empty_on_disjoint_lists():
+    from kafka_es_spark.operators.wand import conjunctive_range_topk
+
+    raw = [
+        ([1, 3, 5], [1.0, 1.0, 1.0]),
+        ([2, 4, 6], [1.0, 1.0, 1.0]),
+    ]
+    cursors = [mk_cursor(i, c, 2) for i, c in raw]
+    assert conjunctive_range_topk(cursors, 5) == []
+
+
+def test_conjunctive_excluded_docs_skipped():
+    from kafka_es_spark.operators.wand import conjunctive_range_topk
+
+    raw = [
+        ([1, 2, 3], [3.0, 2.0, 1.0]),
+        ([1, 2, 3], [3.0, 2.0, 1.0]),
+    ]
+    cursors = [mk_cursor(i, c, 2) for i, c in raw]
+    got = conjunctive_range_topk(cursors, 2, excluded=frozenset({1}))
+    assert got == [(2, 4.0), (3, 2.0)]
