@@ -22,8 +22,88 @@ Painless-script updates (BulkActionTests.kt:193-201) are out of scope
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# Pending tombstones are meant to be collected into the query closure
+# (the live-docs-bitset analogue). Past this many the set is no longer
+# "pending deletes since the last merge" — force a compaction instead of
+# silently shipping a giant closure to every task.
+MAX_PENDING_TOMBSTONES = 5_000_000
+
+
+def tombstone_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "_deletes")
+
+
+def add_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids=None,
+    urls: DataFrame | None = None,
+) -> int:
+    """X9 delete — persist tombstones IN the index dataset (``_deletes/
+    unit=*``, one unit per call): every Searcher opened afterwards excludes
+    them automatically, so the "small pending set" contract is enforced by
+    the format rather than by each caller (VERDICT r3 §next 7). ``doc_ids``
+    is an iterable or a DataFrame with a doc_id column; ``urls`` (a
+    DataFrame with a url column) resolves through the docmap. Returns the
+    number of tombstones written. Cleared by compaction."""
+    rels = []
+    if doc_ids is not None:
+        if isinstance(doc_ids, DataFrame):
+            rels.append(doc_ids.select(F.col("doc_id").cast("long")))
+        else:
+            rels.append(
+                spark.createDataFrame(
+                    [(int(d),) for d in doc_ids], "doc_id long"
+                )
+            )
+    if urls is not None:
+        dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
+        rels.append(
+            dm.join(F.broadcast(urls.select("url").distinct()), "url").select(
+                F.col("doc_id").cast("long")
+            )
+        )
+    if not rels:
+        return 0
+    rel = rels[0]
+    for r in rels[1:]:
+        rel = rel.unionByName(r)
+    rel = rel.distinct()
+    unit = f"unit={int(time.time() * 1000)}"
+    out = os.path.join(tombstone_dir(index_dir), unit)
+    rel.write.mode("overwrite").parquet(out)
+    return rel.count()
+
+
+def read_tombstone_ids(spark: SparkSession, index_dir: str) -> frozenset[int]:
+    """All pending tombstoned doc_ids (empty set if none). Raises above
+    MAX_PENDING_TOMBSTONES — at that point run compact_index."""
+    d = tombstone_dir(index_dir)
+    if not os.path.isdir(d) or not any(
+        n.startswith("unit=") for n in os.listdir(d)
+    ):
+        return frozenset()
+    rel = spark.read.parquet(d).select("doc_id").distinct()
+    n = rel.count()
+    if n > MAX_PENDING_TOMBSTONES:
+        raise ValueError(
+            f"{n} pending tombstones exceed MAX_PENDING_TOMBSTONES "
+            f"({MAX_PENDING_TOMBSTONES}); run compaction.compact_index to "
+            "fold deletes into the segments before querying"
+        )
+    return frozenset(int(r["doc_id"]) for r in rel.collect())
+
+
+def clear_tombstones(index_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(tombstone_dir(index_dir), ignore_errors=True)
 
 
 def apply_tombstones(df: DataFrame, tombstones: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -336,12 +336,21 @@ class Searcher:
     does with its open index readers. One-shot use: ``wand_topk``."""
 
     def __init__(self, spark: SparkSession, index_dir: str, cache: bool = True):
+        from kafka_es_spark.operators.compaction import recover_swap_dirs
+        from kafka_es_spark.operators.deletes import read_tombstone_ids
         from kafka_es_spark.plans.build_index import load_stats
 
         self.spark = spark
         self.index_dir = index_dir
         from kafka_es_spark.plans.build_index import BUCKET_SCHEME
 
+        # a crash inside a compaction swap window leaves a relation under
+        # X.old with no X — repair before reading anything
+        recover_swap_dirs(index_dir)
+        # pending delete tombstones persisted in the index (_deletes/):
+        # applied to every query from this Searcher — the format enforces
+        # the exclusion, callers need not thread the set through
+        self.persistent_excluded = read_tombstone_ids(spark, index_dir)
         st = load_stats(index_dir)
         if st.get("format") != 2:
             raise ValueError(
@@ -441,7 +450,10 @@ class Searcher:
 
         k = max(k, fetch_k or 0)
         spark = self.spark
-        excluded = frozenset(int(d) for d in (exclude_doc_ids or ()))
+        excluded = (
+            frozenset(int(d) for d in (exclude_doc_ids or ()))
+            | self.persistent_excluded
+        )
         if exclude_urls is not None:
             import os as _os
 
@@ -559,7 +571,10 @@ class Searcher:
         if not weights:
             return spark.createDataFrame([], out_schema)
         avgdl, codec = self.avgdl, self.codec
-        excluded = frozenset(int(d) for d in (exclude_doc_ids or ())) or None
+        excluded = (
+            frozenset(int(d) for d in (exclude_doc_ids or ()))
+            | self.persistent_excluded
+        ) or None
         segs = self._query_segs(list(weights))
         dls_rel = self._query_dls(segs)
 

@@ -68,7 +68,12 @@ def append_epoch(
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     name = f"epoch-{epoch:08d}"
-    if man.is_complete(name):
+    dm_entry = man.read("docmap")
+    folded = set((dm_entry or {}).get("folded_epochs", []))
+    if man.is_complete(name) or name in folded:
+        # committed directly, or absorbed into the base by a compaction
+        # whose entry file cleanup already ran — either way a replay is a
+        # no-op (exactly-once under foreachBatch replay)
         return None
     t0 = time.time()
     stats = _read_stats(index_dir)
@@ -77,12 +82,17 @@ def append_epoch(
     # manifest commit would otherwise inflate the base on replay, punching a
     # hole in the dense id space (format 2's range-dl contiguity contract).
     # Committed entries only ⇒ a replayed epoch re-derives the exact same
-    # base and overwrites its own files — true idempotence.
+    # base and overwrites its own files — true idempotence. Epochs already
+    # folded into the base by compaction are excluded (the base entry's
+    # docs_allocated carries their ids — dead slots included, so a new
+    # epoch can never collide with a compacted-away id).
     committed = [
         e for e in man.entries()
-        if e["name"] == "docmap" or e["name"].startswith("epoch-")
+        if e["name"] == "docmap"
+        or (e["name"].startswith("epoch-") and e["name"] not in folded)
     ]
-    base = sum(int(e.get("docs", 0)) for e in committed)
+    base = sum(int(e.get("docs_allocated", e.get("docs", 0))) for e in committed)
+    prev_docs_live = sum(int(e.get("docs", 0)) for e in committed)
     prev_tokens = sum(int(e.get("tokens", 0)) for e in committed)
 
     slim = extracted_pages(batch).persist()
@@ -137,7 +147,7 @@ def append_epoch(
         F.count("*").alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
     ep_docs, ep_tokens = int(ep["n"]), int(ep["s"] or 0)
-    n_docs_total = base + ep_docs
+    n_docs_total = prev_docs_live + ep_docs  # live docs (stats), not allocated
     tokens_total = prev_tokens + ep_tokens
     st = {
         "n": n_docs_total,
@@ -193,7 +203,13 @@ def compact_stats(spark: SparkSession, index_dir: str) -> None:
     explicit compaction that replaces the per-epoch full recompute the old
     design paid. O(index) by definition; run it when epoch-partial count
     (not correctness — partial sums are exact) makes query-side metadata
-    reads slow. Swap is via rename for atomicity."""
+    reads slow.
+
+    The swap is TWO renames, not one — concurrent readers must be quiesced
+    for the window (same contract as compaction.compact_index, whose
+    ``recover_swap_dirs`` repairs a crash inside it: term_stats restored
+    from .old, dangling .new dropped). Full-index compaction including
+    postings/tombstones lives in ``operators.compaction``."""
     import shutil as _shutil
 
     ts_dir = os.path.join(index_dir, "term_stats")
@@ -202,7 +218,7 @@ def compact_stats(spark: SparkSession, index_dir: str) -> None:
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
-    tmp = ts_dir + ".compacting"
+    tmp = ts_dir + ".new"
     _shutil.rmtree(tmp, ignore_errors=True)
     agg.write.mode("overwrite").parquet(os.path.join(tmp, "unit=base"))
     old = ts_dir + ".old"
