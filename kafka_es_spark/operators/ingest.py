@@ -23,8 +23,13 @@ tests in ActorsTests.kt:35-43).
 
 from __future__ import annotations
 
+import logging
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 NON_RETRIABLE_ERRORS = [
     # ElasticsearchBulkSender.kt:51-92 — fatal per-item error types
@@ -415,20 +420,35 @@ def resend_with_backoff(
             pending, bulk_size=bulk_size, concurrency=concurrency, **route_kw
         ).localCheckpoint()
         try:
+            # the retry scope covers ONLY the transport step; the eager
+            # localCheckpoint forces a lazy send_fn to actually run its
+            # transport here, so its failures land inside this scope
             responses = send_fn(numbered)
-            items = parse_bulk_response(
-                responses.select("route_group", "bulk_id", "response")
-            )
-            classified = classify_bulk_results(
-                zip_bulk_items(numbered, items)
+            responses = responses.select(
+                "route_group", "bulk_id", "response"
             ).localCheckpoint()
-        except Exception:
+        except (AnalysisException, KeyError, TypeError, AttributeError):
+            # schema mismatches / programming defects are NOT transport
+            # failures — retrying would silently misclassify a genuine bug
+            # as "exhausted after N attempts" with no diagnostic (ADVICE r3)
+            raise
+        except Exception as e:
             # whole-bulk transport failure (thrown IOError/timeout instead of
             # a response frame): the entire attempt is retriable with the
             # same backoff — the reference retries the whole bulk on a failed
             # POST (Actors.kt:236-246), not just per-item 429s. `pending`
             # stays unchanged; if attempts run out it is returned exhausted.
+            _log.warning(
+                "bulk send attempt %d/%d failed, backing off: %r",
+                attempt + 1, max_attempts, e,
+            )
             continue
+        # parse/zip/classify run OUTSIDE the retry scope: a defect there is
+        # a bug in this pipeline, never a reason to resend the bulk
+        items = parse_bulk_response(responses)
+        classified = classify_bulk_results(
+            zip_bulk_items(numbered, items)
+        ).localCheckpoint()
         keep = action_cols + ["status", "error_type", "outcome"]
         ok_parts.append(classified.filter(F.col("outcome") == "ok").select(*keep))
         fatal_parts.append(classified.filter(F.col("outcome") == "fatal").select(*keep))

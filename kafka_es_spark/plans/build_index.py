@@ -38,7 +38,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_es_spark.functions.extract import extract_text
@@ -127,15 +127,22 @@ def build_index(
     docmap_dir = os.path.join(index_dir, "docmap")
     if not (resume and man.is_complete("docmap")):
         t0 = time.time()
-        docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(
-            os.path.join(docmap_dir, "epoch=base")
+        # global stats ride the write job via Observation — the old
+        # read-back agg was a whole extra job (~0.5 s of the flat per-build
+        # cost the scaling number pays at every corpus size)
+        obs = Observation()
+        (
+            docs.select("doc_id", "url", "dl")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("tok"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(docmap_dir, "epoch=base"))
         )
-        dm = spark.read.parquet(docmap_dir)
-        st = dm.agg(
-            F.count("*").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("tok"),
-        ).collect()[0]
+        st = obs.get
         stats = {
             "format": 2,
             "n_docs": int(st["n"]),
@@ -204,19 +211,26 @@ def build_index(
             "bucket", F.pmod(hash32(F.col("term")), F.lit(n_term_buckets))
         )
         out = os.path.join(index_dir, "postings", f"shard={shard}")
+        # counters observed on the write itself (no read-back job); `terms`
+        # is approx_count_distinct — exact distinct is disallowed inside
+        # observe, and the counter is observability, not a correctness input
+        obs = Observation()
         (
             segs.repartition(n_term_buckets, "bucket")
             .sortWithinPartitions("term", "seg")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("segments"),
+                F.approx_count_distinct("term").alias("terms"),
+                F.sum("df_seg").alias("postings"),
+                F.sum(
+                    F.octet_length("docs_blob") + F.octet_length("tfs_blob")
+                ).alias("bytes"),
+            )
             .write.mode("overwrite")
             .parquet(out)
         )
-        # counters from the (small) written segment rows — durable before commit
-        c = spark.read.parquet(out).agg(
-            F.count("*").alias("segments"),
-            F.count_distinct("term").alias("terms"),
-            F.sum("df_seg").alias("postings"),
-            F.sum(F.octet_length("docs_blob") + F.octet_length("tfs_blob")).alias("bytes"),
-        ).collect()[0]
+        c = obs.get
         man.commit(
             name,
             {
@@ -238,14 +252,18 @@ def build_index(
         t0 = time.time()
         all_segs = spark.read.parquet(os.path.join(index_dir, "postings"))
         ts_dir = os.path.join(index_dir, "term_stats")
+        obs = Observation()
         (
             all_segs.groupBy("term")
             .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
+            .observe(obs, F.count(F.lit(1)).alias("terms"))
             .write.mode("overwrite")
             .parquet(os.path.join(ts_dir, "unit=base"))
         )
-        n_terms = spark.read.parquet(ts_dir).count()
-        man.commit("term_stats", {"terms": int(n_terms), "elapsed_sec": time.time() - t0})
+        man.commit(
+            "term_stats",
+            {"terms": int(obs.get["terms"]), "elapsed_sec": time.time() - t0},
+        )
 
     slim.unpersist()
     return {e["name"]: e for e in man.entries()}

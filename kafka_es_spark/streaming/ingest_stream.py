@@ -107,7 +107,15 @@ def append_epoch(
     )
 
     dm_out = os.path.join(index_dir, "docmap", f"epoch={epoch}")
-    docs.select("doc_id", "url", "dl").write.mode("overwrite").parquet(dm_out)
+    from pyspark.sql import Observation
+
+    dm_obs = Observation()
+    (
+        docs.select("doc_id", "url", "dl")
+        .observe(dm_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .write.mode("overwrite")
+        .parquet(dm_out)
+    )
 
     # per-epoch range dl rows: epoch doc-id ranges are contiguous (dense ids
     # from the manifest base), so query-side concatenation per seg stays
@@ -136,16 +144,20 @@ def append_epoch(
     # committed manifest counters + this epoch's docmap — no full docmap
     # scan, no full postings scan, constant work per micro-batch over the
     # stream's lifetime. ``compact_stats`` collapses partials on demand.
-    ep_segs = spark.read.parquet(out)
+    seg_obs = Observation()
     (
-        ep_segs.groupBy("term")
+        spark.read.parquet(out)
+        .observe(
+            seg_obs,
+            F.count(F.lit(1)).alias("segments"),
+            F.sum("df_seg").alias("postings"),
+        )
+        .groupBy("term")
         .agg(F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf"))
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, "term_stats", f"unit={name}"))
     )
-    ep = spark.read.parquet(dm_out).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("s")
-    ).collect()[0]
+    ep = dm_obs.get  # observed on the docmap write — no read-back job
     ep_docs, ep_tokens = int(ep["n"]), int(ep["s"] or 0)
     n_docs_total = prev_docs_live + ep_docs  # live docs (stats), not allocated
     tokens_total = prev_tokens + ep_tokens
@@ -182,10 +194,7 @@ def append_epoch(
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(new_stats, f)
 
-    c = ep_segs.agg(
-        F.count("*").alias("segments"),
-        F.sum("df_seg").alias("postings"),
-    ).collect()[0]
+    c = seg_obs.get  # observed under the term-stats partial write
     counters = {
         "docs": ep_docs,
         "tokens": ep_tokens,

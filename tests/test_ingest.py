@@ -363,6 +363,42 @@ def test_resend_with_backoff_thrown_transport_error(spark):
     assert sorted(r["id"] for r in exhausted2.collect()) == ["1", "2"]
 
 
+def test_resend_with_backoff_non_transient_errors_propagate(spark):
+    """K4 — a programming/schema defect in the sender must RAISE, not be
+    silently misclassified as N exhausted transport attempts (ADVICE r3):
+    KeyError (bug in send_fn) and a missing response column
+    (AnalysisException) both escape the retry loop on the first attempt."""
+    from kafka_es_spark.operators.ingest import resend_with_backoff
+
+    actions = spark.createDataFrame(
+        [("1", "idx", None, '{"f":1}', "index")],
+        "id string, index string, routing string, source string, op string",
+    )
+    calls = {"n": 0}
+
+    def buggy(numbered):
+        calls["n"] += 1
+        raise KeyError("missing-field")
+
+    with pytest.raises(KeyError):
+        resend_with_backoff(actions, buggy, max_attempts=3, sleep_fn=lambda s: None)
+    assert calls["n"] == 1  # no retries of a genuine bug
+
+    def wrong_schema(numbered):
+        calls["n"] += 1
+        # no 'response' column -> AnalysisException at the select
+        return numbered.select("route_group", "bulk_id")
+
+    calls["n"] = 0
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        resend_with_backoff(
+            actions, wrong_schema, max_attempts=3, sleep_fn=lambda s: None
+        )
+    assert calls["n"] == 1
+
+
 def test_cosine_blocked_size_guard(spark):
     from kafka_es_spark.operators.similarity import cosine_near_pairs_blocked
 
