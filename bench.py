@@ -105,6 +105,10 @@ def main() -> None:
         lat.sort()
         queries["wand_query_p50"] = round(lat[len(lat) // 2], 3)
         queries["wand_query_max"] = round(lat[-1], 3)
+        # conjunctive (bool.must) serving: intersection scorer, same index
+        t0 = time.time()
+        searcher.topk(qs[0], k=10, mode="and").collect()
+        queries["wand_and_query"] = round(time.time() - t0, 3)
         # batch serving: one job for the whole query set — amortized per-query
         t0 = time.time()
         searcher.topk_many(qs, k=10).collect()
