@@ -145,6 +145,20 @@ def _q_wand_and_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+def _q_wand_msm_topk(spark, sf_dir):
+    """X8 minimum_should_match (ES bool minimum_should_match): a doc must
+    match >= 2 of the 3 query terms — the vectorized counting scorer over
+    the same index; m=1 is OR, m=#terms is AND."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).topk(
+        " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True,
+        min_should_match=2,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -537,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
         "x8_and_topk": _q_wand_and_topk,
+        "x8_msm_topk": _q_wand_msm_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -573,13 +588,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = duckdb_tokens_sql("text")
 _QT = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
-def _bm25_sql(docs_rel: str = "documents", conjunctive: bool = False) -> str:
+def _bm25_sql(
+    docs_rel: str = "documents",
+    conjunctive: bool = False,
+    min_match: int | None = None,
+) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
-    # doc equals the number of distinct matched terms
-    having = (
-        "HAVING count(*) = (SELECT count(*) FROM qt)" if conjunctive else ""
-    )
+    # doc equals the number of distinct matched terms; min_match is the
+    # bool minimum_should_match generalization (>= m of them)
+    having = ""
+    if conjunctive:
+        having = "HAVING count(*) = (SELECT count(*) FROM qt)"
+    elif min_match is not None:
+        having = f"HAVING count(*) >= {int(min_match)}"
     return f"""
 WITH corpus AS (SELECT * FROM {docs_rel}),
 toks AS (
@@ -953,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
         "x8_and_topk": _bm25_sql("documents", conjunctive=True),
+        "x8_msm_topk": _bm25_sql("documents", min_match=2),
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins
         "x9_upsert": _bm25_sql(

@@ -329,6 +329,39 @@ def conjunctive_range_topk(
     return [(int(ids[i]), float(score[i])) for i in sel]
 
 
+def msm_range_topk(
+    cursors: list[_Cursor],
+    k: int,
+    min_match: int,
+    excluded: frozenset[int] | None = None,
+) -> list[tuple[int, float]]:
+    """minimum_should_match top-k over one doc range: a doc qualifies iff it
+    matches at least ``min_match`` of the query terms (ES bool
+    minimum_should_match; min_match=1 ≡ OR, =len(cursors) ≡ AND). One
+    vectorized pass over the range's postings: unique doc ids with
+    per-term membership counts, qualifying docs scored by np.add.at in
+    cursor-index order (bit-identical accumulation to the other scorers).
+    No block-max pruning — an upper bound over "any ≥m subset" is much
+    weaker than WAND's, and a range is ≤ 2^seg_bits postings per term by
+    construction, so the exhaustive pass stays bounded."""
+    if not cursors or k <= 0 or min_match > len(cursors):
+        return []
+    aid = np.concatenate([c.ids for c in cursors])
+    acon = np.concatenate([c.contrib for c in cursors])
+    uids, inv, cnt = np.unique(aid, return_inverse=True, return_counts=True)
+    sc = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(sc, inv, acon)
+    keep = cnt >= min_match
+    if excluded is not None and excluded:
+        dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+        keep &= ~np.isin(uids, dead)
+    uids, sc = uids[keep], sc[keep]
+    if uids.size == 0:
+        return []
+    sel = np.lexsort((uids, -sc))[:k]
+    return [(int(uids[i]), float(sc[i])) for i in sel]
+
+
 class Searcher:
     """Query engine over an index dataset. Loads stats once and keeps the
     (small) segment-row and term-stats relations persisted so repeated
@@ -428,7 +461,8 @@ class Searcher:
              with_url: bool = False, fetch_k: int | None = None,
              exclude_doc_ids: set[int] | None = None,
              exclude_urls: DataFrame | None = None,
-             algo: str = "vector", mode: str = "or") -> DataFrame:
+             algo: str = "vector", mode: str = "or",
+             min_should_match: int | None = None) -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
         rounded-score boundary) without losing tied candidates.
@@ -439,6 +473,12 @@ class Searcher:
         scorer intersects posting lists instead of pivoting. Scores of
         surviving docs are identical to OR-mode scores (same contributions,
         same accumulation order).
+
+        ``min_should_match=m`` (ES bool minimum_should_match) requires a
+        doc to match at least m of the query's distinct terms — m=1 is
+        plain OR, m=#terms is AND; intermediate m uses the vectorized
+        counting scorer (msm_range_topk). Mutually exclusive with
+        mode="and" (which is the m=#terms special case).
 
         exclude_doc_ids / exclude_urls (a DataFrame with a ``url`` column)
         are X9 delete tombstones, enforced INSIDE the scorer (skipped at
@@ -474,6 +514,15 @@ class Searcher:
         if mode == "and" and len(weights) < len(qterms):
             # a required term has no postings anywhere — no doc can match
             return spark.createDataFrame([], TOPK_SCHEMA)
+        msm = min_should_match
+        if msm is not None and (msm < 1 or mode == "and"):
+            raise ValueError(
+                "min_should_match must be >= 1 and combines with mode='or' "
+                "(mode='and' IS min_should_match=#terms)"
+            )
+        if msm is not None and len(weights) < msm:
+            # fewer terms exist in the index than the match floor requires
+            return spark.createDataFrame([], TOPK_SCHEMA)
         term_order = sorted(weights)
         avgdl, codec = self.avgdl, self.codec
 
@@ -498,9 +547,11 @@ class Searcher:
             by_term: dict[str, list[dict]] = {}
             for r in pdf.to_dict("records"):
                 by_term.setdefault(r["term"], []).append(r)
-            if mode == "and" and len(by_term) < len(term_order):
-                # some required term has no postings in this doc range —
-                # the intersection is empty, skip without decoding
+            if (mode == "and" and len(by_term) < len(term_order)) or (
+                msm is not None and len(by_term) < msm
+            ):
+                # this doc range can't host a qualifying doc — skip
+                # without decoding anything
                 return pd.DataFrame(
                     {"doc_id": pd.Series(dtype=np.int64),
                      "score": pd.Series(dtype=np.float64)}
@@ -512,6 +563,8 @@ class Searcher:
             ]
             if mode == "and":
                 top = conjunctive_range_topk(cursors, k, excluded=excluded)
+            elif msm is not None and msm > 1:
+                top = msm_range_topk(cursors, k, msm, excluded=excluded)
             elif algo == "bmw":
                 top = wand_range_topk(cursors, k, excluded=excluded)
             else:
@@ -542,14 +595,16 @@ class Searcher:
         k: int = 10,
         round_to: int | None = 4,
         exclude_doc_ids: set[int] | None = None,
+        mode: str = "or",
     ) -> DataFrame:
         """Batch query API: score a whole query batch in ONE Spark job —
         (query_id, doc_id, score) rows, top-k per query. A serving engine
         amortizes job scheduling/exchange over the batch: per-query cost
         collapses to the scorer itself. Term weights (idf) are
         query-independent, so per-range cursors are decoded ONCE and reused
-        by every query; the vectorized scorer is read-only over them.
-        query_id = position in ``queries``."""
+        by every query; both scorers are read-only over them.
+        query_id = position in ``queries``. ``mode="and"`` applies
+        conjunctive (bool.must) semantics to every query in the batch."""
         from kafka_es_spark.functions.tokenize import tokenize_py
 
         spark = self.spark
@@ -603,7 +658,13 @@ class Searcher:
                 qc = [cursors[t] for t in qts if t in cursors]
                 if not qc:
                     continue
-                for d, s in blockmax_topk_vectorized(qc, k, excluded=excluded):
+                if mode == "and":
+                    if len(qc) < len(qts):
+                        continue  # a required term is absent in this range
+                    top = conjunctive_range_topk(qc, k, excluded=excluded)
+                else:
+                    top = blockmax_topk_vectorized(qc, k, excluded=excluded)
+                for d, s in top:
                     out_rows.append((qid, d, s))
             return pd.DataFrame(out_rows, columns=["query_id", "doc_id", "score"])
 

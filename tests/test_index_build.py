@@ -143,6 +143,63 @@ def test_and_mode_rank_identical_to_exhaustive_intersection(
         assert gs == pytest.approx(ws, abs=1e-10), f"score {gd} {q!r}"
 
 
+def test_msm_mode_rank_identical_to_exhaustive_counting(
+    spark, index_dir, doc_terms
+):
+    """minimum_should_match=2 of 3 terms: results = docs matching >= 2
+    distinct query terms, scored like OR-mode."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    full = exhaustive_topk_numpy(doc_terms, qterms, k=len(doc_terms))
+    n_match = {}
+    for t in qterms:
+        for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"]):
+            if t in set(ts):
+                n_match[d] = n_match.get(d, 0) + 1
+    want = [(d, s) for d, s in full if n_match.get(d, 0) >= 2][:10]
+    s = Searcher(spark, index_dir, cache=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, min_should_match=2).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10)
+    # m=1 ≡ plain OR
+    got1 = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, min_should_match=1).collect()
+    ]
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None).collect()
+    ]
+    assert got1 == plain
+    # invalid combinations refuse
+    with pytest.raises(ValueError, match="min_should_match"):
+        s.topk(q, min_should_match=2, mode="and").collect()
+
+
+def test_topk_many_and_mode(spark, index_dir, doc_terms):
+    """Batch API conjunctive parity: topk_many(mode='and') per query equals
+    the single-query AND path."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    qs = ["data index search", "the data"]
+    s = Searcher(spark, index_dir, cache=False)
+    batch = {}
+    for r in s.topk_many(qs, k=10, round_to=None, mode="and").collect():
+        batch.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, q in enumerate(qs):
+        single = [
+            (r["doc_id"], r["score"])
+            for r in s.topk(q, k=10, round_to=None, mode="and").collect()
+        ]
+        assert batch.get(i, []) == single, q
+
+
 def test_and_mode_empty_when_term_absent_from_index(spark, index_dir):
     got = wand_topk(
         spark, index_dir, "data qqqqzz", k=10, round_to=None, mode="and"

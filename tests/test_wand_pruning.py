@@ -231,3 +231,50 @@ def test_conjunctive_excluded_docs_skipped():
     cursors = [mk_cursor(i, c, 2) for i, c in raw]
     got = conjunctive_range_topk(cursors, 2, excluded=frozenset({1}))
     assert got == [(2, 4.0), (3, 2.0)]
+
+
+def brute_msm_topk(raw, k, m):
+    """Docs matching >= m lists, scored in cursor-index order."""
+    from collections import Counter
+
+    cnt = Counter()
+    for ids, _ in raw:
+        for d in ids:
+            cnt[int(d)] += 1
+    out = []
+    for d in sorted(d for d, c in cnt.items() if c >= m):
+        s = 0.0
+        for ids, con in raw:
+            j = int(np.searchsorted(ids, d))
+            if j < len(ids) and ids[j] == d:
+                s += float(con[j])
+        out.append((d, s))
+    out.sort(key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+def test_msm_matches_brute_counting():
+    from kafka_es_spark.operators.wand import msm_range_topk
+
+    rng = np.random.default_rng(9)
+    for trial in range(20):
+        n_lists = int(rng.integers(2, 6))
+        raw = []
+        for _ in range(n_lists):
+            n = int(rng.integers(3, 40))
+            ids = np.sort(rng.choice(80, size=n, replace=False))
+            con = np.round(rng.uniform(0.1, 3.0, size=n), 6)
+            raw.append((ids.astype(np.int64), con))
+        cursors = [mk_cursor(ids, con, 4) for ids, con in raw]
+        k = int(rng.integers(1, 8))
+        m = int(rng.integers(1, n_lists + 1))
+        got = msm_range_topk(cursors, k, m)
+        want = brute_msm_topk(raw, k, m)
+        assert got == want, f"trial {trial} m={m}"
+    # boundary equivalences: m=1 == OR (all docs), m=n == AND
+    from kafka_es_spark.operators.wand import conjunctive_range_topk
+
+    cursors = [mk_cursor(ids, con, 4) for ids, con in raw]
+    assert msm_range_topk(cursors, 50, len(raw)) == conjunctive_range_topk(
+        [mk_cursor(i, c, 4) for i, c in raw], 50
+    )
