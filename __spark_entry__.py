@@ -159,6 +159,29 @@ def _q_wand_msm_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+PHRASE = ["part", "filter"]  # bigram present at every driver scale
+
+
+def _q_phrase_topk(spark, sf_dir):
+    """X8 phrase (ES match_phrase, slop=0): exact-adjacency matching over
+    the positional relation (positions/ — per-doc delta-encoded token
+    positions beside the postings). Weight = Σ slot idf (Lucene
+    PhraseQuery), tf = phrase occurrences, BM25 saturation vs dl."""
+    import os
+
+    from kafka_es_spark.operators.positions import build_position_index, phrase_topk
+    from kafka_es_spark.plans.manifest import Manifest
+    from kafka_es_spark.sources.pages import docs_as_pages
+
+    idx = _ensure_index(spark, sf_dir)
+    if not Manifest(idx).is_complete("positions"):
+        build_position_index(spark, docs_as_pages(spark, sf_dir), idx)
+    out = phrase_topk(
+        spark, idx, " ".join(PHRASE), k=TOPK, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -552,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_wand_topk": _q_wand_topk,
         "x8_and_topk": _q_wand_and_topk,
         "x8_msm_topk": _q_wand_msm_topk,
+        "x8_phrase_topk": _q_phrase_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -976,6 +1000,36 @@ def oracle_sql() -> dict[str, str]:
         "x8_wand_topk": _BM25_SQL,
         "x8_and_topk": _bm25_sql("documents", conjunctive=True),
         "x8_msm_topk": _bm25_sql("documents", min_match=2),
+        # phrase: position self-join for exact adjacency; weight = Σ slot
+        # idf (two distinct slots: a+b is order-free in IEEE), tf = phrase
+        # occurrences, same BM25 saturation as x7
+        "x8_phrase_topk": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p
+  WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}') GROUP BY 1
+),
+w AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfq CROSS JOIN stats
+),
+ph AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY 1
+),
+s AS (
+  SELECT ph.doc_id,
+         w.w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN w
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins
         "x9_upsert": _bm25_sql(

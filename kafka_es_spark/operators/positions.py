@@ -1,0 +1,448 @@
+"""Positional index + phrase queries (ES match_phrase analogue).
+
+The reference delegates phrase search to ES, whose postings carry term
+positions (Lucene index_options=positions). Here positions live in a
+SEPARATE optional relation ``positions/`` beside ``postings/`` — phrase
+queries are rarer than term queries, and keeping positions out of the main
+segment format keeps the hot posting shuffle at format-2 size; the
+positional build is its own job over the same extracted/doc-id'd corpus
+(ids are deterministic, so the relations agree).
+
+Row format (one row per (term, doc-range), same doc-range salt as X4/X5):
+
+    term, seg, df_seg, first_docid, last_docid,
+    docs_blob  — delta-gap varint doc ids (as postings)
+    tfs_blob   — varint per-doc occurrence counts
+    pos_blob   — varint per-doc DELTA-encoded token positions,
+                 concatenated in doc order (sum(tf) values)
+    bucket     — term-hash bucket (same md5 scheme as postings pruning)
+
+Build is the SPIMI two-stage shape: narrow map-side packing of runs
+(one vectorized pass per flush: sort occurrences by (term, doc), cut on
+(term, doc-range), delta-encode ids and positions, segmented varint
+encode), then ONE shuffle by (term, seg) and a streaming merge. The
+position payload makes this exchange carry ~one value per token
+occurrence — inherently ~(tokens/postings)× the format-2 posting shuffle,
+which is exactly why it is opt-in (Lucene pays the same ratio for
+index_options=positions).
+
+Phrase scoring follows Lucene's PhraseQuery shape: weight = Σ slot
+idf(term) (member-term document frequencies — no global phrase-df pass
+needed), tf = number of EXACT phrase occurrences in the doc (slop=0),
+folded through the standard BM25 tf saturation against the doc length.
+Per doc range the scorer chains position-set intersections: occurrences
+become int64 keys ``doc_id·2^POS_BITS + pos`` (sorted by construction),
+and the phrase positions are ``K₁ ∩ (K₀+1)`` chained across slots — one
+vectorized np.intersect1d per slot, cost ~ the rarest slot's postings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_es_spark.functions import codecs
+from kafka_es_spark.operators import spimi
+from kafka_es_spark.operators.bm25 import B, K1
+
+POS_BITS = 21  # doc length < 2^21 tokens — validated at encode time
+
+POS_RUN_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("seg", T.LongType(), False),
+        T.StructField("first_docid", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("ids_blob", T.BinaryType(), False),
+        T.StructField("tfs_blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), False),
+    ]
+)
+
+POS_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("seg", T.LongType(), False),
+        T.StructField("df_seg", T.LongType(), False),
+        T.StructField("first_docid", T.LongType(), False),
+        T.StructField("last_docid", T.LongType(), False),
+        T.StructField("docs_blob", T.BinaryType(), False),
+        T.StructField("tfs_blob", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def _rebase_cumsum(deltas: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Absolute values from per-run deltas whose first element is absolute:
+    cumsum with rebasing at each run start (the spimi merge trick)."""
+    gcum = np.cumsum(deltas)
+    base = gcum[starts] - deltas[starts]
+    return gcum - np.repeat(base, lengths)
+
+
+def _gather_slices(
+    values: np.ndarray, starts: np.ndarray, lengths: np.ndarray, perm: np.ndarray
+) -> np.ndarray:
+    """Concatenate values[starts[p] : starts[p]+lengths[p]] for p in perm,
+    fully vectorized (no per-slice Python)."""
+    lp = lengths[perm]
+    total = int(lp.sum())
+    if total == 0:
+        return values[:0]
+    out_starts = np.concatenate([[0], np.cumsum(lp)[:-1]])
+    idx = np.repeat(starts[perm] - out_starts, lp) + np.arange(total, dtype=np.int64)
+    return values[idx]
+
+
+def build_position_runs(
+    docs: DataFrame,
+    seg_bits: int = spimi.SEG_BITS,
+    pack_docs: int = 50_000,
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Narrow stage: per-flush packed position runs (see module doc)."""
+
+    def pack_flush(frames: list[pd.DataFrame]) -> pd.DataFrame | None:
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        toks = pdf[terms_col]
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return None
+        if int(lens.max()) >= (1 << POS_BITS):
+            raise ValueError(
+                f"document of {int(lens.max())} tokens exceeds the "
+                f"2^{POS_BITS} position key space"
+            )
+        flat = pd.DataFrame(
+            {
+                "term": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if len(t)]
+                ),
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
+                "pos": np.concatenate(
+                    [np.arange(n, dtype=np.int64) for n in lens if n]
+                ),
+            }
+        )
+        flat = flat.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
+        terms = flat["term"].to_numpy(dtype=object)
+        ids = flat["doc_id"].to_numpy(dtype=np.int64)
+        pos = flat["pos"].to_numpy(dtype=np.int64)
+
+        docchg = np.flatnonzero((terms[1:] != terms[:-1]) | (ids[1:] != ids[:-1])) + 1
+        dstarts = np.concatenate([[0], docchg])  # occurrence index of each doc start
+        tf = np.diff(np.concatenate([dstarts, [ids.size]]))
+
+        # positions: delta within doc, absolute at each doc start
+        posd = pos.astype(np.uint64).copy()
+        posd[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
+        posd[dstarts] = pos[dstarts].astype(np.uint64)
+
+        dterm = terms[dstarts]
+        dids = ids[dstarts]
+        dseg = dids >> seg_bits
+        runchg = np.flatnonzero((dterm[1:] != dterm[:-1]) | (dseg[1:] != dseg[:-1])) + 1
+        rstarts = np.concatenate([[0], runchg])  # in doc-index space
+        run_docs = np.diff(np.concatenate([rstarts, [dids.size]]))
+        occ_starts = dstarts[rstarts]
+        run_occ = np.diff(np.concatenate([occ_starts, [ids.size]]))
+
+        gaps = dids.astype(np.uint64).copy()
+        gaps[1:] -= dids[:-1].astype(np.uint64)
+        gaps[rstarts] = dids[rstarts]  # absolute first id per run
+        return pd.DataFrame(
+            {
+                "term": dterm[rstarts],
+                "seg": dseg[rstarts],
+                "first_docid": dids[rstarts],
+                "n": run_docs,
+                "ids_blob": codecs.varint_encode_segmented(gaps, run_docs),
+                "tfs_blob": codecs.varint_encode_segmented(
+                    tf.astype(np.uint64), run_docs
+                ),
+                "pos_blob": codecs.varint_encode_segmented(posd, run_occ),
+            }
+        )[[f.name for f in POS_RUN_SCHEMA.fields]]
+
+    def pack(batches):
+        buf: list[pd.DataFrame] = []
+        ndocs = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf.append(pdf)
+            ndocs += len(pdf)
+            if ndocs >= pack_docs:
+                out = pack_flush(buf)
+                buf, ndocs = [], 0
+                if out is not None and len(out):
+                    yield out
+        if buf:
+            out = pack_flush(buf)
+            if out is not None and len(out):
+                yield out
+
+    return docs.select("doc_id", terms_col).mapInPandas(pack, POS_RUN_SCHEMA)
+
+
+def merge_position_runs(runs: DataFrame, n_term_buckets: int = 8) -> DataFrame:
+    """The one position-sized shuffle + streaming per-(term, seg) merge."""
+    from kafka_es_spark.operators.dedup import hash32_py
+
+    out_cols = [f.name for f in POS_SEGMENT_SCHEMA.fields]
+
+    def merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_per = pdf["n"].to_numpy(dtype=np.int64)
+        total_docs = int(n_per.sum())
+        gaps = codecs.varint_decode(b"".join(pdf["ids_blob"]), total_docs)
+        tfs_all = codecs.varint_decode(b"".join(pdf["tfs_blob"]), total_docs).astype(np.int64)
+        total_occ = int(tfs_all.sum())
+        posd = codecs.varint_decode(b"".join(pdf["pos_blob"]), total_occ)
+        rs = np.concatenate([[0], np.cumsum(n_per)])  # doc-index run bounds
+        ids_all = _rebase_cumsum(
+            gaps, rs[:-1].astype(np.int64), n_per
+        ).astype(np.int64)
+        # absolute positions: rebase the delta stream at every DOC start
+        occ_doc_starts = np.concatenate([[0], np.cumsum(tfs_all)[:-1]]).astype(np.int64)
+        pos_abs = _rebase_cumsum(posd, occ_doc_starts, tfs_all).astype(np.int64)
+
+        terms = pdf["term"].to_numpy(dtype=object)
+        segs_ = pdf["seg"].to_numpy(dtype=np.int64)
+        gchange = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
+        gstarts = np.concatenate([[0], gchange])
+        gends = np.concatenate([gchange, [len(pdf)]])
+        rows = []
+        for rs_i, re_i in zip(gstarts, gends):
+            s, e = int(rs[rs_i]), int(rs[re_i])
+            ids = ids_all[s:e]
+            tfs = tfs_all[s:e]
+            order = np.argsort(ids, kind="stable")
+            ids_o = ids[order]
+            tfs_o = tfs[order]
+            # gather each doc's position slice in the new doc order
+            pos_o = _gather_slices(pos_abs, occ_doc_starts[s:e], tfs, order)
+            # re-delta per doc for the final blob
+            od_starts = np.concatenate([[0], np.cumsum(tfs_o)[:-1]]).astype(np.int64)
+            pd_out = pos_o.astype(np.uint64).copy()
+            if pos_o.size > 1:
+                pd_out[1:] = (pos_o[1:] - pos_o[:-1]).astype(np.uint64)
+            pd_out[od_starts] = pos_o[od_starts].astype(np.uint64)
+            term = terms[rs_i]
+            rows.append(
+                (
+                    term,
+                    int(segs_[rs_i]),
+                    int(ids_o.size),
+                    int(ids_o[0]),
+                    int(ids_o[-1]),
+                    codecs.varint_encode(codecs.delta_encode(ids_o.astype(np.uint64))),
+                    codecs.varint_encode(tfs_o.astype(np.uint64)),
+                    codecs.varint_encode(pd_out),
+                    int(hash32_py(term) % n_term_buckets),
+                )
+            )
+        return pd.DataFrame(rows, columns=out_cols)
+
+    def merge_stream(batches):
+        hold: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            lt = pdf["term"].iat[len(pdf) - 1]
+            ls = pdf["seg"].iat[len(pdf) - 1]
+            tail = (pdf["term"].to_numpy(dtype=object) == lt) & (
+                pdf["seg"].to_numpy(dtype=np.int64) == ls
+            )
+            cut = int(len(pdf) - np.flip(tail).argmin()) if not tail.all() else 0
+            if cut == 0:
+                hold = pdf
+                continue
+            hold = pdf.iloc[cut:].copy()
+            out = merge_block(pdf.iloc[:cut])
+            if len(out):
+                yield out
+        if hold is not None and len(hold):
+            yield merge_block(hold)
+
+    n_part = int(runs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part = runs.repartition(n_part, "term", "seg").sortWithinPartitions(
+        "term", "seg", "first_docid"
+    )
+    return part.mapInPandas(merge_stream, POS_SEGMENT_SCHEMA)
+
+
+def build_position_index(spark: SparkSession, pages: DataFrame, index_dir: str) -> dict:
+    """Add the ``positions/`` relation to an EXISTING index dataset: same
+    deterministic doc ids (extract + assign over the same corpus), same
+    seg/bucket scheme as stats.json records. Manifest-committed
+    (``positions`` stage) — rebuild-safe and resumable like every other
+    stage. Batch-built indexes only for now: a streaming epoch appends
+    postings but not positions (documented; phrase queries then see only
+    the positioned units)."""
+    import time
+
+    from kafka_es_spark.plans.build_index import load_stats, prepare_docs
+    from kafka_es_spark.plans.manifest import Manifest
+
+    st = load_stats(index_dir)
+    seg_bits = int(st.get("seg_bits", spimi.SEG_BITS))
+    n_term_buckets = int(st.get("n_term_buckets") or 8)
+    man = Manifest(index_dir)
+    t0 = time.time()
+    docs = prepare_docs(pages)
+    runs = build_position_runs(docs, seg_bits=seg_bits)
+    segs = merge_position_runs(runs, n_term_buckets=n_term_buckets)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        segs.repartition(n_term_buckets, "bucket")
+        .sortWithinPartitions("term", "seg")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("segments"),
+            F.sum("df_seg").alias("postings"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "positions", "shard=base"))
+    )
+    c = obs.get
+    counters = {
+        "segments": int(c["segments"] or 0),
+        "postings": int(c["postings"] or 0),
+        "elapsed_sec": time.time() - t0,
+    }
+    man.commit("positions", counters)
+    return counters
+
+
+def decode_position_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Row → (doc_ids, tfs, absolute positions concatenated per doc)."""
+    n = int(row["df_seg"])
+    ids = codecs.delta_decode(
+        codecs.varint_decode(bytes(row["docs_blob"]), n)
+    ).astype(np.int64)
+    tfs = codecs.varint_decode(bytes(row["tfs_blob"]), n).astype(np.int64)
+    total = int(tfs.sum())
+    posd = codecs.varint_decode(bytes(row["pos_blob"]), total)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    pos = _rebase_cumsum(posd, starts, tfs).astype(np.int64)
+    return ids, tfs, pos
+
+
+def _slot_keys(rows: list[dict]) -> np.ndarray:
+    """One phrase slot's occurrences within a doc range as sorted int64
+    keys doc_id·2^POS_BITS + pos (rows = the slot term's position-segment
+    rows, possibly several units, concatenated in doc order)."""
+    rows = sorted(rows, key=lambda r: r["first_docid"])
+    parts = []
+    for r in rows:
+        ids, tfs, pos = decode_position_segment(r)
+        parts.append((np.repeat(ids, tfs) << POS_BITS) + pos)
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+    fetch_k: int | None = None,
+) -> DataFrame:
+    """Exact-adjacency (slop=0) phrase top-k over the positional relation.
+    Weight = Σ slot idf (Lucene PhraseQuery shape), tf = phrase occurrences,
+    BM25 saturation vs doc length. Distributed like wand: per-doc-range
+    scoring (cogrouped with range dls), global TakeOrdered is exact."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+    from kafka_es_spark.operators.wand import TOPK_SCHEMA, idf
+    from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
+
+    k = max(k, fetch_k or 0)
+    st = load_stats(index_dir)
+    n_docs, avgdl = st["n_docs"], st["avgdl"]
+    slots = tokenize_py(phrase)
+    if not slots or n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    uniq = sorted(set(slots))
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    dfs = {r["term"]: int(r["df"]) for r in ts}
+    if any(t not in dfs for t in uniq):
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    w_total = float(sum(idf(n_docs, dfs[t]) for t in slots))
+
+    rel = spark.read.parquet(os.path.join(index_dir, "positions"))
+    rel = rel.filter(F.col("term").isin(uniq))
+    if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
+        from kafka_es_spark.operators.dedup import hash32_py
+
+        bs = sorted({hash32_py(t) % int(st["n_term_buckets"]) for t in uniq})
+        rel = rel.filter(F.col("bucket").isin(bs))
+    dls_rel = spark.read.parquet(os.path.join(index_dir, "range_dls"))
+    k1, b = K1, B
+
+    def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)}
+        )
+        if len(pdf) == 0:
+            return empty
+        if len(dpdf) == 0:
+            raise ValueError(f"seg {key} has positions but no range-dl rows")
+        by_term: dict[str, list[dict]] = {}
+        for r in pdf.to_dict("records"):
+            by_term.setdefault(r["term"], []).append(r)
+        if any(t not in by_term for t in uniq):
+            return empty  # a slot term has no occurrences in this range
+        keys = {t: _slot_keys(by_term[t]) for t in uniq}
+        cur = keys[slots[0]]
+        for t in slots[1:]:
+            if cur.size == 0:
+                return empty
+            cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+        if cur.size == 0:
+            return empty
+        docs = cur >> POS_BITS
+        uids, tfp = np.unique(docs, return_counts=True)
+        dl_base, dl_arr = spimi.decode_range_dls(dpdf.to_dict("records"))
+        dls = dl_arr[uids - dl_base].astype(np.float64)
+        tf = tfp.astype(np.float64)
+        score = w_total * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls / avgdl))
+        sel = np.lexsort((uids, -score))[:k]
+        return pd.DataFrame({"doc_id": uids[sel], "score": score[sel]})
+
+    ranged = (
+        rel.groupBy("seg")
+        .cogroup(dls_rel.groupBy("seg"))
+        .applyInPandas(score_range, TOPK_SCHEMA)
+    )
+    out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    if with_url:
+        dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+            "doc_id", "url"
+        )
+        out = out.join(dm, "doc_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    return out

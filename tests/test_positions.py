@@ -1,0 +1,121 @@
+"""Positional index + phrase queries: encode/merge round-trip and
+rank-identity of phrase_topk vs a brute-force positional scorer."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.operators.positions import (
+    build_position_index,
+    build_position_runs,
+    decode_position_segment,
+    merge_position_runs,
+    phrase_topk,
+)
+from kafka_es_spark.operators.wand import idf
+from kafka_es_spark.plans.build_index import build_index, prepare_docs
+from kafka_es_spark.sources.pages import gen_pages
+
+
+@pytest.fixture(scope="module")
+def pidx(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pos") / "pidx")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=4)
+    build_position_index(spark, pages, d)
+    return d
+
+
+def test_position_roundtrip_exact(spark, pages, pidx):
+    """Decoded (doc, tf, positions) must equal the corpus's actual token
+    positions for every sampled term."""
+    import os
+
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    truth: dict[str, dict[int, list[int]]] = {}
+    for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"]):
+        for p, t in enumerate(ts):
+            truth.setdefault(t, {}).setdefault(int(d), []).append(p)
+    seg_rows = spark.read.parquet(os.path.join(pidx, "positions")).collect()
+    by_term: dict[str, list] = {}
+    for r in seg_rows:
+        by_term.setdefault(r["term"], []).append(r)
+    import random
+
+    rng = random.Random(3)
+    for term in rng.sample(sorted(by_term), 25):
+        got: dict[int, list[int]] = {}
+        for r in by_term[term]:
+            ids, tfs, pos = decode_position_segment(r)
+            off = 0
+            for d, tf in zip(ids, tfs):
+                got[int(d)] = [int(x) for x in pos[off:off + tf]]
+                off += tf
+        assert got == truth[term], term
+
+
+def test_merge_equals_direct_runs(spark, pages):
+    """Merging shuffled runs must reproduce each (term, doc)'s positions
+    regardless of input partitioning."""
+    docs = prepare_docs(pages)
+    a = merge_position_runs(build_position_runs(docs, seg_bits=6), 4)
+    b = merge_position_runs(
+        build_position_runs(docs.repartition(7), seg_bits=6), 4
+    )
+    ka = {(r["term"], r["seg"]): (bytes(r["docs_blob"]), bytes(r["tfs_blob"]),
+                                  bytes(r["pos_blob"])) for r in a.collect()}
+    kb = {(r["term"], r["seg"]): (bytes(r["docs_blob"]), bytes(r["tfs_blob"]),
+                                  bytes(r["pos_blob"])) for r in b.collect()}
+    assert ka == kb
+
+
+def brute_phrase_topk(doc_terms, slots, k):
+    dls = doc_terms["terms"].map(len).to_numpy(dtype=np.int64)
+    n = len(doc_terms)
+    avgdl = float(dls.mean())
+    dfs = {}
+    for t in set(slots):
+        dfs[t] = int(sum(t in set(ts) for ts in doc_terms["terms"]))
+        if dfs[t] == 0:
+            return []
+    w = float(sum(idf(n, dfs[t]) for t in slots))
+    out = []
+    for d, ts, dl in zip(doc_terms["doc_id"], doc_terms["terms"], dls):
+        ts = list(ts)
+        tfp = sum(
+            1
+            for i in range(len(ts) - len(slots) + 1)
+            if ts[i:i + len(slots)] == slots
+        )
+        if tfp:
+            s = w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            out.append((int(d), float(s)))
+    out.sort(key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "phrase", ["data index", "the index", "index the data", "zzz qqq"]
+)
+def test_phrase_topk_rank_identical_to_brute(spark, pages, pidx, phrase):
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    want = brute_phrase_topk(doc_terms, phrase.split(), 10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(spark, pidx, phrase, k=10, round_to=None).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], phrase
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (phrase, gd)
+
+
+def test_phrase_order_sensitivity(spark, pages, pidx):
+    """A phrase is ordered: 'index data' and 'data index' hit different
+    docs (unless the corpus happens to contain both adjacencies equally)."""
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    a = brute_phrase_topk(doc_terms, ["data", "index"], 1000)
+    b = brute_phrase_topk(doc_terms, ["index", "data"], 1000)
+    ga = {d for d, _ in phrase_topk(spark, pidx, "data index", k=1000, round_to=None).collect()}
+    gb = {d for d, _ in phrase_topk(spark, pidx, "index data", k=1000, round_to=None).collect()}
+    assert ga == {d for d, _ in a}
+    assert gb == {d for d, _ in b}
