@@ -182,6 +182,22 @@ def _q_phrase_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+PREFIX = "par"  # prefix-query probe; expansion capped alphabetically
+
+
+def _q_prefix_topk(spark, sf_dir):
+    """X8 prefix query (ES prefix / match_phrase_prefix expansion): expand
+    against the term dictionary to the first 50 terms alphabetically, then
+    score the expansion as a BM25 OR disjunction."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).prefix_topk(
+        PREFIX, k=TOPK, max_expansions=50, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -576,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_and_topk": _q_wand_and_topk,
         "x8_msm_topk": _q_wand_msm_topk,
         "x8_phrase_topk": _q_phrase_topk,
+        "x8_prefix_topk": _q_prefix_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -616,16 +633,19 @@ def _bm25_sql(
     docs_rel: str = "documents",
     conjunctive: bool = False,
     min_match: int | None = None,
+    qt_sql: str | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
     # doc equals the number of distinct matched terms; min_match is the
-    # bool minimum_should_match generalization (>= m of them)
+    # bool minimum_should_match generalization (>= m of them); qt_sql
+    # overrides the query-term set (e.g. a prefix expansion)
     having = ""
     if conjunctive:
         having = "HAVING count(*) = (SELECT count(*) FROM qt)"
     elif min_match is not None:
         having = f"HAVING count(*) >= {int(min_match)}"
+    qt = qt_sql or f"SELECT unnest([{_QT}]) AS term"
     return f"""
 WITH corpus AS (SELECT * FROM {docs_rel}),
 toks AS (
@@ -633,7 +653,7 @@ toks AS (
 ),
 dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-qt AS (SELECT unnest([{_QT}]) AS term),
+qt AS ({qt}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
 s AS (
@@ -1000,6 +1020,13 @@ def oracle_sql() -> dict[str, str]:
         "x8_wand_topk": _BM25_SQL,
         "x8_and_topk": _bm25_sql("documents", conjunctive=True),
         "x8_msm_topk": _bm25_sql("documents", min_match=2),
+        "x8_prefix_topk": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT DISTINCT term FROM toks "
+                f"WHERE term LIKE '{PREFIX}%' ORDER BY term LIMIT 50"
+            ),
+        ),
         # phrase: position self-join for exact adjacency; weight = Σ slot
         # idf (two distinct slots: a+b is order-free in IEEE), tf = phrase
         # occurrences, same BM25 saturation as x7

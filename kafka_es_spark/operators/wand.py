@@ -589,6 +589,39 @@ class Searcher:
         return out
 
 
+    def prefix_topk(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES prefix-query analogue: expand the prefix against the term
+        dictionary (term_stats — the filter pushes into the parquet scan,
+        which is term-sorted within bucket files) to the first
+        ``max_expansions`` terms in ALPHABETIC order (the
+        match_phrase_prefix expansion rule — deterministic, unlike
+        df-ranked rewrites), then score the expansion as a plain OR
+        disjunction through the standard block-max path. Scores are
+        regular BM25 over the expanded terms (Lucene's scoring-boolean
+        rewrite), so the result is oracle-checkable."""
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term")
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
     def topk_many(
         self,
         queries: list[str],

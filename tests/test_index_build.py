@@ -182,6 +182,28 @@ def test_msm_mode_rank_identical_to_exhaustive_counting(
         s.topk(q, min_should_match=2, mode="and").collect()
 
 
+def test_prefix_topk_expansion_and_scoring(spark, index_dir, doc_terms):
+    """Prefix expansion = first max_expansions index terms alphabetically;
+    scoring = plain OR over the expansion (equals topk on the same set).
+    A prefix with no matching terms returns empty."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    expansion = [t for t in vocab if t.startswith("da")][:5]
+    assert expansion, "corpus should contain da* terms"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.prefix_topk("da", k=10, max_expansions=5, round_to=None).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(" ".join(expansion), k=10, round_to=None).collect()
+    ]
+    assert got == want
+    assert s.prefix_topk("zzzzqq", k=10).collect() == []
+
+
 def test_topk_many_and_mode(spark, index_dir, doc_terms):
     """Batch API conjunctive parity: topk_many(mode='and') per query equals
     the single-query AND path."""
