@@ -59,7 +59,7 @@ from kafka_es_spark.operators import spimi
 from kafka_es_spark.operators.deletes import clear_tombstones, read_tombstone_ids
 from kafka_es_spark.plans.manifest import Manifest
 
-_SWAP_DIRS = ("postings", "docmap", "range_dls", "term_stats")
+_SWAP_DIRS = ("postings", "docmap", "range_dls", "term_stats", "positions")
 
 COMPACT_SEGMENT_SCHEMA = T.StructType(
     list(spimi.SEGMENT_SCHEMA.fields)
@@ -88,6 +88,8 @@ def recover_swap_dirs(index_dir: str) -> list[str]:
 
 def _swap_in(index_dir: str, name: str) -> None:
     cur = os.path.join(index_dir, name)
+    if not os.path.exists(cur + ".new"):
+        return  # optional relation not part of this compaction
     old = cur + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(cur):
@@ -205,6 +207,105 @@ def compact_index(
         .write.mode("overwrite")
         .parquet(post_new)
     )
+
+    # --- positions (if the index has the optional positional relation):
+    # same fold — per-(term, seg) decode, drop tombstoned docs WITH their
+    # position slices, re-encode one row. Keeps phrase queries consistent
+    # with the post-compaction postings (deletes are physical everywhere).
+    pos_dir = os.path.join(index_dir, "positions")
+    has_positions = os.path.isdir(pos_dir)
+    if has_positions:
+        from kafka_es_spark.operators import positions as posmod
+
+        pos_cols = [f.name for f in posmod.POS_SEGMENT_SCHEMA.fields]
+
+        def pos_merge_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            terms = pdf["term"].to_numpy(dtype=object)
+            segs_ = pdf["seg"].to_numpy(dtype=np.int64)
+            change = np.flatnonzero(
+                (terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])
+            ) + 1
+            gstarts = np.concatenate([[0], change])
+            gends = np.concatenate([change, [len(pdf)]])
+            recs = pdf.to_dict("records")
+            rows = []
+            for s, e in zip(gstarts, gends):
+                ids_l, tfs_l, pos_l = [], [], []
+                for r in recs[s:e]:
+                    i, t, p = posmod.decode_position_segment(r)
+                    ids_l.append(i)
+                    tfs_l.append(t)
+                    pos_l.append(p)
+                ids = np.concatenate(ids_l)
+                tfs = np.concatenate(tfs_l)
+                pos = np.concatenate(pos_l)
+                starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+                order = np.argsort(ids, kind="stable")
+                if dead_arr.size:
+                    order = order[~np.isin(ids[order], dead_arr)]
+                if order.size == 0:
+                    continue
+                ids_o = ids[order]
+                tfs_o = tfs[order]
+                pos_o = posmod._gather_slices(pos, starts, tfs, order)
+                od = np.concatenate([[0], np.cumsum(tfs_o)[:-1]]).astype(np.int64)
+                pd_out = pos_o.astype(np.uint64).copy()
+                if pos_o.size > 1:
+                    pd_out[1:] = (pos_o[1:] - pos_o[:-1]).astype(np.uint64)
+                pd_out[od] = pos_o[od].astype(np.uint64)
+                term = terms[s]
+                rows.append(
+                    (
+                        term,
+                        int(segs_[s]),
+                        int(ids_o.size),
+                        int(ids_o[0]),
+                        int(ids_o[-1]),
+                        codecs.varint_encode(codecs.delta_encode(ids_o.astype(np.uint64))),
+                        codecs.varint_encode(tfs_o.astype(np.uint64)),
+                        codecs.varint_encode(pd_out),
+                        int(hash32_py(term) % n_term_buckets),
+                    )
+                )
+            return pd.DataFrame(rows, columns=pos_cols)
+
+        def pos_merge_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            hold: pd.DataFrame | None = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if hold is not None:
+                    pdf = pd.concat([hold, pdf], ignore_index=True)
+                    hold = None
+                lt = pdf["term"].iat[len(pdf) - 1]
+                ls = pdf["seg"].iat[len(pdf) - 1]
+                tail = (pdf["term"].to_numpy(dtype=object) == lt) & (
+                    pdf["seg"].to_numpy(dtype=np.int64) == ls
+                )
+                cut = int(len(pdf) - np.flip(tail).argmin()) if not tail.all() else 0
+                if cut == 0:
+                    hold = pdf
+                    continue
+                hold = pdf.iloc[cut:].copy()
+                out = pos_merge_block(pdf.iloc[:cut])
+                if len(out):
+                    yield out
+            if hold is not None and len(hold):
+                out = pos_merge_block(hold)
+                if len(out):
+                    yield out
+
+        pos_segs = spark.read.parquet(pos_dir).select(*pos_cols)
+        (
+            pos_segs
+            .repartition(n_part, "term", "seg")
+            .sortWithinPartitions("term", "seg", "first_docid")
+            .mapInPandas(pos_merge_stream, posmod.POS_SEGMENT_SCHEMA)
+            .repartition(n_term_buckets, "bucket")
+            .sortWithinPartitions("term", "seg")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "positions.new", "shard=base"))
+        )
 
     # --- docmap: drop tombstoned rows, fold epochs into epoch=base --------
     dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(

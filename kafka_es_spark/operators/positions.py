@@ -367,10 +367,16 @@ def phrase_topk(
     BM25 saturation vs doc length. Distributed like wand: per-doc-range
     scoring (cogrouped with range dls), global TakeOrdered is exact."""
     from kafka_es_spark.functions.tokenize import tokenize_py
+    from kafka_es_spark.operators.compaction import recover_swap_dirs
+    from kafka_es_spark.operators.deletes import read_tombstone_ids
     from kafka_es_spark.operators.wand import TOPK_SCHEMA, idf
     from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
 
     k = max(k, fetch_k or 0)
+    recover_swap_dirs(index_dir)
+    # pending delete tombstones apply to phrase results exactly as to
+    # term queries (the format-enforced X9 contract)
+    excluded = read_tombstone_ids(spark, index_dir) or None
     st = load_stats(index_dir)
     n_docs, avgdl = st["n_docs"], st["avgdl"]
     slots = tokenize_py(phrase)
@@ -423,6 +429,12 @@ def phrase_topk(
             return empty
         docs = cur >> POS_BITS
         uids, tfp = np.unique(docs, return_counts=True)
+        if excluded is not None:
+            dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+            keep = ~np.isin(uids, dead)
+            uids, tfp = uids[keep], tfp[keep]
+            if uids.size == 0:
+                return empty
         dl_base, dl_arr = spimi.decode_range_dls(dpdf.to_dict("records"))
         dls = dl_arr[uids - dl_base].astype(np.float64)
         tf = tfp.astype(np.float64)

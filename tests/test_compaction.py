@@ -157,3 +157,38 @@ def test_compaction_is_rerunnable(spark, tmp_path):
     compact_index(spark, idx)
     assert [tuple(r) for r in wand_topk(spark, idx, Q, k=10).collect()] == before
     assert load_stats(idx)["n_docs"] == 160
+
+
+def test_compaction_folds_positions_and_phrase_respects_tombstones(spark, tmp_path):
+    """Phrase queries exclude persistent tombstones BEFORE compaction and
+    the positional relation is folded (deletes physical) BY compaction."""
+    from kafka_es_spark.operators.positions import (
+        build_position_index,
+        decode_position_segment,
+        phrase_topk,
+    )
+    from kafka_es_spark.plans.build_index import build_index
+
+    idx = str(tmp_path / "pcidx")
+    pages = gen_pages(spark, 150, seed=4, partitions=3)
+    build_index(spark, pages, idx, seg_bits=6, n_term_buckets=4)
+    build_position_index(spark, pages, idx)
+
+    base = phrase_topk(spark, idx, "data index", k=30, round_to=None).collect()
+    assert base, "corpus should contain the phrase"
+    dead = {int(r["doc_id"]) for r in base[:2]}
+    add_tombstones(spark, idx, doc_ids=dead)
+
+    # pre-compaction: tombstones excluded from phrase results automatically
+    excl = phrase_topk(spark, idx, "data index", k=30, round_to=None).collect()
+    assert not ({int(r["doc_id"]) for r in excl} & dead)
+
+    compact_index(spark, idx)
+    # positions folded to one base shard; dead docs physically gone
+    assert os.listdir(os.path.join(idx, "positions")) == ["shard=base"]
+    for r in spark.read.parquet(os.path.join(idx, "positions")).collect():
+        ids, _, _ = decode_position_segment(r)
+        assert not (set(int(x) for x in ids) & dead), r["term"]
+    # phrase results unchanged in doc set (scores shift with live stats)
+    post = phrase_topk(spark, idx, "data index", k=30, round_to=None).collect()
+    assert {int(r["doc_id"]) for r in post} == {int(r["doc_id"]) for r in excl}
