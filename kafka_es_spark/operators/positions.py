@@ -287,9 +287,10 @@ def build_position_index(spark: SparkSession, pages: DataFrame, index_dir: str) 
     deterministic doc ids (extract + assign over the same corpus), same
     seg/bucket scheme as stats.json records. Manifest-committed
     (``positions`` stage) — rebuild-safe and resumable like every other
-    stage. Batch-built indexes only for now: a streaming epoch appends
-    postings but not positions (documented; phrase queries then see only
-    the positioned units)."""
+    stage. Streaming epochs append their own positional unit via
+    ``append_epoch(..., with_positions=True)`` (``append_epoch_positions``
+    below); an index mixing positioned and position-less units serves
+    phrase queries over the positioned units only."""
     import time
 
     from kafka_es_spark.plans.build_index import load_stats, prepare_docs
@@ -325,6 +326,28 @@ def build_position_index(spark: SparkSession, pages: DataFrame, index_dir: str) 
     }
     man.commit("positions", counters)
     return counters
+
+
+def append_epoch_positions(
+    docs: DataFrame,
+    index_dir: str,
+    epoch_name: str,
+    seg_bits: int,
+    n_term_buckets: int,
+) -> None:
+    """Write one streaming epoch's positional unit under
+    ``positions/shard=<epoch>`` (docs: the epoch's (doc_id, terms) with
+    FINAL dense ids — called by append_epoch before its manifest commit,
+    so the C1 contract covers positions too: a replayed epoch overwrites
+    its own positional files)."""
+    runs = build_position_runs(docs, seg_bits=seg_bits)
+    segs = merge_position_runs(runs, n_term_buckets=n_term_buckets)
+    (
+        segs.repartition(n_term_buckets, "bucket")
+        .sortWithinPartitions("term", "seg")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "positions", f"shard={epoch_name}"))
+    )
 
 
 def decode_position_segment(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -395,7 +418,15 @@ def phrase_topk(
         return spark.createDataFrame([], TOPK_SCHEMA)
     w_total = float(sum(idf(n_docs, dfs[t]) for t in slots))
 
-    rel = spark.read.parquet(os.path.join(index_dir, "positions"))
+    pos_dir = os.path.join(index_dir, "positions")
+    if not os.path.isdir(pos_dir):
+        raise ValueError(
+            f"index at {index_dir} has no positions/ relation — phrase "
+            "queries need the positional index; run "
+            "positions.build_position_index (batch) or append epochs with "
+            "with_positions=True (streaming)"
+        )
+    rel = spark.read.parquet(pos_dir)
     rel = rel.filter(F.col("term").isin(uniq))
     if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
         from kafka_es_spark.operators.dedup import hash32_py

@@ -61,10 +61,13 @@ def append_epoch(
     seg_bits: int = spimi.SEG_BITS,
     n_term_buckets: int = 8,
     codec: str = "varint",
+    with_positions: bool = False,
 ) -> dict | None:
     """Append one micro-batch of pages to the index as shard ``epoch-<n>``.
     Idempotent: a committed epoch is skipped entirely (exactly-once under
-    foreachBatch replay). Returns the committed counters (None if skipped)."""
+    foreachBatch replay). Returns the committed counters (None if skipped).
+    ``with_positions=True`` also writes the epoch's positional unit (phrase
+    queries then cover streamed docs; see operators.positions)."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     name = f"epoch-{epoch:08d}"
@@ -124,6 +127,11 @@ def append_epoch(
     spimi.build_range_dls(
         spark.read.parquet(dm_out).select("doc_id", "dl"), seg_bits=seg_bits
     ).write.mode("overwrite").parquet(rd_out)
+
+    if with_positions:
+        from kafka_es_spark.operators.positions import append_epoch_positions
+
+        append_epoch_positions(docs, index_dir, name, seg_bits, n_term_buckets)
 
     segs = spimi.build_segments_spimi(docs, seg_bits=seg_bits, codec=codec)
     from kafka_es_spark.operators.dedup import hash32
@@ -244,13 +252,17 @@ def stream_pages_to_index(
     trigger_seconds: int | None = 10,
     n_term_buckets: int = 8,
     once: bool = False,
+    with_positions: bool = False,
 ):
     """Wire a streaming pages DataFrame into the index via foreachBatch.
     trigger ≈ the reference's bulk.delay.ms; source rate limits ≈ bulk.size."""
     spark = pages_stream.sparkSession
 
     def sink(batch: DataFrame, epoch: int) -> None:
-        append_epoch(spark, batch, index_dir, epoch, n_term_buckets=n_term_buckets)
+        append_epoch(
+            spark, batch, index_dir, epoch, n_term_buckets=n_term_buckets,
+            with_positions=with_positions,
+        )
 
     w = pages_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

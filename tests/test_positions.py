@@ -119,3 +119,39 @@ def test_phrase_order_sensitivity(spark, pages, pidx):
     gb = {d for d, _ in phrase_topk(spark, pidx, "index data", k=1000, round_to=None).collect()}
     assert ga == {d for d, _ in a}
     assert gb == {d for d, _ in b}
+
+
+def test_streaming_epochs_with_positions_serve_phrases(spark, tmp_path):
+    """Epochs appended with with_positions=True extend phrase coverage:
+    phrase results over two epochs equal brute force over the union corpus
+    (doc ids re-mapped by url), and a position-less index raises the
+    documented error."""
+    from kafka_es_spark.streaming.ingest_stream import append_epoch
+
+    idx = str(tmp_path / "spidx")
+    p1 = gen_pages(spark, 90, seed=1, partitions=2)
+    p2 = gen_pages(spark, 60, seed=2, partitions=2)
+    append_epoch(spark, p1, idx, epoch=0, seg_bits=6, n_term_buckets=4,
+                 with_positions=True)
+    append_epoch(spark, p2, idx, epoch=1, seg_bits=6, n_term_buckets=4,
+                 with_positions=True)
+    both = p1.unionByName(p2)
+    doc_terms = prepare_docs(both).select("doc_id", "url", "terms").toPandas()
+    want = brute_phrase_topk(doc_terms, ["data", "index"], 10)
+    url_by_id = dict(zip(doc_terms["doc_id"], doc_terms["url"]))
+    want_urls = {url_by_id[d] for d, _ in want}
+    got = phrase_topk(
+        spark, idx, "data index", k=10, round_to=None, with_url=True
+    ).collect()
+    # epoch-wise id assignment permutes ids vs the union corpus — compare
+    # positionally by score and by url set
+    assert len(got) == len(want)
+    for r, (_, ws) in zip(got, want):
+        assert r["score"] == pytest.approx(ws, rel=1e-12)
+    assert {r["url"] for r in got} == want_urls
+
+    # position-less index: documented error
+    idx2 = str(tmp_path / "noposidx")
+    append_epoch(spark, p1, idx2, epoch=0, seg_bits=6, n_term_buckets=4)
+    with pytest.raises(ValueError, match="positions/"):
+        phrase_topk(spark, idx2, "data index", k=5).collect()
