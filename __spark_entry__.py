@@ -198,6 +198,73 @@ def _q_prefix_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+MUST_NOT = "window"  # negated term with substantial df — excludes real docs
+
+
+def _q_not_topk(spark, sf_dir):
+    """X8 bool.must_not (ES filter context): docs containing the negated
+    term are excluded; survivors keep unmodified OR-mode BM25 scores.
+    Negated posting lists ride the same pruned scan and the exclusion is
+    applied per doc range inside the scorer."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).topk(
+        " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True,
+        must_not=MUST_NOT,
+    )
+    return _topk_by_corpus_id(out)
+
+
+FUZZY_PROBE, FUZZY_EDITS = "jon", 2  # expands to join(1) + dist-2 neighbors
+
+
+def _q_fuzzy_topk(spark, sf_dir):
+    """X8 fuzzy query (ES fuzziness): expand the probe against the term
+    dictionary to every term within Levenshtein distance 2, ordered
+    (distance, term) and capped at 50 (ES max_expansions default), then
+    score as a BM25 OR disjunction (Lucene scoring-boolean rewrite).
+    prefix_length=0 here because the driver corpus vocabulary is tiny; at
+    web scale a nonzero prefix anchors the dictionary scan."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).fuzzy_topk(
+        FUZZY_PROBE, k=TOPK, max_edits=FUZZY_EDITS, prefix_length=0,
+        max_expansions=50, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_match_count(spark, sf_dir):
+    """ES _count analogue under conjunctive semantics: number of docs
+    containing EVERY query term — posting-list intersection counting, no
+    scoring, no range_dls read."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).match_count(
+        " ".join(QUERY_TERMS), mode="and"
+    )
+
+
+def _q_facet_lang(spark, sf_dir):
+    """ES terms-aggregation analogue: bucket the OR-mode hit set by lang,
+    top buckets by doc_count desc then value asc. Hit set from posting
+    union, bucket key joined back through the docmap to the source table."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "lang",
+    )
+    return Searcher(spark, idx, cache=False).facet_terms(
+        " ".join(QUERY_TERMS), fv, "lang", size=10
+    )
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -593,6 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_msm_topk": _q_wand_msm_topk,
         "x8_phrase_topk": _q_phrase_topk,
         "x8_prefix_topk": _q_prefix_topk,
+        "x8_not_topk": _q_not_topk,
+        "x8_fuzzy_topk": _q_fuzzy_topk,
+        "x8_match_count": _q_match_count,
+        "x8_facet_lang": _q_facet_lang,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -634,17 +705,28 @@ def _bm25_sql(
     conjunctive: bool = False,
     min_match: int | None = None,
     qt_sql: str | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
     # doc equals the number of distinct matched terms; min_match is the
     # bool minimum_should_match generalization (>= m of them); qt_sql
-    # overrides the query-term set (e.g. a prefix expansion)
+    # overrides the query-term set (e.g. a prefix expansion);
+    # must_not_terms (bool.must_not, filter context) drops any doc
+    # containing a negated term AFTER scoring — scores of the survivors
+    # are the plain OR scores, exactly the engine's semantics
     having = ""
     if conjunctive:
         having = "HAVING count(*) = (SELECT count(*) FROM qt)"
     elif min_match is not None:
         having = f"HAVING count(*) >= {int(min_match)}"
+    neg = ""
+    if must_not_terms:
+        negs = ", ".join(f"'{t}'" for t in sorted(set(must_not_terms)))
+        neg = (
+            f"WHERE doc_id NOT IN "
+            f"(SELECT DISTINCT doc_id FROM toks WHERE term IN ({negs}))"
+        )
     qt = qt_sql or f"SELECT unnest([{_QT}]) AS term"
     return f"""
 WITH corpus AS (SELECT * FROM {docs_rel}),
@@ -663,7 +745,7 @@ s AS (
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY 1 {having}
 )
-SELECT doc_id, round(score, 4) AS score FROM s
+SELECT doc_id, round(score, 4) AS score FROM s {neg}
 ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
 """
 
@@ -1056,6 +1138,33 @@ s AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM s
 ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        "x8_not_topk": _bm25_sql("documents", must_not_terms=[MUST_NOT]),
+        # fuzzy: expansion = dictionary terms within levenshtein distance
+        # FUZZY_EDITS of the probe, (distance, term)-ordered, capped at 50 —
+        # byte-for-byte the engine's rewrite (Spark and DuckDB levenshtein
+        # agree on these ASCII tokens), then plain BM25 OR
+        "x8_fuzzy_topk": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT term FROM (SELECT DISTINCT term FROM toks) "
+                f"WHERE abs(length(term) - {len(FUZZY_PROBE)}) <= {FUZZY_EDITS} "
+                f"AND levenshtein(term, '{FUZZY_PROBE}') <= {FUZZY_EDITS} "
+                f"ORDER BY levenshtein(term, '{FUZZY_PROBE}'), term LIMIT 50"
+            ),
+        ),
+        "x8_match_count": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+SELECT count(*) AS n_hits FROM (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+)
+""",
+        "x8_facet_lang": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT lang, count(*) AS doc_count FROM documents JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins

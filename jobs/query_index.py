@@ -25,6 +25,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="exact-adjacency phrase query (needs positions/)")
     p.add_argument("--prefix", action="store_true",
                    help="prefix query: expand each arg against the term dict")
+    p.add_argument("--fuzzy", action="store_true",
+                   help="fuzzy query: expand each arg within --max-edits")
+    p.add_argument("--max-edits", type=int, default=1,
+                   help="fuzzy edit-distance budget (ES fuzziness)")
+    p.add_argument("--must-not", default=None,
+                   help="exclude docs containing any of these terms "
+                        "(ES bool.must_not, filter context)")
+    p.add_argument("--count", action="store_true",
+                   help="print the matching-doc count instead of top-k "
+                        "(ES _count)")
+    p.add_argument("--facet", default=None, metavar="FIELD:PARQUET",
+                   help="terms aggregation: bucket hits by FIELD joined "
+                        "from a (url, FIELD) parquet relation")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -49,6 +62,34 @@ def main(argv: list[str] | None = None) -> None:
                 print(json.dumps({"prefix": q, "hits": [r.asDict() for r in rows]}))
             s.close()
             return
+        if args.fuzzy:
+            for q in args.queries:
+                rows = s.fuzzy_topk(
+                    q, k=args.k, max_edits=args.max_edits,
+                    with_url=not args.no_url,
+                ).collect()
+                print(json.dumps({"fuzzy": q, "hits": [r.asDict() for r in rows]}))
+            s.close()
+            return
+        if args.count:
+            for q in args.queries:
+                n = s.match_count(
+                    q, mode=args.mode, min_should_match=args.min_should_match,
+                    must_not=args.must_not,
+                ).collect()[0]["n_hits"]
+                print(json.dumps({"query": q, "count": n}))
+            s.close()
+            return
+        if args.facet:
+            field, path = args.facet.split(":", 1)
+            fv = spark.read.parquet(path)
+            for q in args.queries:
+                rows = s.facet_terms(
+                    q, fv, field, mode=args.mode, must_not=args.must_not
+                ).collect()
+                print(json.dumps({"query": q, "buckets": [r.asDict() for r in rows]}))
+            s.close()
+            return
         if args.batch:
             by_q: dict[int, list] = {}
             for r in s.topk_many(args.queries, k=args.k, mode=args.mode).collect():
@@ -62,6 +103,7 @@ def main(argv: list[str] | None = None) -> None:
                 rows = s.topk(
                     q, k=args.k, with_url=not args.no_url, mode=args.mode,
                     min_should_match=args.min_should_match,
+                    must_not=args.must_not,
                 ).collect()
                 print(json.dumps({"query": q, "hits": [r.asDict() for r in rows]}))
         s.close()

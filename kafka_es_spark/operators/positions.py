@@ -376,20 +376,63 @@ def _slot_keys(rows: list[dict]) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
-def phrase_topk(
+def _chain_slots(
+    slot_keys: list[np.ndarray], slop: int
+) -> np.ndarray:
+    """Ordered sloppy-phrase chain (ES span_near with in_order=true):
+    slot i+1 must follow slot i at gap 0..slop, with the gap budget shared
+    CUMULATIVELY across the whole chain. Returns the distinct end-position
+    keys of qualifying matches.
+
+    DP over remaining budget: state[g] = end keys of prefix matches that
+    have spent exactly g of the budget. Each extension shifts by
+    (1 + extra) and intersects with the next slot's keys — O(slop²)
+    vectorized intersections, fine for the small slops queries use (ES
+    slop defaults to 0; >4 is rare). A shifted key that crosses a doc
+    boundary (pos near 2^POS_BITS) is masked out before intersecting, so
+    wraparound can never fabricate a match in the next doc."""
+    state: dict[int, np.ndarray] = {0: slot_keys[0]}
+    for ks in slot_keys[1:]:
+        nxt: dict[int, np.ndarray] = {}
+        for g_new in range(slop + 1):
+            parts = []
+            for g_old, keys in state.items():
+                extra = g_new - g_old
+                if extra < 0 or keys.size == 0:
+                    continue
+                shifted = keys + (1 + extra)
+                ok = (shifted >> POS_BITS) == (keys >> POS_BITS)
+                hit = np.intersect1d(shifted[ok], ks, assume_unique=True)
+                if hit.size:
+                    parts.append(hit)
+            if parts:
+                nxt[g_new] = (
+                    parts[0] if len(parts) == 1
+                    else np.unique(np.concatenate(parts))
+                )
+        state = nxt
+        if not state:
+            return np.empty(0, dtype=np.int64)
+    allk = np.concatenate(list(state.values()))
+    return np.unique(allk)
+
+
+def _phrase_topk_slots(
     spark: SparkSession,
     index_dir: str,
-    phrase: str,
-    k: int = 10,
-    round_to: int | None = 4,
-    with_url: bool = False,
-    fetch_k: int | None = None,
+    slot_terms: list[list[str]],
+    k: int,
+    slop: int,
+    round_to: int | None,
+    with_url: bool,
+    fetch_k: int | None,
 ) -> DataFrame:
-    """Exact-adjacency (slop=0) phrase top-k over the positional relation.
-    Weight = Σ slot idf (Lucene PhraseQuery shape), tf = phrase occurrences,
+    """Shared phrase engine: each slot is a list of admissible terms (one
+    for plain phrases; the expansion set for the match_phrase_prefix last
+    slot — Lucene MultiPhraseQuery). Weight = Σ idf over every slot term
+    (MultiPhraseQuery's Σ-idf), tf = distinct qualifying end positions,
     BM25 saturation vs doc length. Distributed like wand: per-doc-range
     scoring (cogrouped with range dls), global TakeOrdered is exact."""
-    from kafka_es_spark.functions.tokenize import tokenize_py
     from kafka_es_spark.operators.compaction import recover_swap_dirs
     from kafka_es_spark.operators.deletes import read_tombstone_ids
     from kafka_es_spark.operators.wand import TOPK_SCHEMA, idf
@@ -402,10 +445,9 @@ def phrase_topk(
     excluded = read_tombstone_ids(spark, index_dir) or None
     st = load_stats(index_dir)
     n_docs, avgdl = st["n_docs"], st["avgdl"]
-    slots = tokenize_py(phrase)
-    if not slots or n_docs == 0 or avgdl == 0:
+    if not slot_terms or any(not s for s in slot_terms) or n_docs == 0 or avgdl == 0:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    uniq = sorted(set(slots))
+    uniq = sorted({t for s in slot_terms for t in s})
     ts = (
         spark.read.parquet(os.path.join(index_dir, "term_stats"))
         .filter(F.col("term").isin(uniq))
@@ -414,9 +456,12 @@ def phrase_topk(
         .collect()
     )
     dfs = {r["term"]: int(r["df"]) for r in ts}
-    if any(t not in dfs for t in uniq):
+    # a single-term slot whose term is absent anywhere ⇒ no match is
+    # possible; a multi-term slot only needs one alternative present
+    slot_terms = [[t for t in s if t in dfs] for s in slot_terms]
+    if any(not s for s in slot_terms):
         return spark.createDataFrame([], TOPK_SCHEMA)
-    w_total = float(sum(idf(n_docs, dfs[t]) for t in slots))
+    w_total = float(sum(idf(n_docs, dfs[t]) for s in slot_terms for t in s))
 
     pos_dir = os.path.join(index_dir, "positions")
     if not os.path.isdir(pos_dir):
@@ -426,12 +471,13 @@ def phrase_topk(
             "positions.build_position_index (batch) or append epochs with "
             "with_positions=True (streaming)"
         )
+    live = sorted({t for s in slot_terms for t in s})
     rel = spark.read.parquet(pos_dir)
-    rel = rel.filter(F.col("term").isin(uniq))
+    rel = rel.filter(F.col("term").isin(live))
     if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
         from kafka_es_spark.operators.dedup import hash32_py
 
-        bs = sorted({hash32_py(t) % int(st["n_term_buckets"]) for t in uniq})
+        bs = sorted({hash32_py(t) % int(st["n_term_buckets"]) for t in live})
         rel = rel.filter(F.col("bucket").isin(bs))
     dls_rel = spark.read.parquet(os.path.join(index_dir, "range_dls"))
     k1, b = K1, B
@@ -448,14 +494,19 @@ def phrase_topk(
         by_term: dict[str, list[dict]] = {}
         for r in pdf.to_dict("records"):
             by_term.setdefault(r["term"], []).append(r)
-        if any(t not in by_term for t in uniq):
-            return empty  # a slot term has no occurrences in this range
-        keys = {t: _slot_keys(by_term[t]) for t in uniq}
-        cur = keys[slots[0]]
-        for t in slots[1:]:
-            if cur.size == 0:
-                return empty
-            cur = np.intersect1d(cur + 1, keys[t], assume_unique=True)
+        if any(all(t not in by_term for t in s) for s in slot_terms):
+            return empty  # some slot has no occurrences in this range
+        keys = {t: _slot_keys(by_term[t]) for t in set(by_term) & set(live)}
+
+        def slot_union(s: list[str]) -> np.ndarray:
+            parts = [keys[t] for t in s if t in keys]
+            if len(parts) == 1:
+                return parts[0]
+            # a position holds exactly one term, so the union is dup-free
+            # but needs a sort for the intersections downstream
+            return np.sort(np.concatenate(parts))
+
+        cur = _chain_slots([slot_union(s) for s in slot_terms], slop)
         if cur.size == 0:
             return empty
         docs = cur >> POS_BITS
@@ -489,3 +540,73 @@ def phrase_topk(
             F.col("score").desc(), F.col("doc_id").asc()
         )
     return out
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    round_to: int | None = 4,
+    with_url: bool = False,
+    fetch_k: int | None = None,
+) -> DataFrame:
+    """Phrase top-k over the positional relation. slop=0 is the exact-
+    adjacency ES match_phrase; slop>0 is the ordered sloppy phrase (ES
+    span_near with in_order=true): slots must appear in order with at most
+    ``slop`` extra token gaps shared across the chain, tf = distinct
+    qualifying end positions. Weight = Σ slot idf (Lucene PhraseQuery
+    shape — slop-independent, as in Lucene)."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    slots = tokenize_py(phrase)
+    return _phrase_topk_slots(
+        spark, index_dir, [[t] for t in slots], k, int(slop), round_to,
+        with_url, fetch_k,
+    )
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    round_to: int | None = 4,
+    with_url: bool = False,
+    fetch_k: int | None = None,
+) -> DataFrame:
+    """ES match_phrase_prefix analogue: the LAST token of ``phrase`` is a
+    prefix, expanded against the term dictionary to the first
+    ``max_expansions`` terms in alphabetic order (the ES expansion rule),
+    and the phrase must match with any expansion term in the last slot
+    (Lucene MultiPhraseQuery). Weight = Σ idf over the fixed slots plus
+    every expansion term (MultiPhraseQuery's Σ-idf), so scoring stays
+    deterministic and oracle-checkable."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    slots = tokenize_py(phrase)
+    if not slots:
+        from kafka_es_spark.operators.wand import TOPK_SCHEMA
+
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    prefix = slots[-1]
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    )
+    expansion = [r["term"] for r in rows]
+    if not expansion:
+        from kafka_es_spark.operators.wand import TOPK_SCHEMA
+
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    slot_terms = [[t] for t in slots[:-1]] + [expansion]
+    return _phrase_topk_slots(
+        spark, index_dir, slot_terms, k, 0, round_to, with_url, fetch_k,
+    )

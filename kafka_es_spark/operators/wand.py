@@ -462,7 +462,8 @@ class Searcher:
              exclude_doc_ids: set[int] | None = None,
              exclude_urls: DataFrame | None = None,
              algo: str = "vector", mode: str = "or",
-             min_should_match: int | None = None) -> DataFrame:
+             min_should_match: int | None = None,
+             must_not: str | None = None) -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
         rounded-score boundary) without losing tied candidates.
@@ -479,6 +480,17 @@ class Searcher:
         plain OR, m=#terms is AND; intermediate m uses the vectorized
         counting scorer (msm_range_topk). Mutually exclusive with
         mode="and" (which is the m=#terms special case).
+
+        ``must_not`` (ES bool.must_not): a doc containing ANY of the
+        negated string's terms is excluded from the result, regardless of
+        how well it matches the positive terms; negated terms contribute
+        nothing to the score (ES runs must_not clauses in filter context).
+        Negated posting lists are read through the same pruned scan as the
+        positive ones and decoded per doc range, so the per-task exclusion
+        set is bounded by the range size (2^seg_bits docs) — never a global
+        collect. A pure-negation query (no positive terms) is rejected: ES
+        expresses that as match_all + must_not, and this engine has no
+        match_all scorer by design (it would be a full corpus scan).
 
         exclude_doc_ids / exclude_urls (a DataFrame with a ``url`` column)
         are X9 delete tombstones, enforced INSIDE the scorer (skipped at
@@ -504,7 +516,14 @@ class Searcher:
             excluded = excluded | frozenset(int(r["doc_id"]) for r in hits)
         excluded = excluded or None
         qterms = sorted(set(tokenize_py(query)))
+        neg_terms = sorted(set(tokenize_py(must_not))) if must_not else []
         if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            if neg_terms and not qterms:
+                raise ValueError(
+                    "pure-negation query: must_not requires at least one "
+                    "positive term (ES match_all + must_not is a full "
+                    "corpus scan — not a top-k posting-list query)"
+                )
             return spark.createDataFrame([], TOPK_SCHEMA)
 
         ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
@@ -526,7 +545,7 @@ class Searcher:
         term_order = sorted(weights)
         avgdl, codec = self.avgdl, self.codec
 
-        segs = self._query_segs(list(weights))
+        segs = self._query_segs(sorted(set(weights) | set(neg_terms)))
         dls_rel = self._query_dls(segs)
 
         def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
@@ -547,28 +566,40 @@ class Searcher:
             by_term: dict[str, list[dict]] = {}
             for r in pdf.to_dict("records"):
                 by_term.setdefault(r["term"], []).append(r)
-            if (mode == "and" and len(by_term) < len(term_order)) or (
-                msm is not None and len(by_term) < msm
-            ):
+            n_pos = sum(1 for t in term_order if t in by_term)
+            if (mode == "and" and n_pos < len(term_order)) or (
+                msm is not None and n_pos < msm
+            ) or n_pos == 0:
                 # this doc range can't host a qualifying doc — skip
                 # without decoding anything
                 return pd.DataFrame(
                     {"doc_id": pd.Series(dtype=np.int64),
                      "score": pd.Series(dtype=np.float64)}
                 )
+            range_excluded = excluded
+            if neg_terms:
+                neg_ids = [
+                    decode_segment(r, codec)[0]
+                    for t in neg_terms
+                    for r in by_term.get(t, [])
+                ]
+                if neg_ids:
+                    range_excluded = (excluded or frozenset()) | frozenset(
+                        int(d) for d in np.concatenate(neg_ids)
+                    )
             cursors = [
                 _Cursor(by_term[t], weights[t], avgdl, codec, dl_base, dl_arr)
                 for t in term_order
                 if t in by_term
             ]
             if mode == "and":
-                top = conjunctive_range_topk(cursors, k, excluded=excluded)
+                top = conjunctive_range_topk(cursors, k, excluded=range_excluded)
             elif msm is not None and msm > 1:
-                top = msm_range_topk(cursors, k, msm, excluded=excluded)
+                top = msm_range_topk(cursors, k, msm, excluded=range_excluded)
             elif algo == "bmw":
-                top = wand_range_topk(cursors, k, excluded=excluded)
+                top = wand_range_topk(cursors, k, excluded=range_excluded)
             else:
-                top = blockmax_topk_vectorized(cursors, k, excluded=excluded)
+                top = blockmax_topk_vectorized(cursors, k, excluded=range_excluded)
             return pd.DataFrame(top, columns=["doc_id", "score"])
 
         ranged = (
@@ -620,6 +651,176 @@ class Searcher:
         return self.topk(
             " ".join(terms), k=k, round_to=round_to, with_url=with_url,
             fetch_k=fetch_k,
+        )
+
+    def fuzzy_topk(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 1,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES fuzzy-query analogue: expand ``term`` against the term
+        dictionary to every term within Levenshtein distance
+        ``max_edits``, then score the expansion as a BM25 OR disjunction
+        (Lucene's scoring-boolean rewrite — same rewrite prefix_topk
+        uses, so results stay oracle-checkable; ES's default
+        blended-idf rewrite is a scoring variant of the same expansion).
+
+        Expansion is deterministic: candidates ordered by (edit distance
+        asc, term asc), capped at ``max_expansions`` (ES default 50). The
+        dictionary scan stays JVM-side — ``F.levenshtein`` over
+        term_stats, pre-pruned by a ``startswith(prefix)`` pushdown when
+        ``prefix_length > 0`` (the ES prefix_length knob: at web scale an
+        unanchored scan touches the whole vocabulary, so a nonzero prefix
+        is the scale path) and a cheap ``abs(len(t) - len(term))``
+        length filter that eliminates most candidates before the O(len²)
+        distance."""
+        cand = self.term_stats.select("term").filter(
+            F.abs(F.length("term") - len(term)) <= int(max_edits)
+        )
+        if prefix_length > 0:
+            cand = cand.filter(F.col("term").startswith(term[:prefix_length]))
+        rows = (
+            cand.withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+            .filter(F.col("dist") <= int(max_edits))
+            .orderBy("dist", "term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
+    def matching_doc_ids(
+        self,
+        query: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """All doc ids matching the query (ES filter context / the doc set
+        behind ``_count`` and aggregations): OR = union of the query
+        terms' posting lists, AND = intersection, min_should_match = docs
+        on >= m lists; minus must_not docs and pending tombstones.
+
+        No scoring, so no range_dls read and no _Cursor decode of tfs —
+        one pruned postings scan, per-range vectorized set algebra in
+        applyInPandas, output one row per matching doc. Distributed by
+        doc range exactly like topk (a doc lives in one range, so ranges
+        are disjoint and need no dedup)."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        neg_terms = sorted(set(tokenize_py(must_not))) if must_not else []
+        out_schema = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+        if not qterms:
+            return spark.createDataFrame([], out_schema)
+        msm = min_should_match
+        if msm is not None and (msm < 1 or mode == "and"):
+            raise ValueError(
+                "min_should_match must be >= 1 and combines with mode='or' "
+                "(mode='and' IS min_should_match=#terms)"
+            )
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        present = sorted(r["term"] for r in ts)
+        if not present or (mode == "and" and len(present) < len(qterms)) or (
+            msm is not None and len(present) < msm
+        ):
+            return spark.createDataFrame([], out_schema)
+        codec = self.codec
+        excluded = self.persistent_excluded or None
+        need = msm if msm is not None else (len(present) if mode == "and" else 1)
+
+        segs = self._query_segs(sorted(set(present) | set(neg_terms)))
+
+        def collect_range(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term: dict[str, list[dict]] = {}
+            for r in pdf.to_dict("records"):
+                by_term.setdefault(r["term"], []).append(r)
+            pos = [t for t in present if t in by_term]
+            if len(pos) < need:
+                return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+            # one id array per positive term (a term's segments within the
+            # range are disjoint doc runs, so plain concat has no dups)
+            per_term = [
+                np.concatenate(
+                    [decode_segment(r, codec)[0] for r in by_term[t]]
+                )
+                for t in pos
+            ]
+            aid = np.concatenate(per_term)
+            uids, cnt = np.unique(aid, return_counts=True)
+            uids = uids[cnt >= need]
+            for t in neg_terms:
+                rows_t = by_term.get(t)
+                if rows_t is not None and uids.size:
+                    neg = np.concatenate(
+                        [decode_segment(r, codec)[0] for r in rows_t]
+                    )
+                    uids = uids[~np.isin(uids, neg)]
+            if excluded is not None and uids.size:
+                dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+                uids = uids[~np.isin(uids, dead)]
+            return pd.DataFrame({"doc_id": uids})
+
+        return segs.groupBy("seg").applyInPandas(collect_range, out_schema)
+
+    def match_count(self, query: str, mode: str = "or",
+                    min_should_match: int | None = None,
+                    must_not: str | None = None) -> DataFrame:
+        """ES ``_count`` analogue: one row ``(n_hits)`` — the number of
+        live docs matching the query under the given bool semantics."""
+        return self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        ).agg(F.count("*").alias("n_hits"))
+
+    def facet_terms(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        size: int = 10,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES terms-aggregation analogue (``aggs: {terms: {field: ...}}``):
+        bucket the docs matching ``query`` by ``field`` and return the top
+        ``size`` buckets as (value, doc_count), ordered doc_count desc
+        then value asc (deterministic tie-break; ES orders _count desc).
+
+        Aggregations run over ALL matching docs — the hit set comes from
+        ``matching_doc_ids`` (posting-list algebra, no scoring), joined to
+        the docmap for urls and to ``field_values`` (a (url, field)
+        relation, e.g. the source table) for the bucket key. Both joins
+        key on high-cardinality columns and reduce to a tiny
+        (#distinct-values)-row aggregate — the classic shuffle-then-
+        partial-agg plan; Catalyst broadcasts whichever side is small."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        return (
+            hits.join(dm, "doc_id")
+            .join(field_values.select("url", field), "url")
+            .groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+            .limit(int(size))
         )
 
     def topk_many(

@@ -229,6 +229,145 @@ def test_and_mode_empty_when_term_absent_from_index(spark, index_dir):
     assert got == []
 
 
+def test_must_not_excludes_matching_docs(spark, index_dir, doc_terms):
+    """bool.must_not: docs containing any negated term vanish from the
+    result; survivors keep their unmodified OR-mode scores (must_not runs
+    in filter context — no score contribution, stats unchanged)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q, neg = "data index search", "merge sort"
+    qterms = sorted(set(q.split()))
+    neg_terms = set(neg.split())
+    full = exhaustive_topk_numpy(doc_terms, qterms, k=len(doc_terms))
+    banned = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if neg_terms & set(ts)
+    }
+    want = [(d, s) for d, s in full if d not in banned][:10]
+    assert want and len(banned) > 0, "probe must actually exclude docs"
+    s = Searcher(spark, index_dir, cache=False)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, must_not=neg).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10)
+    # a negated term absent from the index is a no-op
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, must_not="qqqzz").collect()
+    ]
+    plain = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None).collect()
+    ]
+    assert got2 == plain
+    # pure negation is rejected (ES would need match_all + must_not)
+    with pytest.raises(ValueError, match="pure-negation"):
+        s.topk("", must_not=neg).collect()
+    # composes with AND mode: conjunctive hits minus banned docs
+    got_and = [
+        r["doc_id"]
+        for r in s.topk(q, k=10, round_to=None, mode="and", must_not=neg).collect()
+    ]
+    assert not (set(got_and) & banned)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_topk_expansion_and_scoring(spark, index_dir, doc_terms):
+    """Fuzzy expansion = index terms within max_edits Levenshtein distance,
+    ordered (distance, term), capped; scoring = plain OR over the expansion
+    (equals topk on the same set). prefix_length anchors the scan."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    probe, max_edits = "dat", 1  # data(1); maybe others at distance 1
+    cand = sorted(
+        ((t, _lev(t, probe)) for t in vocab if _lev(t, probe) <= max_edits),
+        key=lambda e: (e[1], e[0]),
+    )
+    expansion = [t for t, _ in cand[:50]]
+    assert expansion, "probe must expand to at least one index term"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.fuzzy_topk(
+            probe, k=10, max_edits=max_edits, prefix_length=1, round_to=None
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(" ".join(expansion), k=10, round_to=None).collect()
+    ]
+    assert got == want
+    # no term within distance → empty
+    assert s.fuzzy_topk("qqqqqqzz", k=10, max_edits=1).collect() == []
+
+
+def test_match_count_and_facet_terms(spark, index_dir, pages, doc_terms):
+    """ES _count + terms-aggregation analogues: hit sets from posting-list
+    algebra (union / intersection / >=m / minus must_not), buckets joined
+    back through the docmap; counts and bucket ordering match a pandas
+    recomputation from the raw corpus."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    sets = {
+        t: {
+            d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+            if t in set(ts)
+        }
+        for t in qterms
+    }
+    or_hits = set().union(*sets.values())
+    and_hits = set.intersection(*sets.values())
+    msm2_hits = {d for d in or_hits if sum(d in s_ for s_ in sets.values()) >= 2}
+    banned = sets["data"]
+
+    s = Searcher(spark, index_dir, cache=False)
+    assert s.match_count(q).collect()[0]["n_hits"] == len(or_hits)
+    assert s.match_count(q, mode="and").collect()[0]["n_hits"] == len(and_hits)
+    assert (
+        s.match_count(q, min_should_match=2).collect()[0]["n_hits"]
+        == len(msm2_hits)
+    )
+    assert (
+        s.match_count(q, must_not="data").collect()[0]["n_hits"]
+        == len(or_hits - banned)
+    )
+    got_ids = {r["doc_id"] for r in s.matching_doc_ids(q, mode="and").collect()}
+    assert got_ids == and_hits
+
+    # facet by lang over the OR hit set
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in dm.join(pages.select("url", "lang"), "url").collect()
+    }
+    counts: dict[str, int] = {}
+    for d in or_hits:
+        counts[lang_of[d]] = counts.get(lang_of[d], 0) + 1
+    want = sorted(counts.items(), key=lambda e: (-e[1], e[0]))[:3]
+    got = [
+        (r["lang"], r["doc_count"])
+        for r in s.facet_terms(q, pages.select("url", "lang"), "lang", size=3).collect()
+    ]
+    assert got == want
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
