@@ -167,17 +167,59 @@ def _q_phrase_topk(spark, sf_dir):
     the positional relation (positions/ — per-doc delta-encoded token
     positions beside the postings). Weight = Σ slot idf (Lucene
     PhraseQuery), tf = phrase occurrences, BM25 saturation vs dl."""
-    import os
+    from kafka_es_spark.operators.positions import phrase_topk
 
-    from kafka_es_spark.operators.positions import build_position_index, phrase_topk
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
+    out = phrase_topk(
+        spark, idx, " ".join(PHRASE), k=TOPK, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _ensure_positions(spark, sf_dir, idx):
+    from kafka_es_spark.operators.positions import build_position_index
     from kafka_es_spark.plans.manifest import Manifest
     from kafka_es_spark.sources.pages import docs_as_pages
 
-    idx = _ensure_index(spark, sf_dir)
     if not Manifest(idx).is_complete("positions"):
         build_position_index(spark, docs_as_pages(spark, sf_dir), idx)
+
+
+PHRASE_SLOP = 2
+
+
+def _q_sloppy_phrase_topk(spark, sf_dir):
+    """X8 ordered sloppy phrase (ES span_near in_order=true / match_phrase
+    slop): slots in order with at most ``slop`` extra token gaps shared
+    across the chain; tf = distinct qualifying end positions; weight = Σ
+    slot idf (slop-independent, as in Lucene)."""
+    from kafka_es_spark.operators.positions import phrase_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
     out = phrase_topk(
-        spark, idx, " ".join(PHRASE), k=TOPK, fetch_k=TOPK * 3, with_url=True
+        spark, idx, " ".join(PHRASE), k=TOPK, slop=PHRASE_SLOP,
+        fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+PP_FIRST, PP_PREFIX = "part", "f"  # "part f*" — multi-term expansion
+
+
+def _q_phrase_prefix_topk(spark, sf_dir):
+    """X8 match_phrase_prefix: the last token is a prefix expanded
+    alphabetically against the term dictionary (cap 50); the phrase must
+    end in any expansion term (Lucene MultiPhraseQuery); weight = Σ idf
+    over the fixed slots plus every expansion term."""
+    from kafka_es_spark.operators.positions import phrase_prefix_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
+    out = phrase_prefix_topk(
+        spark, idx, f"{PP_FIRST} {PP_PREFIX}", k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
     )
     return _topk_by_corpus_id(out)
 
@@ -659,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_and_topk": _q_wand_and_topk,
         "x8_msm_topk": _q_wand_msm_topk,
         "x8_phrase_topk": _q_phrase_topk,
+        "x8_sloppy_phrase_topk": _q_sloppy_phrase_topk,
+        "x8_phrase_prefix_topk": _q_phrase_prefix_topk,
         "x8_prefix_topk": _q_prefix_topk,
         "x8_not_topk": _q_not_topk,
         "x8_fuzzy_topk": _q_fuzzy_topk,
@@ -1129,6 +1173,72 @@ ph AS (
   SELECT a.doc_id, count(*) AS tfp
   FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY 1
+),
+s AS (
+  SELECT ph.doc_id,
+         w.w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN w
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # sloppy phrase (bigram): end positions b.pos within 1..1+slop after
+        # a.pos, tf = DISTINCT end positions (the engine's dedup rule);
+        # weight = the same two-slot Σ idf as the exact phrase
+        "x8_sloppy_phrase_topk": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p
+  WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}') GROUP BY 1
+),
+w AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfq CROSS JOIN stats
+),
+ph AS (
+  SELECT a.doc_id, count(DISTINCT b.pos) AS tfp
+  FROM p a JOIN p b ON b.doc_id = a.doc_id
+    AND b.pos BETWEEN a.pos + 1 AND a.pos + 1 + {PHRASE_SLOP}
+  WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  GROUP BY 1
+),
+s AS (
+  SELECT ph.doc_id,
+         w.w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN w
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # match_phrase_prefix: last slot = alphabetic expansion of the
+        # prefix (cap 50); weight = Σ idf over the fixed slot + every
+        # expansion term (Lucene MultiPhraseQuery); a position holds one
+        # term, so count(b.pos) needs no distinct across expansion terms
+        "x8_phrase_prefix_topk": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+exp AS (
+  SELECT term FROM (SELECT DISTINCT term FROM p)
+  WHERE term LIKE '{PP_PREFIX}%' ORDER BY term LIMIT 50
+),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p
+  WHERE term = '{PP_FIRST}' OR term IN (SELECT term FROM exp) GROUP BY 1
+),
+w AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfq CROSS JOIN stats
+),
+ph AS (
+  SELECT a.doc_id, count(DISTINCT b.pos) AS tfp
+  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PP_FIRST}' AND b.term IN (SELECT term FROM exp)
   GROUP BY 1
 ),
 s AS (

@@ -22,7 +22,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-should-match", type=int, default=None,
                    help="require >= m matching terms (ES minimum_should_match)")
     p.add_argument("--phrase", action="store_true",
-                   help="exact-adjacency phrase query (needs positions/)")
+                   help="phrase query (needs positions/); see --slop")
+    p.add_argument("--slop", type=int, default=0,
+                   help="phrase gap budget (ES match_phrase slop / ordered "
+                        "span_near)")
+    p.add_argument("--phrase-prefix", action="store_true",
+                   help="match_phrase_prefix: last token expands against "
+                        "the term dictionary")
     p.add_argument("--prefix", action="store_true",
                    help="prefix query: expand each arg against the term dict")
     p.add_argument("--fuzzy", action="store_true",
@@ -51,9 +57,20 @@ def main(argv: list[str] | None = None) -> None:
 
             for q in args.queries:
                 rows = phrase_topk(
-                    spark, args.index, q, k=args.k, with_url=not args.no_url
+                    spark, args.index, q, k=args.k, slop=args.slop,
+                    with_url=not args.no_url,
                 ).collect()
                 print(json.dumps({"phrase": q, "hits": [r.asDict() for r in rows]}))
+            return
+        if args.phrase_prefix:
+            from kafka_es_spark.operators.positions import phrase_prefix_topk
+
+            for q in args.queries:
+                rows = phrase_prefix_topk(
+                    spark, args.index, q, k=args.k, with_url=not args.no_url
+                ).collect()
+                print(json.dumps({"phrase_prefix": q,
+                                  "hits": [r.asDict() for r in rows]}))
             return
         s = Searcher(spark, args.index)
         if args.prefix:

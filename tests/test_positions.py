@@ -155,3 +155,105 @@ def test_streaming_epochs_with_positions_serve_phrases(spark, tmp_path):
     append_epoch(spark, p1, idx2, epoch=0, seg_bits=6, n_term_buckets=4)
     with pytest.raises(ValueError, match="positions/"):
         phrase_topk(spark, idx2, "data index", k=5).collect()
+
+
+def brute_sloppy_topk(doc_terms, slots, slop, k):
+    """Ordered sloppy phrase: slots in order, cumulative extra gap <= slop;
+    tf = distinct end positions of qualifying matches."""
+    dls = doc_terms["terms"].map(len).to_numpy(dtype=np.int64)
+    n = len(doc_terms)
+    avgdl = float(dls.mean())
+    dfs = {t: int(sum(t in set(ts) for ts in doc_terms["terms"])) for t in set(slots)}
+    if any(v == 0 for v in dfs.values()):
+        return []
+    w = float(sum(idf(n, dfs[t]) for t in slots))
+    out = []
+    for d, ts, dl in zip(doc_terms["doc_id"], doc_terms["terms"], dls):
+        ts = list(ts)
+        ends = set()
+
+        def extend(i, si, budget):
+            if si == len(slots):
+                ends.add(i)
+                return
+            for gap in range(budget + 1):
+                j = i + 1 + gap
+                if j < len(ts) and ts[j] == slots[si]:
+                    extend(j, si + 1, budget - gap)
+
+        for i, t in enumerate(ts):
+            if t == slots[0]:
+                extend(i, 1, slop)
+        if ends:
+            tfp = len(ends)
+            s = w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            out.append((int(d), float(s)))
+    out.sort(key=lambda e: (-e[1], e[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [("data index", 1), ("data index", 2), ("the data index", 2)],
+)
+def test_sloppy_phrase_rank_identical_to_brute(spark, pages, pidx, phrase, slop):
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    want = brute_sloppy_topk(doc_terms, phrase.split(), slop, 10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(
+            spark, pidx, phrase, k=10, slop=slop, round_to=None
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], (phrase, slop)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (phrase, slop, gd)
+    # slop=0 equals the exact phrase; wider slop can only add docs
+    exact = {d for d, _ in brute_phrase_topk(doc_terms, phrase.split(), 10**9)}
+    sloppy = {d for d, _ in brute_sloppy_topk(doc_terms, phrase.split(), slop, 10**9)}
+    assert exact <= sloppy
+
+
+def test_phrase_prefix_rank_identical_to_brute(spark, pages, pidx):
+    """match_phrase_prefix: last slot expands alphabetically against the
+    term dictionary; weight = Σ idf over fixed slots + every expansion
+    term; tf = distinct end positions matching any expansion term."""
+    from kafka_es_spark.operators.positions import phrase_prefix_topk
+
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    prefix = "s"
+    expansion = [t for t in vocab if t.startswith(prefix)][:50]
+    assert len(expansion) > 1, "probe must expand to multiple terms"
+    dls = doc_terms["terms"].map(len).to_numpy(dtype=np.int64)
+    n = len(doc_terms)
+    avgdl = float(dls.mean())
+    dfs = {
+        t: int(sum(t in set(ts) for ts in doc_terms["terms"]))
+        for t in ["data"] + expansion
+    }
+    w = float(sum(idf(n, dfs[t]) for t in ["data"] + expansion))
+    exp = set(expansion)
+    want = []
+    for d, ts, dl in zip(doc_terms["doc_id"], doc_terms["terms"], dls):
+        ts = list(ts)
+        tfp = sum(
+            1 for i in range(len(ts) - 1)
+            if ts[i] == "data" and ts[i + 1] in exp
+        )
+        if tfp:
+            s = w * tfp * 2.2 / (tfp + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            want.append((int(d), float(s)))
+    want.sort(key=lambda e: (-e[1], e[0]))
+    want = want[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_prefix_topk(
+            spark, pidx, f"data {prefix}", k=10, round_to=None
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), gd
+    # a prefix matching no dictionary term yields empty
+    assert phrase_prefix_topk(spark, pidx, "data zzzqq", k=10).collect() == []
