@@ -290,6 +290,43 @@ def _q_match_count(spark, sf_dir):
     )
 
 
+def _docs_url_fields(spark, sf_dir):
+    """documents with the doc:// url key the docmap joins on."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "lang", "n_chars",
+    )
+
+
+HIST_INTERVAL = 200
+
+
+def _q_agg_histogram(spark, sf_dir):
+    """ES histogram aggregation: fixed-width n_chars buckets over the
+    OR-mode hit set, bucket = floor(v/interval)*interval, key-ordered,
+    empty buckets omitted (min_doc_count=1)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_histogram(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        HIST_INTERVAL,
+    )
+
+
+def _q_agg_stats(spark, sf_dir):
+    """ES stats aggregation over the conjunctive hit set: count/min/max/
+    sum/avg of n_chars for docs containing every query term."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_stats(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        mode="and",
+    )
+
+
 def _q_facet_lang(spark, sf_dir):
     """ES terms-aggregation analogue: bucket the OR-mode hit set by lang,
     top buckets by doc_count desc then value asc. Hit set from posting
@@ -708,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_fuzzy_topk": _q_fuzzy_topk,
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
+        "x8_agg_histogram": _q_agg_histogram,
+        "x8_agg_stats": _q_agg_stats,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -1275,6 +1314,25 @@ WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
 SELECT lang, count(*) AS doc_count FROM documents JOIN hits USING (doc_id)
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "x8_agg_histogram": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT CAST(floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS BIGINT) AS bucket,
+       count(*) AS doc_count
+FROM documents JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
+        "x8_agg_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+)
+SELECT count(n_chars) AS n_docs_agg, min(n_chars) AS min_v,
+       max(n_chars) AS max_v, CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       round(avg(n_chars), 4) AS avg_v
+FROM documents JOIN hits USING (doc_id)
 """,
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins

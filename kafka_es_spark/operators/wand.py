@@ -807,6 +807,24 @@ class Searcher:
         key on high-cardinality columns and reduce to a tiny
         (#distinct-values)-row aggregate — the classic shuffle-then-
         partial-agg plan; Catalyst broadcasts whichever side is small."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        return (
+            j.groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+            .limit(int(size))
+        )
+
+    def _hit_fields(
+        self, query: str, field_values: DataFrame, field: str,
+        mode: str = "or", min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """The hit set joined to its per-doc field values — the shared
+        input relation of every aggregation (doc_id, url, field)."""
         hits = self.matching_doc_ids(
             query, mode=mode, min_should_match=min_should_match,
             must_not=must_not,
@@ -814,13 +832,60 @@ class Searcher:
         dm = self.spark.read.parquet(
             os.path.join(self.index_dir, "docmap")
         ).select("doc_id", "url")
+        return hits.join(dm, "doc_id").join(
+            field_values.select("url", field), "url"
+        )
+
+    def agg_histogram(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        interval: float,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES histogram-aggregation analogue: bucket the matching docs'
+        numeric ``field`` into fixed-width intervals — (bucket,
+        doc_count) rows with bucket = floor(value / interval) · interval,
+        ordered by bucket asc (ES histogram key order). Empty buckets are
+        omitted (ES min_doc_count=1 behavior). One shuffle to the tiny
+        (#buckets)-row aggregate after the hit/field joins."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        bucket = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval))
         return (
-            hits.join(dm, "doc_id")
-            .join(field_values.select("url", field), "url")
-            .groupBy(field)
+            j.groupBy(bucket.cast("long").alias("bucket"))
             .agg(F.count("*").alias("doc_count"))
-            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
-            .limit(int(size))
+            .orderBy("bucket")
+        )
+
+    def agg_stats(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES stats-aggregation analogue: one row (n_docs_agg, min_v,
+        max_v, sum_v, avg_v) over the matching docs' numeric ``field`` —
+        a pure partial-aggregate plan (map-side combine, single tiny
+        reduce)."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        return j.agg(
+            F.count(field).alias("n_docs_agg"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.round(F.avg(field), 4).alias("avg_v"),
         )
 
     def topk_many(

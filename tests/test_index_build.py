@@ -368,6 +368,51 @@ def test_match_count_and_facet_terms(spark, index_dir, pages, doc_terms):
     assert got == want
 
 
+def test_agg_histogram_and_stats(spark, index_dir, pages, doc_terms):
+    """ES histogram/stats aggregation analogues over the hit set: bucket
+    counts and min/max/sum/avg match a pandas recomputation."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    # per-doc numeric field: token count, via the pages text length proxy
+    fv = pages.select(
+        "url", F.length("text").cast("long").alias("nbytes")
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    val_of = {
+        r["doc_id"]: r["nbytes"]
+        for r in dm.join(fv, "url").collect()
+    }
+    vals = [val_of[d] for d in or_hits]
+    interval = 100
+    want_hist: dict[int, int] = {}
+    for v in vals:
+        b = (v // interval) * interval
+        want_hist[b] = want_hist.get(b, 0) + 1
+
+    s = Searcher(spark, index_dir, cache=False)
+    got_hist = [
+        (r["bucket"], r["doc_count"])
+        for r in s.agg_histogram(q, fv, "nbytes", interval).collect()
+    ]
+    assert got_hist == sorted(want_hist.items())
+
+    row = s.agg_stats(q, fv, "nbytes").collect()[0]
+    assert row["n_docs_agg"] == len(vals)
+    assert row["min_v"] == min(vals) and row["max_v"] == max(vals)
+    assert row["sum_v"] == sum(vals)
+    assert row["avg_v"] == pytest.approx(
+        round(sum(vals) / len(vals), 4), abs=1e-9
+    )
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
