@@ -278,6 +278,39 @@ def _q_fuzzy_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+WILDCARD = "s*a?"  # LIKE 's%a_' — multi-term expansion at driver scales
+
+
+def _q_wildcard_topk(spark, sf_dir):
+    """X8 wildcard query (ES wildcard): * / ? map onto SQL LIKE % / _
+    against the term dictionary; alphabetic expansion cap 50, scored as
+    a BM25 OR (scoring-boolean rewrite)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).wildcard_topk(
+        WILDCARD, k=TOPK, max_expansions=50, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
+BOOSTS = {"query": 2.5}  # ES term^boost on one of the three query terms
+
+
+def _q_boost_topk(spark, sf_dir):
+    """X8 query-time term boost (ES term^boost): the boosted term's idf
+    weight is scaled before scoring; block-max bounds inherit the scale,
+    so pruning stays exact."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).topk(
+        " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3, with_url=True,
+        boosts=BOOSTS,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_match_count(spark, sf_dir):
     """ES _count analogue under conjunctive semantics: number of docs
     containing EVERY query term — posting-list intersection counting, no
@@ -743,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_prefix_topk": _q_prefix_topk,
         "x8_not_topk": _q_not_topk,
         "x8_fuzzy_topk": _q_fuzzy_topk,
+        "x8_wildcard_topk": _q_wildcard_topk,
+        "x8_boost_topk": _q_boost_topk,
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
         "x8_agg_histogram": _q_agg_histogram,
@@ -789,6 +824,7 @@ def _bm25_sql(
     min_match: int | None = None,
     qt_sql: str | None = None,
     must_not_terms: list[str] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
@@ -810,6 +846,14 @@ def _bm25_sql(
             f"WHERE doc_id NOT IN "
             f"(SELECT DISTINCT doc_id FROM toks WHERE term IN ({negs}))"
         )
+    # term^boost: scale the idf factor, same multiplication order as the
+    # engine ((idf*boost)*tf*2.2/...), residual covered by round(4)
+    boost = ""
+    if boosts:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(v)}" for t, v in sorted(boosts.items())
+        )
+        boost = f" * (CASE tf.term {cases} ELSE 1.0 END)"
     qt = qt_sql or f"SELECT unnest([{_QT}]) AS term"
     return f"""
 WITH corpus AS (SELECT * FROM {docs_rel}),
@@ -823,7 +867,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP 
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
 s AS (
   SELECT tf.doc_id,
-         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)){boost}
              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY 1 {having}
@@ -1302,6 +1346,15 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
                 f"ORDER BY levenshtein(term, '{FUZZY_PROBE}'), term LIMIT 50"
             ),
         ),
+        "x8_wildcard_topk": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT term FROM (SELECT DISTINCT term FROM toks) "
+                f"WHERE term LIKE '{WILDCARD.replace('*', '%').replace('?', '_')}' "
+                "ORDER BY term LIMIT 50"
+            ),
+        ),
+        "x8_boost_topk": _bm25_sql("documents", boosts=BOOSTS),
         "x8_match_count": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 SELECT count(*) AS n_hits FROM (

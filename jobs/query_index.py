@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="prefix query: expand each arg against the term dict")
     p.add_argument("--fuzzy", action="store_true",
                    help="fuzzy query: expand each arg within --max-edits")
+    p.add_argument("--wildcard", action="store_true",
+                   help="wildcard query: * / ? expanded against the term "
+                        "dictionary")
+    p.add_argument("--boost", action="append", default=[],
+                   metavar="TERM=WEIGHT",
+                   help="query-time term boost (repeatable; ES term^boost)")
     p.add_argument("--max-edits", type=int, default=1,
                    help="fuzzy edit-distance budget (ES fuzziness)")
     p.add_argument("--must-not", default=None,
@@ -88,6 +94,19 @@ def main(argv: list[str] | None = None) -> None:
                 print(json.dumps({"fuzzy": q, "hits": [r.asDict() for r in rows]}))
             s.close()
             return
+        if args.wildcard:
+            for q in args.queries:
+                rows = s.wildcard_topk(
+                    q, k=args.k, with_url=not args.no_url
+                ).collect()
+                print(json.dumps({"wildcard": q,
+                                  "hits": [r.asDict() for r in rows]}))
+            s.close()
+            return
+        boosts = dict(
+            (kv.split("=", 1)[0], float(kv.split("=", 1)[1]))
+            for kv in args.boost
+        ) or None
         if args.count:
             for q in args.queries:
                 n = s.match_count(
@@ -120,7 +139,7 @@ def main(argv: list[str] | None = None) -> None:
                 rows = s.topk(
                     q, k=args.k, with_url=not args.no_url, mode=args.mode,
                     min_should_match=args.min_should_match,
-                    must_not=args.must_not,
+                    must_not=args.must_not, boosts=boosts,
                 ).collect()
                 print(json.dumps({"query": q, "hits": [r.asDict() for r in rows]}))
         s.close()

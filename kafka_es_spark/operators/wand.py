@@ -463,7 +463,8 @@ class Searcher:
              exclude_urls: DataFrame | None = None,
              algo: str = "vector", mode: str = "or",
              min_should_match: int | None = None,
-             must_not: str | None = None) -> DataFrame:
+             must_not: str | None = None,
+             boosts: dict[str, float] | None = None) -> DataFrame:
         """fetch_k > k widens the per-range heaps and the final limit so a
         caller can re-rank with its own tie-break (e.g. corpus doc id at a
         rounded-score boundary) without losing tied candidates.
@@ -491,6 +492,10 @@ class Searcher:
         collect. A pure-negation query (no positive terms) is rejected: ES
         expresses that as match_all + must_not, and this engine has no
         match_all scorer by design (it would be a full corpus scan).
+
+        ``boosts`` (ES ``term^boost``): per-term query-time weight
+        multipliers applied to the idf — driver arithmetic only, every
+        scorer and its block-max bounds inherit the scaled weight.
 
         exclude_doc_ids / exclude_urls (a DataFrame with a ``url`` column)
         are X9 delete tombstones, enforced INSIDE the scorer (skipped at
@@ -527,7 +532,13 @@ class Searcher:
             return spark.createDataFrame([], TOPK_SCHEMA)
 
         ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
-        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        # query-time boosts (ES term ^boost): scale the term weight —
+        # pure driver arithmetic, the scorers are boost-agnostic
+        weights = {
+            r["term"]: idf(self.n_docs, int(r["df"]))
+            * float((boosts or {}).get(r["term"], 1.0))
+            for r in ts
+        }
         if not weights:
             return spark.createDataFrame([], TOPK_SCHEMA)
         if mode == "and" and len(weights) < len(qterms):
@@ -689,6 +700,42 @@ class Searcher:
             cand.withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
             .filter(F.col("dist") <= int(max_edits))
             .orderBy("dist", "term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
+    def wildcard_topk(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES wildcard-query analogue: ``*`` matches any run, ``?`` one
+        character. The pattern maps 1:1 onto SQL LIKE (``%`` / ``_`` —
+        literal %/_ in terms are escaped), so the dictionary scan stays a
+        JVM-side LIKE over term_stats; expansion is deterministic
+        (alphabetic, capped at max_expansions) and scored as a BM25 OR —
+        the same scoring-boolean rewrite prefix/fuzzy use. A leading
+        ``*`` forces a full dictionary scan (ES warns identically); an
+        anchored prefix before the first wildcard is sargable."""
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_")
+        )
+        rows = (
+            self.term_stats.filter(F.col("term").like(like))
+            .select("term")
+            .orderBy("term")
             .limit(int(max_expansions))
             .collect()
         )

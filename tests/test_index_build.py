@@ -368,6 +368,64 @@ def test_match_count_and_facet_terms(spark, index_dir, pages, doc_terms):
     assert got == want
 
 
+def test_wildcard_topk_expansion_and_scoring(spark, index_dir, doc_terms):
+    """Wildcard expansion = dictionary terms matching the * / ? pattern
+    (SQL LIKE semantics), alphabetic cap; scoring = plain OR over the
+    expansion."""
+    import fnmatch
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    pattern = "d*a"  # data, ...
+    expansion = [t for t in vocab if fnmatch.fnmatchcase(t, pattern)][:50]
+    assert expansion, "probe must match at least one index term"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.wildcard_topk(pattern, k=10, round_to=None).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(" ".join(expansion), k=10, round_to=None).collect()
+    ]
+    assert got == want
+    assert s.wildcard_topk("zzz*qq?", k=10).collect() == []
+
+
+def test_boost_scales_term_weight(spark, index_dir, doc_terms):
+    """term^boost multiplies the term's idf weight: scores equal the sum
+    of per-term single-query scores scaled by each term's boost."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    boosts = {"index": 3.0}
+    single = {
+        t: dict(
+            (r["doc_id"], r["score"])
+            for r in s.topk(t, k=10**6, round_to=None).collect()
+        )
+        for t in q.split()
+    }
+    want_scores: dict[int, float] = {}
+    for t in sorted(q.split()):
+        for d, sc in single[t].items():
+            want_scores[d] = want_scores.get(d, 0.0) + boosts.get(t, 1.0) * sc
+    want = sorted(want_scores.items(), key=lambda e: (-e[1], e[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.topk(q, k=10, round_to=None, boosts=boosts).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    # boost=1.0 for every term is a no-op
+    plain = s.topk(q, k=10, round_to=None).collect()
+    noop = s.topk(q, k=10, round_to=None, boosts={"data": 1.0}).collect()
+    assert plain == noop
+
+
 def test_agg_histogram_and_stats(spark, index_dir, pages, doc_terms):
     """ES histogram/stats aggregation analogues over the hit set: bucket
     counts and min/max/sum/avg match a pandas recomputation."""
