@@ -759,6 +759,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: distinct-token ratio, most-common
+    2-gram fraction, duplicate-3-gram fraction."""
+    from kafka_es_spark.functions.textstats import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -808,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts2_quality_features": _q_quality,
         "ts3_token_counts": _q_token_counts,
         "ts4_fingerprint": _q_fingerprint,
+        "ts5_repetition": _q_repetition,
     }
 
 
@@ -1203,6 +1212,37 @@ FROM t
 """
 
 
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+base AS (SELECT doc_id, arr, len(arr) AS n FROM t),
+p AS (SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos FROM t),
+b2 AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS g, count(*) AS c
+  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+bagg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top2 FROM b2 GROUP BY 1),
+t3 AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS g, count(*) AS c
+  FROM p a
+  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY 1, 2
+),
+tagg AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup3
+  FROM t3 GROUP BY 1
+)
+SELECT base.doc_id,
+       round(CAST(len(list_distinct(arr)) AS DOUBLE) / greatest(n, 1), 4)
+         AS distinct_token_ratio,
+       round(coalesce(top2, 0.0), 4) AS top_bigram_frac,
+       round(coalesce(dup3, 0.0), 4) AS dup_trigram_frac
+FROM base LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "x2_tokenize_explode": (
@@ -1534,4 +1574,5 @@ FROM s GROUP BY media_id, sr, n
         "ts2_quality_features": _QUALITY_SQL,
         "ts3_token_counts": _TOKEN_COUNTS_SQL,
         "ts4_fingerprint": _FINGERPRINT_SQL,
+        "ts5_repetition": _REPETITION_SQL,
     }

@@ -93,6 +93,77 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_features(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 — the
+    duplicate-text heuristics a web-scale training pipeline filters on):
+
+    - distinct_token_ratio: |distinct tokens| / |tokens| (low ⇒ loops)
+    - top_bigram_frac: occurrences of the most frequent 2-gram / all
+      2-gram occurrences ("fraction in most common n-gram")
+    - dup_trigram_frac: fraction of 3-gram occurrences whose 3-gram
+      appears more than once ("fraction of duplicate n-grams")
+
+    Plan: n-grams are built as array columns (zip_with over slices — no
+    Python), then ONE explode + two-level hash aggregation per n-gram
+    order; per-doc groups are bounded by doc length, and the aggregate
+    output is one row per doc — scales like any tokenize-shaped op.
+    Docs with fewer tokens than the n-gram order get 0.0 (no n-grams)."""
+    toks = tokens(text_col)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    t = F.col("toks")
+    n = F.col("n")
+    join2 = lambda a, b: F.concat(a, F.lit(" "), b)  # noqa: E731
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        join2,
+    )
+    tri12 = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 2, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 2, F.lit(0))),
+        join2,
+    )
+    trigrams = F.zip_with(
+        tri12, F.slice(t, 3, F.greatest(n - 2, F.lit(0))), join2
+    )
+
+    def gram_frac(col, agg_expr, name):
+        g = base.select("doc_id", F.explode(col).alias("g"))
+        per = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return per.groupBy("doc_id").agg(agg_expr.alias(name))
+
+    top2 = gram_frac(bigrams, F.max("c") / F.sum("c"), "top2")
+    dup3 = gram_frac(
+        trigrams,
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"),
+        "dup3",
+    )
+    head = base.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("toks")) / F.greatest(n, F.lit(1)), 4
+        ).alias("distinct_token_ratio"),
+    )
+    return (
+        head.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "distinct_token_ratio",
+            F.round(F.coalesce(F.col("top2"), F.lit(0.0)), 4).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce(F.col("dup3"), F.lit(0.0)), 4).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
 FP_BASE = 1000003
 FP_MOD = 2**31 - 1
 

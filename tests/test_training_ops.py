@@ -218,6 +218,38 @@ def test_fingerprint(spark):
     assert all(0 <= x < 2**31 - 1 for x in v.values())
 
 
+def test_repetition_features(spark):
+    """Gopher repetition signals on planted docs: a pure loop maxes the
+    fractions, unique text zeroes them, short docs get 0 (no n-grams)."""
+    from kafka_es_spark.functions.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam ham " * 10),              # 2-token loop
+            (1, "one two three four five six"),  # all-unique
+            (2, "hi"),                           # 1 token: no n-grams
+            (3, ""),                             # empty
+            (4, "a b c a b c x y z"),            # partial repetition
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    # doc 0: 20 tokens, 2 distinct; bigrams: 'spam ham'×10 + 'ham spam'×9
+    assert v[0]["distinct_token_ratio"] == 0.1
+    assert v[0]["top_bigram_frac"] == pytest.approx(10 / 19, abs=1e-4)
+    assert v[0]["dup_trigram_frac"] == 1.0
+    # doc 1: fully unique — top bigram occurs once, no duplicate trigram
+    assert v[1]["distinct_token_ratio"] == 1.0
+    assert v[1]["top_bigram_frac"] == pytest.approx(1 / 5, abs=1e-4)
+    assert v[1]["dup_trigram_frac"] == 0.0
+    # docs too short for n-grams
+    assert v[2]["top_bigram_frac"] == 0.0 and v[2]["dup_trigram_frac"] == 0.0
+    assert v[3]["distinct_token_ratio"] == 0.0
+    # doc 4: 9 tokens, 6 distinct; trigrams: 'a b c'×2 of 7 occurrences
+    assert v[4]["distinct_token_ratio"] == pytest.approx(6 / 9, abs=1e-4)
+    assert v[4]["dup_trigram_frac"] == pytest.approx(2 / 7, abs=1e-4)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
