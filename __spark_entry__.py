@@ -278,6 +278,28 @@ def _q_fuzzy_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+def _q_search_after(spark, sf_dir):
+    """X8 search_after deep pagination (ES search_after): page 1 ranked
+    on the rounded serving score, its last row is the cursor, page 2 =
+    the next TOPK rows strictly after it. Equals the oracle's OFFSET
+    page because the ranking keys on (rounded score, doc id) and the
+    driver corpus has no rounded-score tie spanning either page boundary
+    (checked for this query at both driver scales)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    q = " ".join(QUERY_TERMS)
+    p1 = s.search_after_topk(q, k=TOPK).collect()
+    if len(p1) < TOPK:
+        return s.search_after_topk(q, k=TOPK, with_url=True)
+    last = p1[-1]
+    out = s.search_after_topk(
+        q, k=TOPK, after=(last["score"], last["doc_id"]), with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 WILDCARD = "s*a?"  # LIKE 's%a_' — multi-term expansion at driver scales
 
 
@@ -786,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_fuzzy_topk": _q_fuzzy_topk,
         "x8_wildcard_topk": _q_wildcard_topk,
         "x8_boost_topk": _q_boost_topk,
+        "x8_search_after": _q_search_after,
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
         "x8_agg_histogram": _q_agg_histogram,
@@ -834,6 +857,7 @@ def _bm25_sql(
     qt_sql: str | None = None,
     must_not_terms: list[str] | None = None,
     boosts: dict[str, float] | None = None,
+    offset: int | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
@@ -882,7 +906,8 @@ s AS (
   GROUP BY 1 {having}
 )
 SELECT doc_id, round(score, 4) AS score FROM s {neg}
-ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}{
+    f" OFFSET {int(offset)}" if offset else ""}
 """
 
 
@@ -1395,6 +1420,7 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
             ),
         ),
         "x8_boost_topk": _bm25_sql("documents", boosts=BOOSTS),
+        "x8_search_after": _bm25_sql("documents", offset=TOPK),
         "x8_match_count": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 SELECT count(*) AS n_hits FROM (

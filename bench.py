@@ -113,7 +113,30 @@ def main() -> None:
         t0 = time.time()
         searcher.topk_many(qs, k=10).collect()
         queries["wand_batch_per_query"] = round((time.time() - t0) / len(qs), 3)
+        # filter-context serving (ES _count / terms agg): posting-set
+        # algebra with no scoring and no range_dls read
+        t0 = time.time()
+        searcher.match_count(qs[0], mode="and").collect()
+        queries["match_count_and"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        searcher.facet_terms(qs[0], pages.select("url", "lang"), "lang").collect()
+        queries["facet_lang"] = round(time.time() - t0, 3)
         searcher.close()
+
+        # positional relation: one-time build cost + phrase serving latency
+        from kafka_es_spark.operators.positions import (
+            build_position_index, phrase_topk,
+        )
+
+        t0 = time.time()
+        build_position_index(spark, pages, idx)
+        queries["positions_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        phrase_topk(spark, idx, "data index", k=10).collect()
+        queries["phrase_query"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        phrase_topk(spark, idx, "data index", k=10, slop=2).collect()
+        queries["sloppy_phrase_query"] = round(time.time() - t0, 3)
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
         n_docs = docs.count()

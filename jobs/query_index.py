@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--must-not", default=None,
                    help="exclude docs containing any of these terms "
                         "(ES bool.must_not, filter context)")
+    p.add_argument("--after", default=None, metavar="SCORE,DOC_ID",
+                   help="search_after cursor: return the page strictly "
+                        "after (score, doc_id) in rank order")
     p.add_argument("--count", action="store_true",
                    help="print the matching-doc count instead of top-k "
                         "(ES _count)")
@@ -107,6 +110,18 @@ def main(argv: list[str] | None = None) -> None:
             (kv.split("=", 1)[0], float(kv.split("=", 1)[1]))
             for kv in args.boost
         ) or None
+        if args.after:
+            sc, did = args.after.split(",", 1)
+            for q in args.queries:
+                rows = s.search_after_topk(
+                    q, k=args.k, after=(float(sc), int(did)),
+                    mode=args.mode, min_should_match=args.min_should_match,
+                    must_not=args.must_not, with_url=not args.no_url,
+                ).collect()
+                print(json.dumps({"query": q, "after": args.after,
+                                  "hits": [r.asDict() for r in rows]}))
+            s.close()
+            return
         if args.count:
             for q in args.queries:
                 n = s.match_count(

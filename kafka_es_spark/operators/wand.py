@@ -362,6 +362,55 @@ def msm_range_topk(
     return [(int(uids[i]), float(sc[i])) for i in sel]
 
 
+def round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """SQL ROUND (HALF_UP for positive values) — the serving-score
+    rounding rule, applied inside the pagination scorer so cursor
+    comparisons see exactly what the client saw."""
+    scale = 10.0 ** digits
+    return np.floor(x * scale + 0.5) / scale
+
+
+def cursor_range_topk(
+    cursors: list[_Cursor],
+    k: int,
+    need: int,
+    round_to: int,
+    after: tuple[float, int] | None,
+    excluded: frozenset[int] | None = None,
+) -> list[tuple[int, float]]:
+    """search_after scorer for one doc range: exhaustive vectorized
+    scoring (block-max pruning is unsound here — a θ seeded from the
+    unfiltered top-k would prune docs that qualify *after* the cursor),
+    ranked on the ROUNDED serving score, filtered to rows strictly after
+    ``after=(score, doc_id)`` in (score desc, doc_id asc) order. A range
+    is ≤ 2^seg_bits postings per term by construction, so the exhaustive
+    pass stays bounded — deep pagination pays the collector cost in ES
+    too. ``need`` = minimum matching terms (1=OR, #terms=AND, m=msm)."""
+    if not cursors or k <= 0:
+        return []
+    aid = np.concatenate([c.ids for c in cursors])
+    acon = np.concatenate([c.contrib for c in cursors])
+    uids, inv, cnt = np.unique(aid, return_inverse=True, return_counts=True)
+    sc = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(sc, inv, acon)
+    keep = cnt >= need
+    if excluded is not None and excluded:
+        dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+        keep &= ~np.isin(uids, dead)
+    uids, sc = uids[keep], sc[keep]
+    if uids.size == 0:
+        return []
+    rs = round_half_up(sc, round_to)
+    if after is not None:
+        s_a, d_a = float(after[0]), int(after[1])
+        m = (rs < s_a) | ((rs == s_a) & (uids > d_a))
+        uids, rs = uids[m], rs[m]
+        if uids.size == 0:
+            return []
+    sel = np.lexsort((uids, -rs))[:k]
+    return [(int(uids[i]), float(rs[i])) for i in sel]
+
+
 class Searcher:
     """Query engine over an index dataset. Loads stats once and keeps the
     (small) segment-row and term-stats relations persisted so repeated
@@ -746,6 +795,107 @@ class Searcher:
             " ".join(terms), k=k, round_to=round_to, with_url=with_url,
             fetch_k=fetch_k,
         )
+
+    def search_after_topk(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        round_to: int = 4,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES search_after deep pagination: return the k rows strictly
+        AFTER ``after=(score, doc_id)`` in (score desc, doc_id asc)
+        order; ``after=None`` is page 1. Ranking keys on the ROUNDED
+        serving score — the cursor a client passes back is what it was
+        shown, so the sort key must round identically (round_to is
+        therefore required here, unlike topk). Per-range scoring is
+        exhaustive (see cursor_range_topk: pruning against a cursor-
+        filtered θ is unsound); stateless between pages, like
+        search_after and unlike scroll contexts."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        neg_terms = sorted(set(tokenize_py(must_not))) if must_not else []
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        msm = min_should_match
+        if msm is not None and (msm < 1 or mode == "and"):
+            raise ValueError(
+                "min_should_match must be >= 1 and combines with mode='or' "
+                "(mode='and' IS min_should_match=#terms)"
+            )
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights or (mode == "and" and len(weights) < len(qterms)) or (
+            msm is not None and len(weights) < msm
+        ):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        need = msm if msm is not None else (len(qterms) if mode == "and" else 1)
+        term_order = sorted(weights)
+        avgdl, codec = self.avgdl, self.codec
+        excluded = self.persistent_excluded or None
+        segs = self._query_segs(sorted(set(weights) | set(neg_terms)))
+        dls_rel = self._query_dls(segs)
+
+        def score_range(key: tuple, pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+            if len(pdf) == 0:
+                return empty
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
+            by_term: dict[str, list[dict]] = {}
+            for r in pdf.to_dict("records"):
+                by_term.setdefault(r["term"], []).append(r)
+            n_pos = sum(1 for t in term_order if t in by_term)
+            if n_pos < need or n_pos == 0:
+                return empty
+            range_excluded = excluded
+            if neg_terms:
+                neg_ids = [
+                    decode_segment(r, codec)[0]
+                    for t in neg_terms
+                    for r in by_term.get(t, [])
+                ]
+                if neg_ids:
+                    range_excluded = (excluded or frozenset()) | frozenset(
+                        int(d) for d in np.concatenate(neg_ids)
+                    )
+            cursors = [
+                _Cursor(by_term[t], weights[t], avgdl, codec, dl_base, dl_arr)
+                for t in term_order
+                if t in by_term
+            ]
+            top = cursor_range_topk(
+                cursors, k, need, round_to, after, excluded=range_excluded
+            )
+            return pd.DataFrame(top, columns=["doc_id", "score"])
+
+        ranged = (
+            segs.groupBy("seg")
+            .cogroup(dls_rel.groupBy("seg"))
+            .applyInPandas(score_range, TOPK_SCHEMA)
+        )
+        out = ranged.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+        if with_url:
+            dm = spark.read.parquet(os.path.join(self.index_dir, "docmap")).select(
+                "doc_id", "url"
+            )
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
 
     def matching_doc_ids(
         self,

@@ -426,6 +426,44 @@ def test_boost_scales_term_weight(spark, index_dir, doc_terms):
     assert plain == noop
 
 
+def test_search_after_pagination_walk(spark, index_dir, doc_terms):
+    """search_after: walking pages with the last row as cursor reproduces
+    the full (rounded score desc, doc_id asc) ranking exactly — no dups,
+    no gaps — and composes with must_not."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.search_after_topk(q, k=10**6).collect()
+    ]
+    assert len(full) > 20, "probe must match enough docs to paginate"
+    walked, after = [], None
+    while True:
+        p = [
+            (r["doc_id"], r["score"])
+            for r in s.search_after_topk(q, k=7, after=after).collect()
+        ]
+        if not p:
+            break
+        walked.extend(p)
+        after = p[-1][1], p[-1][0]
+    assert walked == full
+    # ranking is by the ROUNDED score (ties broken by doc_id asc)
+    rs = [s_ for _, s_ in walked]
+    assert rs == sorted(rs, reverse=True)
+    for (d1, s1), (d2, s2) in zip(walked, walked[1:]):
+        assert s1 > s2 or (s1 == s2 and d1 < d2)
+    # must_not composes: banned docs never appear on any page
+    banned = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if "merge" in set(ts)
+    }
+    p = s.search_after_topk(q, k=10**6, must_not="merge").collect()
+    assert not ({r["doc_id"] for r in p} & banned)
+
+
 def test_agg_histogram_and_stats(spark, index_dir, pages, doc_terms):
     """ES histogram/stats aggregation analogues over the hit set: bucket
     counts and min/max/sum/avg match a pandas recomputation."""
