@@ -382,6 +382,52 @@ def _q_agg_stats(spark, sf_dir):
     )
 
 
+HL_WINDOW = 40
+
+
+def _q_highlight(spark, sf_dir):
+    """ES highlight analogue: top-k hits with a 2*window-char snippet
+    centered on the first occurrence of any query term (case-insensitive,
+    earliest-position tie-break)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    out = Searcher(spark, idx, cache=False).highlight_topk(
+        " ".join(QUERY_TERMS), dt, k=TOPK, window=HL_WINDOW, fetch_k=TOPK * 3
+    )
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+            "score",
+            "snippet",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _q_sig_terms(spark, sf_dir):
+    """ES significant_terms aggregation: terms overrepresented in the
+    conjunctive hit set vs the whole index, JLH-scored (fg%−bg%)·(fg%/bg%),
+    background df straight from the index's term_stats."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    return Searcher(spark, idx, cache=False).significant_terms(
+        " ".join(QUERY_TERMS), dt, size=10, mode="and"
+    )
+
+
 def _q_facet_lang(spark, sf_dir):
     """ES terms-aggregation analogue: bucket the OR-mode hit set by lang,
     top buckets by doc_count desc then value asc. Hit set from posting
@@ -813,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_facet_lang": _q_facet_lang,
         "x8_agg_histogram": _q_agg_histogram,
         "x8_agg_stats": _q_agg_stats,
+        "x8_sig_terms": _q_sig_terms,
+        "x8_highlight": _q_highlight,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -1441,6 +1489,51 @@ SELECT CAST(floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS BIGINT) AS buc
        count(*) AS doc_count
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        # highlight: snippet over the top-k page; first-match position =
+        # least over per-term instr probes (absent term -> sentinel), same
+        # clamp and substring args as the engine
+        "x8_highlight": f"""
+WITH page AS ({_BM25_SQL}),
+j AS (SELECT p.doc_id, p.score, d.text FROM page p JOIN documents d USING (doc_id)),
+m AS (
+  SELECT doc_id, score, text,
+         least({", ".join(
+             f"CASE WHEN instr(lower(text), '{t}') > 0 "
+             f"THEN instr(lower(text), '{t}') ELSE 2000000000 END"
+             for t in sorted(QUERY_TERMS)
+         )}) AS first
+  FROM j
+)
+SELECT doc_id, score,
+       CASE WHEN first < 2000000000
+            THEN substr(text, greatest(1, first - {HL_WINDOW}), {2 * HL_WINDOW})
+            ELSE substr(text, 1, {2 * HL_WINDOW}) END AS snippet
+FROM m
+""",
+        # significant_terms: JLH over the conjunctive hit set; division
+        # shapes mirror the engine exactly ((fg/nf - bg/nb)*((fg/nf)/(bg/nb)))
+        # so doubles agree bit-for-bit before the round(4)
+        "x8_sig_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+nf AS (SELECT count(*) AS n FROM hits),
+nb AS (SELECT count(*) AS n FROM documents),
+fg AS (
+  SELECT term, count(DISTINCT doc_id) AS fg_count
+  FROM toks JOIN hits USING (doc_id) GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= 3
+),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_count FROM toks GROUP BY 1)
+SELECT term, fg_count, bg_count,
+       round((fg_count / CAST(nf.n AS DOUBLE) - bg_count / CAST(nb.n AS DOUBLE))
+             * ((fg_count / CAST(nf.n AS DOUBLE)) / (bg_count / CAST(nb.n AS DOUBLE))), 4)
+         AS sig_score
+FROM fg JOIN bg USING (term) CROSS JOIN nf CROSS JOIN nb
+ORDER BY sig_score DESC, term LIMIT 10
 """,
         "x8_agg_stats": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -1033,6 +1033,107 @@ class Searcher:
             field_values.select("url", field), "url"
         )
 
+    def highlight_topk(
+        self,
+        query: str,
+        docs_text: DataFrame,
+        k: int = 10,
+        window: int = 40,
+        round_to: int | None = 4,
+        fetch_k: int | None = None,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES highlight analogue: top-k hits with a snippet centered on
+        the FIRST occurrence of any query term (case-insensitive; ties
+        between terms resolve to the earliest position, so the choice is
+        deterministic). ``docs_text`` is a (url, text) relation; snippet
+        = ``2*window`` characters starting ``window`` before the match
+        (clamped to the text start). Pure Column expressions — the
+        per-term ``instr`` probes and the substring run JVM-side on only
+        the k hit rows after the top-k join, never on the corpus."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        qterms = sorted(set(tokenize_py(query)))
+        out = self.topk(
+            query, k=k, round_to=round_to, with_url=True, fetch_k=fetch_k,
+            mode=mode,
+        )
+        j = out.join(docs_text.select("url", "text"), "url")
+        big = F.lit(2_000_000_000)
+        lower_t = F.lower(F.col("text"))
+        ps = [
+            F.when(F.instr(lower_t, F.lit(t)) > 0, F.instr(lower_t, F.lit(t)))
+            .otherwise(big)
+            for t in qterms
+        ]
+        first = ps[0] if len(ps) == 1 else F.least(*ps)
+        start = F.greatest(F.lit(1), first - F.lit(int(window)))
+        snip = F.when(
+            first < big,
+            F.substring(F.col("text"), start, F.lit(2 * int(window))),
+        ).otherwise(F.substring(F.col("text"), F.lit(1), F.lit(2 * int(window))))
+        return j.select(
+            "doc_id", "url", "score", snip.alias("snippet")
+        ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+    def significant_terms(
+        self,
+        query: str,
+        docs_text: DataFrame,
+        size: int = 10,
+        min_doc_count: int = 3,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES significant_terms-aggregation analogue: terms over-
+        represented in the hit set vs the whole index, scored with the
+        JLH heuristic ``(fg% − bg%) · (fg% / bg%)`` (the ES default).
+        ``docs_text`` is a (url, text) relation for the foreground
+        re-tokenize; the BACKGROUND document frequencies come from the
+        index's own term_stats — no second corpus pass. Returns the top
+        ``size`` rows (term, fg_count, bg_count, sig_score), score desc
+        then term asc; ``min_doc_count`` prunes the noise floor before
+        ranking (ES default 3).
+
+        Plan: hit set → docmap → text join, one tokenize+explode of the
+        HIT docs only (foreground is usually a small fraction of the
+        corpus), distinct-per-doc aggregation to fg df, broadcast-sized
+        join against the term_stats aggregate. The only corpus-sized
+        input is the pre-existing index metadata."""
+        from kafka_es_spark.functions.tokenize import tokens
+
+        hits = self._hit_fields(
+            query, docs_text, "text", mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        n_fg = hits.count()
+        if n_fg == 0:
+            return self.spark.createDataFrame(
+                [],
+                "term string, fg_count long, bg_count long, sig_score double",
+            )
+        fg = (
+            hits.select(F.explode(F.array_distinct(tokens("text"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+            .filter(F.col("fg_count") >= int(min_doc_count))
+        )
+        bg = self.term_stats.select(
+            "term", F.col("df").alias("bg_count")
+        )
+        n_bg = self.n_docs
+        fgp = F.col("fg_count") / F.lit(float(n_fg))
+        bgp = F.col("bg_count") / F.lit(float(n_bg))
+        return (
+            fg.join(bg, "term")
+            .withColumn(
+                "sig_score", F.round((fgp - bgp) * (fgp / bgp), 4)
+            )
+            .orderBy(F.col("sig_score").desc(), F.col("term").asc())
+            .limit(int(size))
+        )
+
     def agg_histogram(
         self,
         query: str,

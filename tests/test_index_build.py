@@ -426,6 +426,60 @@ def test_boost_scales_term_weight(spark, index_dir, doc_terms):
     assert plain == noop
 
 
+def test_significant_terms_jlh(spark, index_dir, pages, doc_terms):
+    """significant_terms: fg counts = per-term distinct doc counts within
+    the hit set, bg from the index stats, JLH score, (score desc, term)
+    order."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    qset = set(q.split())
+    hit_ids = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if qset & set(ts)
+    }
+    n_fg, n_bg = len(hit_ids), len(doc_terms)
+    fg: dict[str, int] = {}
+    bg: dict[str, int] = {}
+    for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"]):
+        for t in set(ts):
+            bg[t] = bg.get(t, 0) + 1
+            if d in hit_ids:
+                fg[t] = fg.get(t, 0) + 1
+    rows = []
+    for t, c in fg.items():
+        if c < 3:
+            continue
+        fgp, bgp = c / float(n_fg), bg[t] / float(n_bg)
+        rows.append((t, c, bg[t], round((fgp - bgp) * (fgp / bgp), 4)))
+    want = sorted(rows, key=lambda e: (-e[3], e[0]))[:5]
+    got = [
+        (r["term"], r["fg_count"], r["bg_count"], r["sig_score"])
+        for r in s.significant_terms(
+            q, pages.select("url", F.col("text")), size=5
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_highlight_snippet_contains_match(spark, index_dir, pages):
+    """highlight: every snippet is 2*window chars (or text-bounded) and
+    contains a query term; rank order equals the plain top-k."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    got = s.highlight_topk(
+        q, pages.select("url", "text"), k=5, window=30, round_to=None
+    ).collect()
+    plain = s.topk(q, k=5, round_to=None).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in plain]
+    for r in got:
+        assert len(r["snippet"]) <= 60
+        assert any(t in r["snippet"].lower() for t in q.split())
+
+
 def test_search_after_pagination_walk(spark, index_dir, doc_terms):
     """search_after: walking pages with the last row as cursor reproduces
     the full (rounded score desc, doc_id asc) ranking exactly — no dups,
