@@ -382,6 +382,23 @@ def _q_agg_stats(spark, sf_dir):
     )
 
 
+RANGE_LO, RANGE_HI = 100, 400  # n_chars filter window with hits at all scales
+
+
+def _q_range_filter_topk(spark, sf_dir):
+    """ES bool {must: match, filter: range} — top-k of query hits whose
+    n_chars lies in [lo, hi]; filter context leaves idf/avgdl untouched
+    (index-level stats). Relational BM25 over the decoded index."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).range_filtered_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        RANGE_LO, RANGE_HI, k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 HL_WINDOW = 40
 
 
@@ -861,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_stats": _q_agg_stats,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
+        "x8_range_filter": _q_range_filter_topk,
         "x9_delete_tombstones": _q_delete_tombstones,
         "x9_upsert": _q_upsert,
         "x1_extract_text": _q_extract_text,
@@ -906,6 +924,7 @@ def _bm25_sql(
     must_not_terms: list[str] | None = None,
     boosts: dict[str, float] | None = None,
     offset: int | None = None,
+    filter_where: str | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
@@ -920,13 +939,21 @@ def _bm25_sql(
         having = "HAVING count(*) = (SELECT count(*) FROM qt)"
     elif min_match is not None:
         having = f"HAVING count(*) >= {int(min_match)}"
-    neg = ""
+    # post-scoring qualifiers (ES filter context — stats NEVER change):
+    # must_not drops docs containing a negated term, filter_where is an
+    # arbitrary SQL predicate over the corpus row (e.g. a numeric range)
+    quals = []
     if must_not_terms:
         negs = ", ".join(f"'{t}'" for t in sorted(set(must_not_terms)))
-        neg = (
-            f"WHERE doc_id NOT IN "
+        quals.append(
+            f"doc_id NOT IN "
             f"(SELECT DISTINCT doc_id FROM toks WHERE term IN ({negs}))"
         )
+    if filter_where:
+        quals.append(
+            f"doc_id IN (SELECT doc_id FROM corpus WHERE {filter_where})"
+        )
+    neg = f"WHERE {' AND '.join(quals)}" if quals else ""
     # term^boost: scale the idf factor, same multiplication order as the
     # engine ((idf*boost)*tf*2.2/...), residual covered by round(4)
     boost = ""
@@ -1469,6 +1496,10 @@ ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
         ),
         "x8_boost_topk": _bm25_sql("documents", boosts=BOOSTS),
         "x8_search_after": _bm25_sql("documents", offset=TOPK),
+        "x8_range_filter": _bm25_sql(
+            "documents",
+            filter_where=f"n_chars BETWEEN {RANGE_LO} AND {RANGE_HI}",
+        ),
         "x8_match_count": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 SELECT count(*) AS n_hits FROM (

@@ -1076,6 +1076,126 @@ class Searcher:
             "doc_id", "url", "score", snip.alias("snippet")
         ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
+    def range_filtered_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        lo: float,
+        hi: float,
+        k: int = 10,
+        round_to: int | None = 4,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES bool {must: match, filter: range} analogue: top-k of docs
+        matching the query whose numeric ``field`` lies in [lo, hi].
+        Filter context NEVER changes scoring stats — idf comes from the
+        index term_stats and avgdl from the global stats, exactly as ES
+        keeps index-level stats under filters.
+
+        Plan: the allowed doc set = query hit set (posting algebra) ⨝
+        docmap ⨝ field_values with the range predicate pushed into the
+        scan; scoring is fully RELATIONAL over the index — posting
+        segments of the query terms decode to (doc_id, term, tf) rows in
+        mapInPandas (pruned scan, no corpus re-tokenize), range_dls
+        decode to (doc_id, dl), and one hash aggregation sums the BM25
+        contributions. Cost ~ O(postings of the query terms), the same
+        as an exhaustive scorer; joins are plain equi-joins Catalyst is
+        free to reorder/broadcast."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        k = max(k, fetch_k or 0)
+        qterms = sorted(set(tokenize_py(query)))
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights or (mode == "and" and len(weights) < len(qterms)):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = spark.read.parquet(os.path.join(self.index_dir, "docmap")).select(
+            "doc_id", "url"
+        )
+        allowed = (
+            hits.join(dm, "doc_id")
+            .join(field_values.select("url", field), "url")
+            .filter((F.col(field) >= lo) & (F.col(field) <= hi))
+            .select("doc_id")
+        )
+        codec = self.codec
+        segs = self._query_segs(list(weights))
+
+        def explode_segs(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids_l, tf_l, terms_l = [], [], []
+                for r in pdf.to_dict("records"):
+                    ids, tfs = decode_segment(r, codec)
+                    ids_l.append(ids)
+                    tf_l.append(tfs)
+                    terms_l.append(np.full(ids.size, r["term"], dtype=object))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_l),
+                        "term": np.concatenate(terms_l),
+                        "tf": np.concatenate(tf_l).astype(np.int64),
+                    }
+                )
+
+        postings = segs.mapInPandas(
+            explode_segs, "doc_id long, term string, tf long"
+        )
+
+        def decode_dls(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            base, arr = decode_range_dls(pdf.to_dict("records"))
+            return pd.DataFrame(
+                {
+                    "doc_id": base + np.arange(arr.size, dtype=np.int64),
+                    "dl": arr.astype(np.int64),
+                }
+            )
+
+        dl_rows = self._query_dls(segs).groupBy("seg").applyInPandas(
+            decode_dls, "doc_id long, dl long"
+        )
+        w_df = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "term string, w double",
+        )
+        contrib = (
+            F.col("w") * F.col("tf") * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+        out = (
+            postings.join(allowed, "doc_id")
+            .join(dl_rows, "doc_id")
+            .join(F.broadcast(w_df), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(contrib).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if with_url:
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
+
     def significant_terms(
         self,
         query: str,

@@ -426,6 +426,36 @@ def test_boost_scales_term_weight(spark, index_dir, doc_terms):
     assert plain == noop
 
 
+def test_range_filtered_topk_keeps_global_stats(spark, index_dir, pages, doc_terms):
+    """bool filter+range: results = query hits with the field in [lo,hi],
+    scored with GLOBAL stats (identical to unfiltered scores on the same
+    docs — ES filter context never touches idf/avgdl)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    fv = pages.select("url", F.length("text").cast("long").alias("nbytes"))
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    val_of = {r["doc_id"]: r["nbytes"] for r in dm.join(fv, "url").collect()}
+    lo, hi = 200, 600
+    full = exhaustive_topk_numpy(doc_terms, sorted(set(q.split())), k=len(doc_terms))
+    want = [(d, sc) for d, sc in full if lo <= val_of[d] <= hi][:10]
+    assert want, "filter window must keep some hits"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.range_filtered_topk(
+            q, fv, "nbytes", lo, hi, k=10, round_to=None
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    # empty window -> empty result
+    assert s.range_filtered_topk(q, fv, "nbytes", -5, -1, k=10).collect() == []
+
+
 def test_significant_terms_jlh(spark, index_dir, pages, doc_terms):
     """significant_terms: fg counts = per-term distinct doc counts within
     the hit set, bg from the index stats, JLH score, (score desc, term)
