@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--seg-bits", type=int, default=17)
     p.add_argument("--codec", choices=["varint", "bp128"], default="varint")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--positions", action="store_true",
+                   help="also build the positional relation (phrase / "
+                        "match_phrase_prefix queries; ~tokens/postings x "
+                        "the posting shuffle, like Lucene "
+                        "index_options=positions)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     if not args.input and not args.gen:
@@ -64,6 +69,12 @@ def main(argv: list[str] | None = None) -> None:
             n_shards=args.shards,
             resume=args.resume,
         )
+        if args.positions:
+            from kafka_es_spark.operators.positions import build_position_index
+
+            manifest["positions"] = build_position_index(
+                spark, pages, args.output
+            )
         json.dump(manifest, sys.stdout, indent=2)
         print()
     finally:
