@@ -350,7 +350,7 @@ def _docs_url_fields(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        "lang", "n_chars",
+        "lang", "n_chars", "source",
     )
 
 
@@ -459,6 +459,42 @@ def _q_facet_lang(spark, sf_dir):
     )
     return Searcher(spark, idx, cache=False).facet_terms(
         " ".join(QUERY_TERMS), fv, "lang", size=10
+    )
+
+
+def _q_sort_field(spark, sf_dir):
+    """ES sort-by-field (``sort: [{n_chars: desc}]``): the OR-mode hit
+    set ordered by a stored field instead of _score — doc-values sort,
+    no scoring pass. Over-fetch then re-rank on the corpus doc_id so
+    field-value ties at the k boundary match the oracle's order."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).sort_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        k=TOPK, fetch_k=TOPK * 3,
+    )
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+            "n_chars",
+        )
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _q_agg_cardinality(spark, sf_dir):
+    """ES cardinality aggregation over the OR-mode hit set: distinct
+    `source` values. Exact mode for the oracle; the operator's default
+    is approx_count_distinct (HLL++ — the same sketch family ES uses,
+    and the only shape that holds at 10^12 docs)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_cardinality(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "source",
+        exact=True,
     )
 
 
@@ -874,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_search_after": _q_search_after,
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
+        "x8_sort_field": _q_sort_field,
+        "x8_agg_cardinality": _q_agg_cardinality,
         "x8_agg_histogram": _q_agg_histogram,
         "x8_agg_stats": _q_agg_stats,
         "x8_sig_terms": _q_sig_terms,
@@ -1520,6 +1558,20 @@ SELECT CAST(floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL} AS BIGINT) AS buc
        count(*) AS doc_count
 FROM documents JOIN hits USING (doc_id)
 GROUP BY 1 ORDER BY 1
+""",
+        # sort-by-field: doc-values sort of the hit set, no scoring
+        "x8_sort_field": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT doc_id, n_chars FROM documents JOIN hits USING (doc_id)
+ORDER BY n_chars DESC, doc_id LIMIT {TOPK}
+""",
+        # cardinality agg (exact mode; operator default is HLL++)
+        "x8_agg_cardinality": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT count(DISTINCT source) AS value_count
+FROM documents JOIN hits USING (doc_id)
 """,
         # highlight: snippet over the top-k page; first-match position =
         # least over per-term instr probes (absent term -> sentinel), same

@@ -1306,6 +1306,72 @@ class Searcher:
             F.round(F.avg(field), 4).alias("avg_v"),
         )
 
+    def sort_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        k: int = 10,
+        ascending: bool = False,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field analogue (``sort: [{field: desc}]``): the top
+        ``k`` docs of the query's hit set ordered by a stored field
+        instead of ``_score`` (``reference/src/main/.../BulkAction.kt``
+        delegates this to ES's doc-values sort).
+
+        Scoring is skipped entirely — filter-context hit set from posting
+        algebra, one join chain to the field value, then a global
+        TakeOrdered of ``max(k, fetch_k)`` rows: O(hits) with no
+        range_dls read and no tf decode, the exact plan ES runs when
+        ``track_scores=false``. ``fetch_k`` over-fetches so a caller
+        re-ranking on an external tie key (corpus id from the url) keeps
+        every member of a field-value tie group at the k boundary."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        order = F.col(field).asc() if ascending else F.col(field).desc()
+        return (
+            j.select("doc_id", "url", field)
+            .orderBy(order, F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+
+    def agg_cardinality(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        exact: bool = False,
+        rsd: float = 0.05,
+    ) -> DataFrame:
+        """ES cardinality-aggregation analogue: one row ``(value_count)``
+        — the number of distinct ``field`` values among the matching
+        docs. ES's cardinality agg is approximate by design (HLL++,
+        precision_threshold); the default here is Spark's
+        ``approx_count_distinct`` — the same HyperLogLog++ family, one
+        pass, constant sketch memory per partition, mergeable map-side —
+        which is the only shape that holds at 10^12 docs. ``exact=True``
+        switches to ``count(DISTINCT field)`` (a shuffle keyed on the
+        value — fine for low-cardinality fields and for oracle
+        checking)."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        agg = (
+            F.countDistinct(field) if exact
+            else F.approx_count_distinct(field, rsd)
+        )
+        return j.agg(agg.alias("value_count"))
+
     def topk_many(
         self,
         queries: list[str],

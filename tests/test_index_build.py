@@ -593,6 +593,54 @@ def test_agg_histogram_and_stats(spark, index_dir, pages, doc_terms):
     )
 
 
+def test_sort_topk_and_cardinality(spark, index_dir, pages, doc_terms):
+    """ES sort-by-field (doc-values sort, no scoring) and cardinality
+    aggregation over the hit set match a pandas recomputation; the
+    approximate cardinality path (the scale default) is within its rsd
+    on this tiny cardinality."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    fv = pages.select(
+        "url", F.length("text").cast("long").alias("nbytes")
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    val_of = {
+        r["doc_id"]: r["nbytes"] for r in dm.join(fv, "url").collect()
+    }
+    s = Searcher(spark, index_dir, cache=False)
+    k = 5
+    got = [
+        (r["doc_id"], r["nbytes"])
+        for r in s.sort_topk(q, fv, "nbytes", k=k).collect()
+    ]
+    want = sorted(
+        ((d, val_of[d]) for d in or_hits), key=lambda t: (-t[1], t[0])
+    )[:k]
+    assert got == want
+    # ascending flips the order from the same hit set
+    got_asc = [
+        (r["doc_id"], r["nbytes"])
+        for r in s.sort_topk(q, fv, "nbytes", k=k, ascending=True).collect()
+    ]
+    assert got_asc == sorted(
+        ((d, val_of[d]) for d in or_hits), key=lambda t: (t[1], t[0])
+    )[:k]
+
+    n_exact = len({val_of[d] for d in or_hits})
+    row = s.agg_cardinality(q, fv, "nbytes", exact=True).collect()[0]
+    assert row["value_count"] == n_exact
+    approx = s.agg_cardinality(q, fv, "nbytes").collect()[0]["value_count"]
+    assert abs(approx - n_exact) <= max(2, int(0.1 * n_exact))
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
