@@ -462,6 +462,29 @@ def _q_facet_lang(spark, sf_dir):
     )
 
 
+TH_BUCKETS, TH_PER_BUCKET = 5, 2
+
+
+def _q_top_hits(spark, sf_dir):
+    """ES terms aggregation with a top_hits sub-aggregation: for the top
+    5 lang buckets of the OR-mode hit set, the 2 best-scoring docs —
+    per-bucket window rank over the relational BM25 scores, tie-broken
+    on the corpus doc_id (passed in as the `tie` column)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).top_hits(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "lang",
+        buckets=TH_BUCKETS, per_bucket=TH_PER_BUCKET,
+        tie=F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"),
+    )
+    return out.select(
+        "lang", "doc_count", "rnk",
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
 def _q_sort_field(spark, sf_dir):
     """ES sort-by-field (``sort: [{n_chars: desc}]``): the OR-mode hit
     set ordered by a stored field instead of _score — doc-values sort,
@@ -911,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
         "x8_sort_field": _q_sort_field,
+        "x8_top_hits": _q_top_hits,
         "x8_agg_cardinality": _q_agg_cardinality,
         "x8_agg_histogram": _q_agg_histogram,
         "x8_agg_stats": _q_agg_stats,
@@ -1565,6 +1589,32 @@ WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
 SELECT doc_id, n_chars FROM documents JOIN hits USING (doc_id)
 ORDER BY n_chars DESC, doc_id LIMIT {TOPK}
+""",
+        # terms + top_hits sub-aggregation: full OR-mode BM25 scores
+        # (same rounding as the engine), per-lang window rank tie-broken
+        # on doc_id, buckets picked by doc_count desc then value asc
+        "x8_top_hits": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 4) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+j AS (SELECT d.lang, s.doc_id, s.score FROM s JOIN documents d USING (doc_id)),
+c AS (SELECT lang, count(*) AS doc_count FROM j GROUP BY 1
+      ORDER BY doc_count DESC, lang LIMIT {TH_BUCKETS}),
+r AS (SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk
+      FROM j)
+SELECT r.lang, c.doc_count, r.rnk, r.doc_id, r.score
+FROM r JOIN c USING (lang) WHERE r.rnk <= {TH_PER_BUCKET}
 """,
         # cardinality agg (exact mode; operator default is HLL++)
         "x8_agg_cardinality": f"""

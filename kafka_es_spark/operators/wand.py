@@ -1076,6 +1076,156 @@ class Searcher:
             "doc_id", "url", "score", snip.alias("snippet")
         ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
+    def _postings_rows(self, segs: DataFrame) -> DataFrame:
+        """Decode posting segments to a relational (doc_id, term, tf)
+        DataFrame — the bridge from the compressed index to plain
+        Catalyst joins/aggregations. Streamed per Arrow batch in
+        mapInPandas; cost O(postings of the segments passed in)."""
+        codec = self.codec
+
+        def explode_segs(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids_l, tf_l, terms_l = [], [], []
+                for r in pdf.to_dict("records"):
+                    ids, tfs = decode_segment(r, codec)
+                    ids_l.append(ids)
+                    tf_l.append(tfs)
+                    terms_l.append(np.full(ids.size, r["term"], dtype=object))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_l),
+                        "term": np.concatenate(terms_l),
+                        "tf": np.concatenate(tf_l).astype(np.int64),
+                    }
+                )
+
+        return segs.mapInPandas(
+            explode_segs, "doc_id long, term string, tf long"
+        )
+
+    def _dl_rows(self, segs: DataFrame) -> DataFrame:
+        """Decode the touched ranges' dl arrays to relational
+        (doc_id, dl) rows (one applyInPandas per doc range)."""
+
+        def decode_dls(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            base, arr = decode_range_dls(pdf.to_dict("records"))
+            return pd.DataFrame(
+                {
+                    "doc_id": base + np.arange(arr.size, dtype=np.int64),
+                    "dl": arr.astype(np.int64),
+                }
+            )
+
+        return self._query_dls(segs).groupBy("seg").applyInPandas(
+            decode_dls, "doc_id long, dl long"
+        )
+
+    def _bm25_contrib_col(self):
+        """The BM25 per-(doc, term) contribution as a Column over
+        (tf, dl, w) — shared by every relational scorer."""
+        return (
+            F.col("w") * F.col("tf") * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+
+    def top_hits(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        buckets: int = 5,
+        per_bucket: int = 2,
+        round_to: int | None = 4,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        tie=None,
+    ) -> DataFrame:
+        """ES terms aggregation with a ``top_hits`` sub-aggregation: for
+        the top ``buckets`` field buckets (doc_count desc, value asc),
+        the ``per_bucket`` best-scoring hits — rows (field, doc_count,
+        rnk, url, score) ordered by bucket rank then hit rank.
+
+        Plan: the hit set (posting algebra) ⨝ docmap ⨝ field_values is
+        the bucketed relation; scores come from the relational BM25
+        scorer (the same segment-decode path as range_filtered_topk)
+        joined on doc_id; ranking is a window partitioned BY THE BUCKET
+        KEY — per-bucket local sorts, never a global one — and bucket
+        selection is a tiny (#distinct values)-row aggregate broadcast
+        back. ``tie`` optionally overrides the within-bucket tie-break
+        column (default internal doc_id; pass e.g. a corpus id derived
+        from the url when comparing against an external ranking).
+        Scores are OR-mode BM25 sums over the doc's matched query terms
+        — on an AND/msm hit set every doc matched its scoring terms, so
+        these equal the bool-query scores ES reports in top_hits."""
+        from pyspark.sql import Window
+
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        out_schema = (
+            f"{field} string, doc_count long, rnk long, url string, "
+            "score double"
+        )
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], out_schema)
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights or (mode == "and" and len(weights) < len(qterms)):
+            return spark.createDataFrame([], out_schema)
+        segs = self._query_segs(list(weights))
+        w_df = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "term string, w double",
+        )
+        scored = (
+            self._postings_rows(segs)
+            .join(self._dl_rows(segs), "doc_id")
+            .join(F.broadcast(w_df), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
+        )
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        js = j.join(scored, "doc_id")
+        if round_to is not None:
+            js = js.withColumn("score", F.round("score", round_to))
+        js = js.withColumn(
+            "_tie", tie if tie is not None else F.col("doc_id")
+        )
+        w = Window.partitionBy(field).orderBy(
+            F.col("score").desc(), F.col("_tie").asc()
+        )
+        ranked = js.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= int(per_bucket)
+        )
+        top_b = (
+            j.groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col(field).asc())
+            .limit(int(buckets))
+        )
+        return (
+            ranked.join(F.broadcast(top_b), field)
+            .select(
+                field, "doc_count",
+                F.col("rnk").cast("long").alias("rnk"), "url", "score",
+            )
+            .orderBy(
+                F.col("doc_count").desc(), F.col(field).asc(),
+                F.col("rnk").asc(),
+            )
+        )
+
     def range_filtered_topk(
         self,
         query: str,
@@ -1130,55 +1280,14 @@ class Searcher:
             .filter((F.col(field) >= lo) & (F.col(field) <= hi))
             .select("doc_id")
         )
-        codec = self.codec
         segs = self._query_segs(list(weights))
-
-        def explode_segs(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ids_l, tf_l, terms_l = [], [], []
-                for r in pdf.to_dict("records"):
-                    ids, tfs = decode_segment(r, codec)
-                    ids_l.append(ids)
-                    tf_l.append(tfs)
-                    terms_l.append(np.full(ids.size, r["term"], dtype=object))
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(ids_l),
-                        "term": np.concatenate(terms_l),
-                        "tf": np.concatenate(tf_l).astype(np.int64),
-                    }
-                )
-
-        postings = segs.mapInPandas(
-            explode_segs, "doc_id long, term string, tf long"
-        )
-
-        def decode_dls(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            base, arr = decode_range_dls(pdf.to_dict("records"))
-            return pd.DataFrame(
-                {
-                    "doc_id": base + np.arange(arr.size, dtype=np.int64),
-                    "dl": arr.astype(np.int64),
-                }
-            )
-
-        dl_rows = self._query_dls(segs).groupBy("seg").applyInPandas(
-            decode_dls, "doc_id long, dl long"
-        )
+        postings = self._postings_rows(segs)
+        dl_rows = self._dl_rows(segs)
         w_df = spark.createDataFrame(
             [(t, float(w)) for t, w in sorted(weights.items())],
             "term string, w double",
         )
-        contrib = (
-            F.col("w") * F.col("tf") * F.lit(K1 + 1.0)
-            / (
-                F.col("tf")
-                + F.lit(K1)
-                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
-            )
-        )
+        contrib = self._bm25_contrib_col()
         out = (
             postings.join(allowed, "doc_id")
             .join(dl_rows, "doc_id")

@@ -641,6 +641,51 @@ def test_sort_topk_and_cardinality(spark, index_dir, pages, doc_terms):
     assert abs(approx - n_exact) <= max(2, int(0.1 * n_exact))
 
 
+def test_top_hits_per_bucket(spark, index_dir, pages, doc_terms):
+    """ES terms+top_hits: per-bucket best-scoring hits match an
+    exhaustive per-doc BM25 recomputation grouped by the bucket key,
+    and bucket selection follows doc_count desc then value asc."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    from kafka_es_spark.operators.wand import round_half_up
+
+    scores = {
+        d: float(round_half_up(np.array([s]), 4)[0])
+        for d, s in exhaustive_topk_numpy(doc_terms, qterms, k=10**6)
+    }
+    fv = pages.select("url", "lang")
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    lang_of = {r["doc_id"]: r["lang"] for r in dm.join(fv, "url").collect()}
+    buckets: dict[str, list[int]] = {}
+    for d in scores:
+        buckets.setdefault(lang_of[d], []).append(d)
+    n_b, per_b = 2, 2
+    top_b = sorted(
+        buckets.items(), key=lambda kv: (-len(kv[1]), kv[0])
+    )[:n_b]
+    want = []
+    for lang, ds in top_b:
+        ranked = sorted(ds, key=lambda d: (-scores[d], d))[:per_b]
+        want += [
+            (lang, len(ds), i + 1, d, scores[d])
+            for i, d in enumerate(ranked)
+        ]
+    s = Searcher(spark, index_dir, cache=False)
+    got = [
+        (r["lang"], r["doc_count"], r["rnk"], None, r["score"])
+        for r in s.top_hits(q, fv, "lang", buckets=n_b, per_bucket=per_b).collect()
+    ]
+    # urls map 1:1 to doc ids through the docmap; compare on the
+    # (bucket, count, rank, score) shape plus the score multiset
+    assert [(g[0], g[1], g[2], g[4]) for g in got] == [
+        (w[0], w[1], w[2], w[4]) for w in want
+    ]
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
