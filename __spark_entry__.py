@@ -858,6 +858,22 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+DECON_MOD, DECON_W = 43, 5
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the eval subset (doc_id % 43 == 1 — a deterministic stand-in
+    benchmark) get flagged; eval grams broadcast, corpus side unshuffled."""
+    from kafka_es_spark.operators.traindata import decontaminate
+
+    d = _docs(spark, sf_dir)
+    ev = d.filter((F.col("doc_id") % DECON_MOD) == 1).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return decontaminate(d, ev, w=DECON_W)
+
+
 def _q_windowed_counts(spark, sf_dir):
     """A1's size/time batching surface, batch form: tumbling 10-minute
     windows per event type (same aggregation expression the streaming
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_image_features": _q_image_features,
         "mm2_audio_features": _q_audio_features,
         "sp1_stratified_sample": _q_stratified_sample,
+        "dc1_decontaminate": _q_decontaminate,
         "pk1_pack_sequences": _q_pack_sequences,
         "ev2_windowed_counts": _q_windowed_counts,
         "ts1_lang_id": _q_lang_id,
@@ -1056,6 +1073,12 @@ _BM25_SQL = _bm25_sql("documents")
 def _h32_sql(expr: str) -> str:
     """DuckDB mirror of operators.dedup.hash32 (md5-prefix 32-bit hash)."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _decon_shingles() -> str:
+    from kafka_es_spark.operators.dedup import shingles_sql
+
+    return shingles_sql(DECON_W, "documents")
 
 
 def _shingles_cte() -> str:
@@ -1787,6 +1810,20 @@ p AS (
   FROM t
 )
 SELECT doc_id, n_tokens, CAST(floor(pe / 512.0) AS BIGINT) AS bin_id FROM p
+""",
+        # decontamination: shared w-gram vs the doc_id%43==1 eval subset;
+        # the shingle CTE is the same relation the engine's shingles()
+        # operator produces (distinct per doc, short-doc whole-text gram)
+        "dc1_decontaminate": f"""
+WITH sh AS ({_decon_shingles()}),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_MOD} = 1),
+ov AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM sh s JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+       coalesce(ov.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
 """,
         "ev2_windowed_counts": """
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,

@@ -118,3 +118,57 @@ def pack_sequences(
         "n_tokens",
         F.floor(prefix_excl / F.lit(budget)).cast("long").alias("bin_id"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    ``w``-gram with an evaluation/benchmark set (the n-gram-overlap
+    filter of Brown et al. 2020 appendix C and Rae et al. 2021 —
+    training examples overlapping an eval benchmark are dropped so the
+    benchmark still measures generalization).
+
+    Returns one row per training doc: (doc_id, n_overlap, contaminated)
+    where n_overlap counts DISTINCT contaminated w-grams (shingles are
+    de-duplicated per doc upstream) and contaminated = n_overlap > 0.
+
+    Plan for 100 TB: the eval side is small by construction (benchmarks
+    are 10^3–10^6 grams) — its distinct gram set is broadcast, so the
+    corpus-side gram stream joins map-side with NO shuffle of the big
+    side; the per-doc overlap count is a partial-aggregatable count and
+    the final left join keys on the doc id. Gram generation is the
+    shared ``shingles`` operator (per-doc window over positions, bounded
+    by doc length). Set ``broadcast_eval=False`` only when the eval set
+    is itself huge; the join then falls back to a hash shuffle keyed on
+    the gram."""
+    from kafka_es_spark.operators.dedup import shingles
+
+    train_g = shingles(docs, w=w, id_col=id_col, text_col=text_col)
+    eval_g = (
+        shingles(eval_docs, w=w, id_col=eval_id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_g = F.broadcast(eval_g)
+    ov = (
+        train_g.join(eval_g, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(ov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -703,3 +703,33 @@ def test_assign_doc_ids_auto_rebucket_and_cap(spark, monkeypatch):
 
     with _pytest.raises(ValueError, match="WINDOW_CAP"):
         di.assign_doc_ids(pages, n_buckets=2)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """Docs sharing a w-gram with the eval set are flagged, clean docs
+    are not, and n_overlap counts DISTINCT contaminated grams. The
+    planted overlap sits mid-document (a benchmark passage quoted
+    inside otherwise-unique text)."""
+    from kafka_es_spark.operators.traindata import decontaminate
+
+    passage = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique words alpha {passage} beta gamma delta"),   # quotes it
+            (1, "completely different text with no shared phrases at all here"),
+            (2, passage),                                            # is the benchmark text
+            (3, "quick brown fox seen briefly"),                     # < w shared tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, passage)], "eval_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(docs, ev, w=5).collect()
+    }
+    assert out[1] == (0, False) and out[3] == (0, False)
+    assert out[0][1] and out[2][1]
+    # doc 2 contains every 5-gram of the 9-token passage: 5 of them
+    assert out[2][0] == 5
+    # doc 0 embeds the passage intact, so at least those 5 grams overlap
+    assert out[0][0] >= 5
