@@ -858,6 +858,57 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+EXPLAIN_DOCS = [7, 49, 200]
+
+
+def _q_explain(spark, sf_dir):
+    """ES _explain API: per-(doc, term) BM25 breakdown (tf, dl, idf,
+    contribution) for three fixed docs — the posting scan joins against
+    a broadcast 3-row doc dimension, no corpus access."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).explain(
+        " ".join(QUERY_TERMS), [f"doc://{d}" for d in EXPLAIN_DOCS]
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "term", "tf", "dl", "idf", "contrib",
+    )
+
+
+MLT_DOC, MLT_TERMS, MLT_MIN_DF = 42, 5, 2
+
+
+def _q_more_like_this(spark, sf_dir):
+    """ES more_like_this: the 5 highest-tf·idf terms of doc 42 (term-asc
+    tie-break, df >= 2) run as a BM25 OR query, source doc excluded."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    out = Searcher(spark, idx, cache=False).more_like_this(
+        f"doc://{MLT_DOC}", dt, k=TOPK, max_query_terms=MLT_TERMS,
+        min_doc_freq=MLT_MIN_DF, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_date_histogram(spark, sf_dir):
+    """ES date_histogram (calendar_interval: day) + terms composite over
+    the events stream: per-day per-event-type counts, calendar-truncated
+    (vs ev2's fixed-width windows — the calendar_interval/fixed_interval
+    distinction)."""
+    from kafka_es_spark.operators.sessions import date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, "ts", unit="day", key_col="event_type")
+
+
 DECON_MOD, DECON_W = 43, 5
 
 
@@ -951,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_facet_lang": _q_facet_lang,
         "x8_sort_field": _q_sort_field,
         "x8_top_hits": _q_top_hits,
+        "x8_explain": _q_explain,
+        "x8_more_like_this": _q_more_like_this,
         "x8_agg_cardinality": _q_agg_cardinality,
         "x8_agg_histogram": _q_agg_histogram,
         "x8_agg_stats": _q_agg_stats,
@@ -980,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc1_decontaminate": _q_decontaminate,
         "pk1_pack_sequences": _q_pack_sequences,
         "ev2_windowed_counts": _q_windowed_counts,
+        "ev3_date_histogram": _q_date_histogram,
         "ts1_lang_id": _q_lang_id,
         "ts2_quality_features": _q_quality,
         "ts3_token_counts": _q_token_counts,
@@ -1639,6 +1693,40 @@ r AS (SELECT lang, doc_id, score,
 SELECT r.lang, c.doc_count, r.rnk, r.doc_id, r.score
 FROM r JOIN c USING (lang) WHERE r.rnk <= {TH_PER_BUCKET}
 """,
+        # _explain: per-(doc, term) breakdown for three fixed docs; idf
+        # and contrib rounded independently, contrib computed from the
+        # UNrounded idf (the engine's arithmetic order)
+        "x8_explain": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       round(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5)), 4) AS idf,
+       round(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 4) AS contrib
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
+""",
+        # more_like_this: interesting terms of the source doc by tf·idf
+        # (term-asc tie-break, min_doc_freq), then plain BM25 OR with
+        # the source doc excluded
+        "x8_more_like_this": _bm25_sql(
+            "documents",
+            qt_sql=f"""
+  SELECT s.term FROM (
+    SELECT term, count(*) AS tf FROM toks WHERE doc_id = {MLT_DOC} GROUP BY 1
+  ) s JOIN (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+  ) d USING (term) CROSS JOIN stats
+  WHERE d.df >= {MLT_MIN_DF}
+  ORDER BY s.tf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC, s.term
+  LIMIT {MLT_TERMS}
+""",
+            filter_where=f"doc_id <> {MLT_DOC}",
+        ),
         # cardinality agg (exact mode; operator default is HLL++)
         "x8_agg_cardinality": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
@@ -1829,6 +1917,11 @@ FROM documents d LEFT JOIN ov USING (doc_id)
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
        event_type, count(*) AS n_actions
 FROM events GROUP BY 1, 2
+""",
+        "ev3_date_histogram": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       event_type, count(*) AS doc_count
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # mm oracles: re-derive the arithmetic generators' feature series
         "mm1_image_features": """

@@ -47,3 +47,28 @@ def sessionize(
         F.floor(F.max(ep_us) / F.lit(1_000_000.0)).cast("long").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def date_histogram(
+    events: DataFrame,
+    ts_col: str = "ts",
+    unit: str = "day",
+    key_col: str | None = None,
+) -> DataFrame:
+    """ES date_histogram aggregation analogue (``aggs: {date_histogram:
+    {calendar_interval: day}}``): bucket rows by the calendar unit of
+    their timestamp — (bucket, [key,] doc_count), bucket-ordered, empty
+    buckets omitted (min_doc_count=1). ``key_col`` adds a terms
+    sub-bucketing (the ES date_histogram + terms composite shape).
+
+    Calendar truncation (date_trunc) differs from ev2's fixed-width
+    epoch windows exactly the way ES distinguishes calendar_interval
+    from fixed_interval. One hash aggregation to #buckets·#keys rows —
+    partial map-side combine, no skew risk (time is naturally spread)."""
+    b = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    keys = [b] + ([F.col(key_col)] if key_col else [])
+    return (
+        events.groupBy(*keys)
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(*(["bucket"] + ([key_col] if key_col else [])))
+    )

@@ -1226,6 +1226,120 @@ class Searcher:
             )
         )
 
+    def explain(
+        self,
+        query: str,
+        urls: list[str],
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES ``_explain`` API analogue: the per-(doc, term) BM25 score
+        breakdown for specific documents — rows (url, term, tf, dl, idf,
+        contrib), one per query term the doc contains.
+
+        Plan: the named docs resolve through the docmap to a tiny
+        broadcast dimension; posting segments of the query terms decode
+        relationally (shared `_postings_rows`) and the broadcast join
+        discards everything but the explained docs before the dl/weight
+        joins — cost O(postings of the query terms) scan, no corpus
+        access, exactly what explaining against an inverted index
+        costs. Tombstoned docs yield no rows (a deleted doc has no
+        score to explain)."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        out_cols = "url string, term string, tf long, dl long, idf double, contrib double"
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], out_cols)
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights:
+            return spark.createDataFrame([], out_cols)
+        dm = (
+            spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+            .filter(F.col("url").isin(list(urls)))
+            .select("doc_id", "url")
+        )
+        if self.persistent_excluded:
+            dm = dm.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        segs = self._query_segs(list(weights))
+        w_df = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "term string, w double",
+        )
+        out = (
+            self._postings_rows(segs)
+            .join(F.broadcast(dm), "doc_id")
+            .join(self._dl_rows(segs), "doc_id")
+            .join(F.broadcast(w_df), "term")
+            .select(
+                "url", "term", "tf", "dl",
+                F.col("w").alias("idf"),
+                self._bm25_contrib_col().alias("contrib"),
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("idf", F.round("idf", round_to)).withColumn(
+                "contrib", F.round("contrib", round_to)
+            )
+        return out
+
+    def more_like_this(
+        self,
+        url: str,
+        docs_text: DataFrame,
+        k: int = 10,
+        max_query_terms: int = 10,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 1,
+        round_to: int | None = 4,
+        fetch_k: int | None = None,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES ``more_like_this`` query analogue: select the source doc's
+        ``max_query_terms`` most representative terms by tf·idf (ES's
+        "interesting terms", Lucene MoreLikeThis) and run them as a BM25
+        OR query, excluding the source doc from the results
+        (``include: false``, the MLT default).
+
+        Term selection re-analyzes the doc's text (the ES path when no
+        term vectors are stored): tokenize ONE doc, join its ≤doc-length
+        vocabulary against the index term_stats for df, rank by tf·idf
+        with term-asc tie-break, keep terms passing min_term_freq /
+        min_doc_freq. The collect is bounded by the source doc's
+        vocabulary — never corpus-sized. Scoring then rides the normal
+        block-max WAND path."""
+        from kafka_es_spark.functions.tokenize import tokens
+
+        src = docs_text.filter(F.col("url") == url).select("text")
+        tf_rows = (
+            src.select(F.explode(tokens("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"))
+            .filter(F.col("tf") >= int(min_term_freq))
+            .join(self.term_stats.select("term", "df"), "term")
+            .filter(F.col("df") >= int(min_doc_freq))
+            .collect()
+        )
+        ranked = sorted(
+            tf_rows,
+            key=lambda r: (-(int(r["tf"]) * idf(self.n_docs, int(r["df"]))), r["term"]),
+        )[: int(max_query_terms)]
+        terms = [r["term"] for r in ranked]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        # over-fetch one slot: the source doc itself scores high and is
+        # dropped post-ranking
+        out = self.topk(
+            " ".join(terms), k=max(k, fetch_k or 0) + 1, round_to=round_to,
+            with_url=True,
+        ).filter(F.col("url") != url)
+        if not with_url:
+            out = out.select("doc_id", "score")
+        return out.limit(max(k, fetch_k or 0))
+
     def range_filtered_topk(
         self,
         query: str,

@@ -686,6 +686,84 @@ def test_top_hits_per_bucket(spark, index_dir, pages, doc_terms):
     ]
 
 
+def test_explain_breakdown_sums_to_score(spark, index_dir, pages, doc_terms):
+    """ES _explain analogue: per-term contribs for named docs cover
+    exactly the query terms the doc contains, and sum to the doc's
+    exhaustive BM25 score."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    scores = dict(exhaustive_topk_numpy(doc_terms, qterms, k=10**6))
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    url_of = {r["doc_id"]: r["url"] for r in dm.collect()}
+    terms_of = {
+        d: set(ts) for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+    }
+    picked = sorted(scores)[:3]
+    s = Searcher(spark, index_dir, cache=False)
+    rows = s.explain(q, [url_of[d] for d in picked], round_to=None).collect()
+    by_doc: dict[str, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["url"], []).append(r)
+    assert set(by_doc) == {url_of[d] for d in picked}
+    for d in picked:
+        got = by_doc[url_of[d]]
+        assert {r["term"] for r in got} == terms_of[d] & set(qterms)
+        # sum in sorted-term order — the engine's accumulation order
+        total = sum(r["contrib"] for r in sorted(got, key=lambda r: r["term"]))
+        assert total == pytest.approx(scores[d], rel=1e-12)
+
+
+def test_more_like_this_matches_bruteforce(spark, index_dir, pages, doc_terms):
+    """MLT: interesting-term selection (tf·idf, term-asc ties, min_df)
+    matches a pandas recomputation and the result ranking equals the
+    exhaustive scorer over the selected terms with the source excluded."""
+    from kafka_es_spark.operators.wand import Searcher, idf as idf_fn
+
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    url_of = {r["doc_id"]: r["url"] for r in dm.collect()}
+    src = int(doc_terms["doc_id"].iloc[5])
+    n = len(doc_terms)
+    dfs: dict[str, int] = {}
+    for ts in doc_terms["terms"]:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    src_terms = list(doc_terms["terms"].iloc[5])
+    tfs: dict[str, int] = {}
+    for t in src_terms:
+        tfs[t] = tfs.get(t, 0) + 1
+    min_df, m_terms, k = 2, 5, 8
+    cand = [
+        (t, tf) for t, tf in tfs.items() if dfs[t] >= min_df
+    ]
+    want_terms = [
+        t for t, _ in sorted(
+            cand, key=lambda e: (-(e[1] * idf_fn(n, dfs[e[0]])), e[0])
+        )[:m_terms]
+    ]
+    want = [
+        (d, s) for d, s in exhaustive_topk_numpy(doc_terms, want_terms, k=k + 1)
+        if d != src
+    ][:k]
+    s = Searcher(spark, index_dir, cache=False)
+    dt = pages.select("url", "text")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.more_like_this(
+            url_of[src], dt, k=k, max_query_terms=m_terms,
+            min_doc_freq=min_df, round_to=None,
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert got == pytest.approx(want, rel=1e-9)
+    assert src not in {g[0] for g in got}
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")

@@ -733,3 +733,31 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out[2][0] == 5
     # doc 0 embeds the passage intact, so at least those 5 grams overlap
     assert out[0][0] >= 5
+
+
+def test_date_histogram_calendar_buckets(spark):
+    """ES date_histogram (calendar_interval=day) + terms composite:
+    calendar truncation, min_doc_count=1, bucket-then-key ordering."""
+    import datetime as dt
+
+    from kafka_es_spark.operators.sessions import date_histogram
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 5, 0), "click"),
+        (dt.datetime(2024, 3, 1, 23, 59), "click"),
+        (dt.datetime(2024, 3, 1, 12, 0), "view"),
+        (dt.datetime(2024, 3, 3, 0, 0), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = [
+        (r["bucket"], r["event_type"], r["doc_count"])
+        for r in date_histogram(ev, "ts", unit="day", key_col="event_type").collect()
+    ]
+    d1, d3 = dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 3)
+    assert got == [(d1, "click", 2), (d1, "view", 1), (d3, "click", 1)]
+    # no key column: plain per-day counts
+    got2 = [
+        (r["bucket"], r["doc_count"])
+        for r in date_histogram(ev, "ts", unit="day").collect()
+    ]
+    assert got2 == [(d1, 3), (d3, 1)]
