@@ -858,6 +858,49 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+SUGGEST_TEXT = "spork quary join"  # two misspellings + one dictionary hit
+
+
+def _q_suggest(spark, sf_dir):
+    """ES term suggester (suggest_mode=missing, the default): corrections
+    within 1 edit for tokens absent from the dictionary, ranked
+    (distance, doc-freq desc, term); 'join' is present so it gets no
+    suggestions."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).suggest(
+        SUGGEST_TEXT, max_edits=1, size=5
+    )
+
+
+TV_DOC = 17
+
+
+def _q_termvectors(spark, sf_dir):
+    """ES _termvectors (on-the-fly mode): per-term tf + ordered 0-based
+    positions for one doc, re-analyzed from _source."""
+    from kafka_es_spark.operators.bm25 import termvectors
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") == TV_DOC)
+    return termvectors(d)
+
+
+MGET_URLS = ["doc://3", "doc://77", "doc://999999999"]
+
+
+def _q_mget(spark, sf_dir):
+    """ES _mget: per requested url (found, stored fields); the third url
+    doesn't exist and reports found=false with null fields."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).mget(
+        MGET_URLS, _docs_url_fields(spark, sf_dir)
+    )
+    return out.select("url", "found", "lang", "n_chars")
+
+
 EXPLAIN_DOCS = [7, 49, 200]
 
 
@@ -1003,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_sort_field": _q_sort_field,
         "x8_top_hits": _q_top_hits,
         "x8_explain": _q_explain,
+        "x8_suggest": _q_suggest,
+        "x8_termvectors": _q_termvectors,
+        "x8_mget": _q_mget,
         "x8_more_like_this": _q_more_like_this,
         "x8_agg_cardinality": _q_agg_cardinality,
         "x8_agg_histogram": _q_agg_histogram,
@@ -1709,6 +1755,49 @@ SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 4) AS contrib
 FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
+""",
+        # term suggester: dictionary terms within 1 edit of each missing
+        # input token, prefix-anchored, (dist, df desc, term) ranked
+        "x8_suggest": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+inp AS (SELECT unnest(['{"','".join(sorted(SUGGEST_TEXT.split()))}']) AS input),
+missing AS (SELECT input FROM inp WHERE input NOT IN (SELECT term FROM dict)),
+cand AS (
+  SELECT m.input, d.term AS suggestion,
+         CAST(levenshtein(d.term, m.input) AS BIGINT) AS dist, d.df
+  FROM dict d JOIN missing m
+    ON abs(len(d.term) - len(m.input)) <= 1
+   AND substr(d.term, 1, 1) = substr(m.input, 1, 1)
+   AND d.term <> m.input
+  WHERE levenshtein(d.term, m.input) <= 1
+),
+r AS (
+  SELECT input, suggestion, dist, df AS freq,
+         CAST(row_number() OVER (
+           PARTITION BY input ORDER BY dist, df DESC, suggestion
+         ) AS BIGINT) AS rnk
+  FROM cand
+)
+SELECT input, suggestion, dist, freq, rnk FROM r WHERE rnk <= 5
+""",
+        # _termvectors: tf + ordered 0-based positions for one doc
+        "x8_termvectors": f"""
+WITH p AS (
+  SELECT doc_id, unnest({_TOKS}) AS term,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents WHERE doc_id = {TV_DOC}
+)
+SELECT doc_id, term, count(*) AS tf, list(pos ORDER BY pos) AS positions
+FROM p GROUP BY 1, 2
+""",
+        # _mget: request list left-joined to the live docs
+        "x8_mget": f"""
+WITH req AS (SELECT unnest(['{"','".join(MGET_URLS)}']) AS url),
+d AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, lang, n_chars
+      FROM documents)
+SELECT req.url, d.url IS NOT NULL AS found, d.lang, d.n_chars
+FROM req LEFT JOIN d USING (url)
 """,
         # more_like_this: interesting terms of the source doc by tf·idf
         # (term-asc tie-break, min_doc_freq), then plain BM25 OR with

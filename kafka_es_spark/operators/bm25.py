@@ -115,3 +115,28 @@ def bm25_topk(
     if round_to is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), round_to))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def termvectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``_termvectors`` API analogue (on-the-fly mode — ES re-analyzes
+    ``_source`` when term vectors aren't stored): per (doc, term) rows
+    with the term frequency and the ordered 0-based token positions —
+    (doc_id, term, tf, positions).
+
+    One narrow posexplode + one hash aggregation per doc's vocabulary;
+    callers filter to the requested doc ids first so the scan prunes
+    (the predicate pushes below the generate)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "positions"
+        ),
+    )

@@ -1340,6 +1340,120 @@ class Searcher:
             out = out.select("doc_id", "score")
         return out.limit(max(k, fetch_k or 0))
 
+    def suggest(
+        self,
+        text: str,
+        max_edits: int = 1,
+        size: int = 5,
+        suggest_mode: str = "missing",
+        prefix_length: int = 1,
+    ) -> DataFrame:
+        """ES term-suggester analogue (``suggest: {text, term: {...}}``):
+        for each input token, dictionary terms within ``max_edits``
+        Levenshtein edits ranked (distance asc, doc freq desc, term asc),
+        top ``size`` per input — rows (input, suggestion, dist, freq,
+        rnk). ``suggest_mode``: 'missing' suggests only for tokens absent
+        from the dictionary (the ES default), 'popular' only corrections
+        with strictly higher df than the input term, 'always' for every
+        token.
+
+        Plan: inputs are a tiny broadcast dimension against the term
+        dictionary scan; the prefix anchor and a ±max_edits length band
+        prune the dictionary BEFORE the Levenshtein evaluation (the
+        Lucene FuzzySuggester pre-filter), and the per-input window
+        ranks |inputs|·candidates rows — no corpus access at all."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        toks = sorted(set(tokenize_py(text)))
+        out_cols = (
+            "input string, suggestion string, dist long, freq long, rnk long"
+        )
+        if not toks:
+            return spark.createDataFrame([], out_cols)
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode: {suggest_mode!r}")
+        present = {
+            r["term"]: int(r["df"])
+            for r in self.term_stats.filter(F.col("term").isin(toks)).collect()
+        }
+        if suggest_mode == "missing":
+            toks = [t for t in toks if t not in present]
+            if not toks:
+                return spark.createDataFrame([], out_cols)
+        inputs = spark.createDataFrame(
+            [(t, present.get(t, 0)) for t in toks], "input string, in_df long"
+        )
+        cand = (
+            self.term_stats.select("term", "df")
+            .join(
+                F.broadcast(inputs),
+                (F.length("term") >= F.length("input") - int(max_edits))
+                & (F.length("term") <= F.length("input") + int(max_edits))
+                & (
+                    F.substring("term", 1, int(prefix_length))
+                    == F.substring("input", 1, int(prefix_length))
+                )
+                & (F.col("term") != F.col("input")),
+            )
+            .withColumn("dist", F.levenshtein("term", "input").cast("long"))
+            .filter(F.col("dist") <= int(max_edits))
+        )
+        if suggest_mode == "popular":
+            cand = cand.filter(F.col("df") > F.col("in_df"))
+        w = Window.partitionBy("input").orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+        return (
+            cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= int(size))
+            .select(
+                "input",
+                F.col("term").alias("suggestion"),
+                "dist",
+                F.col("df").alias("freq"),
+                "rnk",
+            )
+            .orderBy("input", "rnk")
+        )
+
+    def mget(
+        self,
+        urls: list[str],
+        field_values: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``_mget`` analogue: one row per requested url — (url,
+        found, doc_id[, stored fields]). Tombstoned docs report
+        found=false (a deleted doc is gone from every read path).
+
+        Plan: the request list is a tiny broadcast dimension; the
+        docmap (and optional field relation) streams past it in an
+        inner join — the big sides are never shuffled and their scans
+        prune on the broadcast keys — then the ≤|urls|-row results
+        left-join back onto the request list to materialize the
+        found=false rows."""
+        spark = self.spark
+        req = spark.createDataFrame([(u,) for u in urls], "url string")
+        dm = spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("url", "doc_id")
+        if self.persistent_excluded:
+            dm = dm.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        hit = dm.join(F.broadcast(req), "url")
+        out = req.join(hit, "url", "left").select(
+            "url", F.col("doc_id").isNotNull().alias("found"), "doc_id"
+        )
+        if field_values is not None:
+            # fields attach only to FOUND (live) docs — a tombstoned doc
+            # still present in the source table must not leak its fields
+            fv_hit = field_values.join(
+                F.broadcast(hit.select("url")), "url"
+            )
+            out = out.join(fv_hit, "url", "left")
+        return out
+
     def range_filtered_topk(
         self,
         query: str,

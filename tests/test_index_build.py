@@ -965,3 +965,72 @@ def test_build_index_empty_and_blank_corpus(spark, tmp_path):
     s = Searcher(spark, idx, cache=False)
     assert s.n_docs == 5
     assert s.topk("anything at all", k=5).collect() == []
+
+
+def test_suggest_modes_and_ranking(spark, index_dir, doc_terms):
+    """Term suggester: missing-mode skips dictionary hits, candidates
+    stay within max_edits with the prefix anchor, ranking is (dist, df
+    desc, term), and popular-mode requires higher df than the input."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    dfs: dict[str, int] = {}
+    for ts in doc_terms["terms"]:
+        for t in set(ts):
+            dfs[t] = dfs.get(t, 0) + 1
+    probe = sorted(dfs)[0]
+    # misspell: drop the last char (keeps the prefix anchor)
+    typo = probe[:-1] + ("x" if probe[-1] != "x" else "y")
+    rows = s.suggest(f"{typo} {probe}", max_edits=1, size=3).collect()
+    # the correctly-spelled token is in the dictionary -> no suggestions
+    assert all(r["input"] != probe for r in rows)
+    got = [(r["suggestion"], r["dist"], r["freq"]) for r in rows
+           if r["input"] == typo]
+    assert all(d <= 1 and sug[0] == typo[0] for sug, d, _ in got)
+    assert probe in {sug for sug, _, _ in got}
+    # ranking: dist asc then freq desc then term asc
+    keys = [(d, -f, sug) for sug, d, f in got]
+    assert keys == sorted(keys)
+    # always-mode suggests even for dictionary hits
+    rows_a = s.suggest(probe, max_edits=1, size=3, suggest_mode="always").collect()
+    assert all(r["input"] == probe and r["suggestion"] != probe for r in rows_a)
+    # popular-mode: every suggestion strictly more frequent than the input
+    rows_p = s.suggest(probe, max_edits=1, size=5, suggest_mode="popular").collect()
+    assert all(r["freq"] > dfs[probe] for r in rows_p)
+
+
+def test_termvectors_tf_and_positions(spark):
+    from kafka_es_spark.operators.bm25 import termvectors
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c b a")], "doc_id long, text string"
+    )
+    got = {
+        r["term"]: (r["tf"], list(r["positions"]))
+        for r in termvectors(docs).collect()
+    }
+    assert got == {"b": (3, [0, 2, 4]), "a": (2, [1, 5]), "c": (1, [3])}
+
+
+def test_mget_found_fields_and_tombstones(spark, pages, tmp_path):
+    """_mget: found rows carry fields, absent urls report found=false
+    with null fields, and tombstoned docs flip to found=false."""
+    from kafka_es_spark.operators.deletes import add_tombstones
+    from kafka_es_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "idxmget")
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=4)
+    s = Searcher(spark, d, cache=False)
+    dm = spark.read.parquet(os.path.join(d, "docmap")).limit(2).collect()
+    u0, u1 = dm[0]["url"], dm[1]["url"]
+    fv = pages.select("url", "lang")
+    rows = {r["url"]: r for r in s.mget([u0, u1, "missing://x"], fv).collect()}
+    assert rows[u0]["found"] and rows[u0]["lang"] is not None
+    assert not rows["missing://x"]["found"]
+    assert rows["missing://x"]["lang"] is None
+    # tombstone u1 -> found=false and fields masked
+    add_tombstones(spark, d, [dm[1]["doc_id"]])
+    s2 = Searcher(spark, d, cache=False)
+    r1 = {r["url"]: r for r in s2.mget([u0, u1], fv).collect()}
+    assert r1[u0]["found"]
+    assert not r1[u1]["found"] and r1[u1]["lang"] is None
