@@ -102,6 +102,29 @@ def _ensure_index(spark, sf_dir) -> str:
     return idx
 
 
+TITLE_TOKENS = 8
+
+
+def _ensure_title_index(spark, sf_dir) -> str:
+    """Second-field index for multi_match: the `title` field is the doc's
+    first 8 tokens (a deterministic derived field — the driver corpus has
+    one text column, so the title plays the second analyzed field).
+    Same content-keyed cache discipline as `_ensure_index`."""
+    import os
+
+    from kafka_es_spark.functions.tokenize import tokens as _tok
+    from kafka_es_spark.plans.build_index import build_index
+    from kafka_es_spark.sources.pages import docs_as_pages
+
+    idx = f"/tmp/kafka_es_index_v2_title_{_corpus_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
+        pages = docs_as_pages(spark, sf_dir).withColumn(
+            "text", F.array_join(F.slice(_tok("text"), 1, TITLE_TOKENS), " ")
+        )
+        build_index(spark, pages, idx, seg_bits=8, n_term_buckets=8)
+    return idx
+
+
 def _topk_by_corpus_id(out: DataFrame) -> DataFrame:
     """Map internal dense doc ids back to the corpus doc_id carried in the
     url and re-rank by (rounded score desc, corpus doc_id asc) — the
@@ -858,6 +881,49 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512)
 
 
+TITLE_BOOST, DISMAX_TIE = 2.0, 0.3
+
+
+def _q_multi_match(spark, sf_dir):
+    """ES multi_match most_fields over fields [text, title^2]: per-field
+    BM25 sums combined additively; candidates = union of per-field hit
+    sets via full-outer doc_id joins."""
+    from kafka_es_spark.operators.wand import multi_match_topk
+
+    out = multi_match_topk(
+        spark,
+        {
+            "body": (_ensure_index(spark, sf_dir), 1.0),
+            "title": (_ensure_title_index(spark, sf_dir), TITLE_BOOST),
+        },
+        " ".join(QUERY_TERMS),
+        k=TOPK * 3,
+        match_type="most_fields",
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dis_max(spark, sf_dir):
+    """ES dis_max (multi_match best_fields, tie_breaker=0.3): the best
+    field's score plus 0.3x the others."""
+    from kafka_es_spark.operators.wand import multi_match_topk
+
+    out = multi_match_topk(
+        spark,
+        {
+            "body": (_ensure_index(spark, sf_dir), 1.0),
+            "title": (_ensure_title_index(spark, sf_dir), TITLE_BOOST),
+        },
+        " ".join(QUERY_TERMS),
+        k=TOPK * 3,
+        match_type="best_fields",
+        tie_breaker=DISMAX_TIE,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 SUGGEST_TEXT = "spork quary join"  # two misspellings + one dictionary hit
 
 
@@ -1046,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_sort_field": _q_sort_field,
         "x8_top_hits": _q_top_hits,
         "x8_explain": _q_explain,
+        "x8_multi_match": _q_multi_match,
+        "x8_dis_max": _q_dis_max,
         "x8_suggest": _q_suggest,
         "x8_termvectors": _q_termvectors,
         "x8_mget": _q_mget,
@@ -1173,6 +1241,50 @@ _BM25_SQL = _bm25_sql("documents")
 def _h32_sql(expr: str) -> str:
     """DuckDB mirror of operators.dedup.hash32 (md5-prefix 32-bit hash)."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _mm_sql(combine: str) -> str:
+    """Two-field multi_match oracle: field `body` = the text, field
+    `title` = its first TITLE_TOKENS tokens (list slice — the same
+    derived field the engine indexes); per-field BM25 with per-field
+    stats, combined by ``combine`` over cb (boosted body) / ct (boosted
+    title)."""
+    return f"""
+WITH tb AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dlb AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stb AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlb),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tfb AS (SELECT doc_id, term, count(*) AS tf FROM tb JOIN qt USING (term) GROUP BY 1, 2),
+dfb AS (SELECT term, count(DISTINCT doc_id) AS df FROM tb JOIN qt USING (term) GROUP BY 1),
+sb AS (
+  SELECT tfb.doc_id,
+         sum(ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5))
+             * tfb.tf * 2.2 / (tfb.tf + 1.2 * (0.25 + 0.75 * dlb.dl / s.avgdl))) AS score
+  FROM tfb JOIN dfb USING (term) JOIN dlb USING (doc_id) CROSS JOIN stb s
+  GROUP BY 1
+),
+tt AS (SELECT doc_id, unnest({_TOKS}[1:{TITLE_TOKENS}]) AS term FROM documents),
+dlt AS (SELECT doc_id, len({_TOKS}[1:{TITLE_TOKENS}]) AS dl FROM documents),
+stt AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlt),
+tft AS (SELECT doc_id, term, count(*) AS tf FROM tt JOIN qt USING (term) GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tt JOIN qt USING (term) GROUP BY 1),
+st AS (
+  SELECT tft.doc_id,
+         sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tft.tf * 2.2 / (tft.tf + 1.2 * (0.25 + 0.75 * dlt.dl / s.avgdl))) AS score
+  FROM tft JOIN dft USING (term) JOIN dlt USING (doc_id) CROSS JOIN stt s
+  GROUP BY 1
+),
+u AS (SELECT doc_id FROM sb UNION SELECT doc_id FROM st),
+c AS (
+  SELECT u.doc_id,
+         coalesce(1.0 * sb.score, 0.0) AS cb,
+         coalesce({TITLE_BOOST} * st.score, 0.0) AS ct
+  FROM u LEFT JOIN sb USING (doc_id) LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id, round({combine}, 4) AS score FROM c
+ORDER BY round({combine}, 4) DESC, doc_id LIMIT {TOPK}
+"""
 
 
 def _decon_shingles() -> str:
@@ -1756,6 +1868,10 @@ SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
 FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
 """,
+        "x8_multi_match": _mm_sql("cb + ct"),
+        "x8_dis_max": _mm_sql(
+            f"greatest(cb, ct) + {DISMAX_TIE} * ((cb + ct) - greatest(cb, ct))"
+        ),
         # term suggester: dictionary terms within 1 edit of each missing
         # input token, prefix-anchored, (dist, df desc, term) ranked
         "x8_suggest": f"""

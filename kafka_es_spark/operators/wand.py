@@ -1180,18 +1180,7 @@ class Searcher:
         weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
         if not weights or (mode == "and" and len(weights) < len(qterms)):
             return spark.createDataFrame([], out_schema)
-        segs = self._query_segs(list(weights))
-        w_df = spark.createDataFrame(
-            [(t, float(w)) for t, w in sorted(weights.items())],
-            "term string, w double",
-        )
-        scored = (
-            self._postings_rows(segs)
-            .join(self._dl_rows(segs), "doc_id")
-            .join(F.broadcast(w_df), "term")
-            .groupBy("doc_id")
-            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
-        )
+        scored = self.relational_scores(query)
         j = self._hit_fields(
             query, field_values, field, mode=mode,
             min_should_match=min_should_match, must_not=must_not,
@@ -1452,6 +1441,42 @@ class Searcher:
                 F.broadcast(hit.select("url")), "url"
             )
             out = out.join(fv_hit, "url", "left")
+        return out
+
+    def relational_scores(self, query: str) -> DataFrame:
+        """Full OR-mode BM25 scores of every live doc matching >= 1 query
+        term, as a relational (doc_id, score) DataFrame (unrounded) —
+        the building block multi-field scoring composes over. Same
+        segment-decode path as range_filtered_topk: cost O(postings of
+        the query terms), pruned scan, one hash aggregation; pending
+        tombstones excluded."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        empty = "doc_id long, score double"
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], empty)
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights:
+            return spark.createDataFrame([], empty)
+        segs = self._query_segs(list(weights))
+        w_df = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "term string, w double",
+        )
+        out = (
+            self._postings_rows(segs)
+            .join(self._dl_rows(segs), "doc_id")
+            .join(F.broadcast(w_df), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
+        )
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
         return out
 
     def range_filtered_topk(
@@ -1804,6 +1829,84 @@ class Searcher:
         if round_to is not None:
             out = out.withColumn("score", F.round("score", round_to))
         return out.orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    field_indexes: dict[str, tuple[str, float]],
+    query: str,
+    k: int = 10,
+    match_type: str = "most_fields",
+    tie_breaker: float = 0.0,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES ``multi_match`` analogue over per-field indexes:
+    ``field_indexes`` maps field name -> (index_dir, boost), one
+    inverted index per field built over the SAME corpus (same docmap —
+    dense doc ids are a pure function of the url set, so ids align
+    across the field indexes by construction; guarded by an n_docs
+    check).
+
+    ``match_type``:
+    * ``most_fields`` — score = Σ_f boost_f · BM25_f (the ES
+      most_fields sum).
+    * ``best_fields`` — score = best + tie_breaker · (Σ others), ES's
+      dis_max; tie_breaker=0 is pure dis_max.
+
+    Plan: each field contributes its relational score set (cost
+    O(postings of the query terms in that field's index)); fields
+    combine by full-outer equi-joins on doc_id (candidates = union of
+    per-field hit sets — a doc matching ANY field competes, the
+    multi_match contract) and one TakeOrdered k. Per-field scoring
+    never materializes non-matching docs, so the combine size is
+    bounded by Σ per-field hits, not the corpus."""
+    if match_type not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match type: {match_type!r}")
+    fields = sorted(field_indexes)
+    searchers = {f: Searcher(spark, field_indexes[f][0], cache=False) for f in fields}
+    n_docs = {f: searchers[f].n_docs for f in fields}
+    if len(set(n_docs.values())) > 1:
+        raise ValueError(
+            f"field indexes disagree on corpus size ({n_docs}); "
+            "multi_match requires indexes built over the same corpus"
+        )
+    combined = None
+    for f in fields:
+        boost = float(field_indexes[f][1])
+        sf = searchers[f].relational_scores(query).select(
+            "doc_id", (F.lit(boost) * F.col("score")).alias(f"s_{f}")
+        )
+        combined = sf if combined is None else combined.join(
+            sf, "doc_id", "full_outer"
+        )
+    cols = [F.coalesce(F.col(f"s_{f}"), F.lit(0.0)) for f in fields]
+    if match_type == "most_fields":
+        total = cols[0]
+        for c in cols[1:]:
+            total = total + c
+    else:
+        best = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        ssum = cols[0]
+        for c in cols[1:]:
+            ssum = ssum + c
+        total = best + F.lit(float(tie_breaker)) * (ssum - best)
+    out = (
+        combined.select("doc_id", total.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    if with_url:
+        first = fields[0]
+        dm = spark.read.parquet(
+            os.path.join(field_indexes[first][0], "docmap")
+        ).select("doc_id", "url")
+        out = out.join(dm, "doc_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+    return out
 
 
 def wand_topk(

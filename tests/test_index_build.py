@@ -764,6 +764,83 @@ def test_more_like_this_matches_bruteforce(spark, index_dir, pages, doc_terms):
     assert src not in {g[0] for g in got}
 
 
+def test_multi_match_most_and_best_fields(spark, index_dir, pages, tmp_path, doc_terms):
+    """multi_match over [body, title^2]: most_fields = boosted per-field
+    sum, best_fields = dis_max with tie_breaker, both vs a numpy
+    recomputation over per-field exhaustive scores."""
+    import pandas as pd
+
+    from kafka_es_spark.functions.tokenize import tokens as tok
+    from kafka_es_spark.operators.wand import multi_match_topk
+
+    n_title = 6
+    title_pages = pages.withColumn(
+        "text", F.array_join(F.slice(tok("text"), 1, n_title), " ")
+    )
+    tdir = str(tmp_path / "idxtitle")
+    build_index(spark, title_pages, tdir, seg_bits=SEG_BITS, n_term_buckets=8)
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    title_terms = pd.DataFrame(
+        {
+            "doc_id": doc_terms["doc_id"],
+            "terms": doc_terms["terms"].map(lambda ts: ts[:n_title]),
+        }
+    )
+    body = dict(exhaustive_topk_numpy(doc_terms, qterms, k=10**6))
+    title = dict(exhaustive_topk_numpy(title_terms, qterms, k=10**6))
+    boost = 2.0
+    cand = set(body) | set(title)
+    most = sorted(
+        (
+            (d, body.get(d, 0.0) + boost * title.get(d, 0.0))
+            for d in cand
+        ),
+        key=lambda e: (-e[1], e[0]),
+    )[:10]
+    fields = {"body": (index_dir, 1.0), "title": (tdir, boost)}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in multi_match_topk(
+            spark, fields, q, k=10, match_type="most_fields", round_to=None
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in most]
+    for (gd, gs), (wd, ws) in zip(got, most):
+        assert gs == pytest.approx(ws, abs=1e-10)
+
+    tie = 0.25
+    best = sorted(
+        (
+            (
+                d,
+                max(cb, ct) + tie * ((cb + ct) - max(cb, ct)),
+            )
+            for d in cand
+            for cb, ct in [(body.get(d, 0.0), boost * title.get(d, 0.0))]
+        ),
+        key=lambda e: (-e[1], e[0]),
+    )[:10]
+    got_b = [
+        (r["doc_id"], r["score"])
+        for r in multi_match_topk(
+            spark, fields, q, k=10, match_type="best_fields",
+            tie_breaker=tie, round_to=None,
+        ).collect()
+    ]
+    assert [g[0] for g in got_b] == [w[0] for w in best]
+    for (gd, gs), (wd, ws) in zip(got_b, best):
+        assert gs == pytest.approx(ws, abs=1e-10)
+    # mismatched corpora refuse
+    with pytest.raises(ValueError, match="corpus size"):
+        half = str(tmp_path / "idxhalf")
+        build_index(
+            spark, pages.limit(50), half, seg_bits=SEG_BITS, n_term_buckets=4
+        )
+        multi_match_topk(spark, {"a": (index_dir, 1.0), "b": (half, 1.0)}, q)
+
+
 def test_wand_bp128_codec(spark, pages, tmp_path, doc_terms):
     d = str(tmp_path / "idx128")
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8, codec="bp128")
