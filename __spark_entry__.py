@@ -544,6 +544,73 @@ def _q_agg_cardinality(spark, sf_dir):
     )
 
 
+PCTS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _q_agg_percentiles(spark, sf_dir):
+    """ES percentiles aggregation over the OR-mode hit set: quartiles +
+    p95 of n_chars, exact linear interpolation (the approx t-digest
+    variant is the operator's scale path)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_percentiles(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        PCTS,
+    )
+
+
+AGG_RANGES = [(None, 100), (100, 400), (400, None)]
+
+
+def _q_agg_range(spark, sf_dir):
+    """ES range aggregation: n_chars bucketed into *-100 / 100-400 /
+    400-* over the OR-mode hit set (from inclusive, to exclusive, empty
+    buckets kept)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_ranges(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        AGG_RANGES,
+    )
+
+
+AGG_FILTERS = {
+    "english": "lang = 'en'",
+    "long_docs": "n_chars >= 400",
+    "src0": "source = 'src0'",
+}
+
+
+def _q_agg_filters(spark, sf_dir):
+    """ES filters aggregation: three named predicate buckets over the
+    OR-mode hit set, counted independently in one conditional-sum pass."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_filters(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), AGG_FILTERS,
+    )
+
+
+FS_FACTOR = 0.1
+
+
+def _q_function_score(spark, sf_dir):
+    """ES function_score with field_value_factor: BM25 hits rescored by
+    ln(1 + 0.1 * n_chars), boost_mode multiply — longer docs promoted."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).function_score_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        k=TOPK, factor=FS_FACTOR, modifier="ln1p", boost_mode="multiply",
+        fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -1121,6 +1188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_cardinality": _q_agg_cardinality,
         "x8_agg_histogram": _q_agg_histogram,
         "x8_agg_stats": _q_agg_stats,
+        "x8_agg_percentiles": _q_agg_percentiles,
+        "x8_agg_range": _q_agg_range,
+        "x8_agg_filters": _q_agg_filters,
+        "x8_function_score": _q_function_score,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -1994,6 +2065,67 @@ SELECT count(n_chars) AS n_docs_agg, min(n_chars) AS min_v,
        max(n_chars) AS max_v, CAST(sum(n_chars) AS BIGINT) AS sum_v,
        round(avg(n_chars), 4) AS avg_v
 FROM documents JOIN hits USING (doc_id)
+""",
+        # percentiles: exact linear interpolation (quantile_cont) of the
+        # OR-mode hit set's n_chars — the same interpolation rule Spark's
+        # exact percentile applies
+        "x8_agg_percentiles": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
+SELECT pct, round(value, 4) AS value FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({p} AS DOUBLE) AS pct, "
+      f"CAST(quantile_cont(n_chars, {p}) AS DOUBLE) AS value FROM v"
+      for p in PCTS
+  )}
+) ORDER BY pct
+""",
+        # range agg: from-inclusive / to-exclusive buckets, empty kept
+        "x8_agg_range": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+v AS (SELECT n_chars FROM documents JOIN hits USING (doc_id))
+SELECT '*-100' AS range_key,
+       (SELECT count(*) FROM v WHERE n_chars < 100) AS doc_count
+UNION ALL SELECT '100-400',
+       (SELECT count(*) FROM v WHERE n_chars >= 100 AND n_chars < 400)
+UNION ALL SELECT '400-*',
+       (SELECT count(*) FROM v WHERE n_chars >= 400)
+ORDER BY range_key
+""",
+        # filters agg: independent named predicate buckets over the hit set
+        "x8_agg_filters": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+d AS (SELECT * FROM documents JOIN hits USING (doc_id))
+SELECT 'english' AS filter_key,
+       (SELECT count(*) FROM d WHERE lang = 'en') AS doc_count
+UNION ALL SELECT 'long_docs', (SELECT count(*) FROM d WHERE n_chars >= 400)
+UNION ALL SELECT 'src0', (SELECT count(*) FROM d WHERE source = 'src0')
+ORDER BY filter_key
+""",
+        # function_score field_value_factor: unrounded BM25 sum times
+        # ln(1 + factor * n_chars), rounded once at the end (the engine
+        # multiplies before rounding too)
+        "x8_function_score": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+j AS (SELECT s.doc_id, s.score * ln(1 + {FS_FACTOR} * d.n_chars) AS fscore
+      FROM s JOIN documents d USING (doc_id))
+SELECT doc_id, round(fscore, 4) AS score FROM j
+ORDER BY round(fscore, 4) DESC, doc_id LIMIT {TOPK}
 """,
         "x9_delete_tombstones": _bm25_sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)"),
         # upsert: latest version per logical doc (url = doc_id % 100) wins

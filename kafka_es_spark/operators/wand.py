@@ -1734,6 +1734,210 @@ class Searcher:
         )
         return j.agg(agg.alias("value_count"))
 
+    def agg_percentiles(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        percents: list[float],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        exact: bool = True,
+        accuracy: int = 10000,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES percentiles-aggregation analogue: one ``(pct, value)`` row
+        per requested percentile of the matching docs' numeric ``field``,
+        ordered by pct. ``exact=True`` uses Spark's exact ``percentile``
+        (linear interpolation on the sorted values — the quantile_cont
+        contract, oracle-reproducible); ES's own agg is approximate by
+        design (t-digest), and the matching scale path here is
+        ``exact=False`` → ``percentile_approx`` (mergeable sketch,
+        constant memory per partition — the only shape that holds when
+        the hit set doesn't fit an aggregation buffer). Reference parity:
+        the reference delegates percentile aggs to ES's t-digest
+        (`reference/src/main/.../BulkAction.kt` index ops)."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        pcts = [float(p) for p in percents]
+        parr = F.array(*[F.lit(p) for p in pcts])
+        agg_fn = (
+            F.percentile(field, parr) if exact
+            else F.percentile_approx(field, parr, accuracy)
+        )
+        out = (
+            j.agg(agg_fn.alias("vals"))
+            .select(F.posexplode("vals").alias("pos", "value"))
+            .select(
+                F.element_at(parr, F.col("pos") + 1).alias("pct"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("value", F.round("value", round_to))
+        return out.orderBy("pct")
+
+    def agg_ranges(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES range-aggregation analogue: one ``(range_key, doc_count)``
+        row per requested range over the matching docs' numeric
+        ``field``. ES semantics: ``from`` inclusive, ``to`` exclusive,
+        open ends allowed (key rendered ``*-100``/``100-400``/``400-*``),
+        ranges may overlap (each bucket counts independently), and every
+        requested range appears even at doc_count 0. Plan: conditional
+        inner join of the hit set against the broadcast tiny ranges
+        relation (O(hits x n_ranges) predicate work, no extra shuffle
+        beyond the (n_ranges)-row aggregate), then a left join back from
+        the ranges relation to restore empty buckets."""
+
+        def _key(lo, hi):
+            f = lambda v: "*" if v is None else format(float(v), "g")
+            return f"{f(lo)}-{f(hi)}"
+
+        rdf = self.spark.createDataFrame(
+            [
+                (_key(lo, hi),
+                 None if lo is None else float(lo),
+                 None if hi is None else float(hi))
+                for lo, hi in ranges
+            ],
+            "range_key string, lo double, hi double",
+        )
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        cond = (
+            (F.col("lo").isNull() | (F.col(field) >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col(field) < F.col("hi")))
+        )
+        counts = (
+            j.join(F.broadcast(rdf), cond)
+            .groupBy("range_key")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return (
+            rdf.select("range_key")
+            .join(counts, "range_key", "left")
+            .select(
+                "range_key",
+                F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"),
+            )
+            .orderBy("range_key")
+        )
+
+    def agg_filters(
+        self,
+        query: str,
+        field_values: DataFrame,
+        filters: dict[str, str],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES filters-aggregation analogue: named predicate buckets over
+        the hit set — ``filters`` maps bucket name -> SQL predicate over
+        ``field_values`` columns; docs may land in several buckets.
+        Single-pass plan: one conditional-sum aggregate row (map-side
+        combine, no per-bucket scan), unpivoted to ``(filter_key,
+        doc_count)`` rows with ``stack``."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = hits.join(dm, "doc_id").join(field_values, "url")
+        names = sorted(filters)
+        aggs = [
+            F.sum(F.when(F.expr(filters[n]), 1).otherwise(0))
+            .cast("long").alias(f"_b{i}")
+            for i, n in enumerate(names)
+        ]
+        stack = ", ".join(f"'{n}', _b{i}" for i, n in enumerate(names))
+        return (
+            j.agg(*aggs)
+            .selectExpr(f"stack({len(names)}, {stack}) AS (filter_key, doc_count)")
+            .orderBy("filter_key")
+        )
+
+    def function_score_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "ln1p",
+        boost_mode: str = "multiply",
+        mode: str = "or",
+        fetch_k: int | None = None,
+        round_to: int | None = 4,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES function_score with a field_value_factor function: rescore
+        the query's BM25 hits by a function of a stored numeric field —
+        ``func = modifier(factor * field)`` with modifiers none / ln1p
+        (ln(1+x)) / log1p (log10(1+x)) / sqrt / square / reciprocal,
+        combined per ``boost_mode`` (multiply / sum / max / min /
+        replace). Docs missing the field drop out (inner join), matching
+        ES's missing-value error unless a `missing` default is supplied
+        upstream in ``field_values``. Plan: relational BM25 scores
+        (O(postings of the query terms)) joined through the docmap to
+        the field relation, one TakeOrdered k — never materializes
+        non-matching docs."""
+        mods = {
+            "none": lambda c: c,
+            "ln1p": lambda c: F.log(F.lit(1.0) + c),
+            "log1p": lambda c: F.log10(F.lit(1.0) + c),
+            "sqrt": F.sqrt,
+            "square": lambda c: c * c,
+            "reciprocal": lambda c: F.lit(1.0) / c,
+        }
+        if modifier not in mods:
+            raise ValueError(f"unknown field_value_factor modifier: {modifier!r}")
+        combines = {
+            "multiply": lambda s, f_: s * f_,
+            "sum": lambda s, f_: s + f_,
+            "max": lambda s, f_: F.greatest(s, f_),
+            "min": lambda s, f_: F.least(s, f_),
+            "replace": lambda s, f_: f_,
+        }
+        if boost_mode not in combines:
+            raise ValueError(f"unknown function_score boost_mode: {boost_mode!r}")
+        scores = self.relational_scores(query)
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = (
+            scores.join(dm, "doc_id")
+            .join(field_values.select("url", field), "url")
+        )
+        func = mods[modifier](F.lit(float(factor)) * F.col(field).cast("double"))
+        total = combines[boost_mode](F.col("score"), func)
+        out = (
+            j.select("doc_id", "url", total.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if not with_url:
+            out = out.drop("url")
+        return out
+
     def topk_many(
         self,
         queries: list[str],

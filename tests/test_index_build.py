@@ -593,6 +593,85 @@ def test_agg_histogram_and_stats(spark, index_dir, pages, doc_terms):
     )
 
 
+def test_agg_percentiles_ranges_filters_function_score(
+    spark, index_dir, pages, doc_terms
+):
+    """ES percentiles / range / filters aggregations and function_score
+    (field_value_factor) vs numpy/pandas recomputations over the hit set."""
+    import math
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    fv = pages.select(
+        "url", F.length("text").cast("long").alias("nbytes")
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    val_of = {r["doc_id"]: r["nbytes"] for r in dm.join(fv, "url").collect()}
+    vals = np.array(sorted(val_of[d] for d in or_hits), dtype=float)
+
+    s = Searcher(spark, index_dir, cache=False)
+
+    # percentiles: exact linear interpolation == numpy default
+    pcts = [0.25, 0.5, 0.9]
+    got = {
+        r["pct"]: r["value"]
+        for r in s.agg_percentiles(q, fv, "nbytes", pcts, round_to=None).collect()
+    }
+    for p in pcts:
+        assert got[p] == pytest.approx(np.quantile(vals, p), abs=1e-9)
+
+    # range agg: from-inclusive / to-exclusive, empty bucket kept
+    lo, hi = float(np.median(vals)), float(vals.max() + 1)
+    ranges = [(None, lo), (lo, hi), (hi, None)]
+    got_r = {
+        r["range_key"]: r["doc_count"]
+        for r in s.agg_ranges(q, fv, "nbytes", ranges).collect()
+    }
+    assert got_r[f"*-{lo:g}"] == int((vals < lo).sum())
+    assert got_r[f"{lo:g}-{hi:g}"] == int(((vals >= lo) & (vals < hi)).sum())
+    assert got_r[f"{hi:g}-*"] == 0  # empty bucket present
+
+    # filters agg: independent, overlapping predicate buckets
+    med = int(np.median(vals))
+    got_f = {
+        r["filter_key"]: r["doc_count"]
+        for r in s.agg_filters(
+            q, fv, {"short": f"nbytes < {med}", "all": "nbytes >= 0"}
+        ).collect()
+    }
+    assert got_f["short"] == int((vals < med).sum())
+    assert got_f["all"] == len(vals)
+
+    # function_score: BM25 * ln(1 + factor * field), top-10 rank + score
+    factor = 0.05
+    scores = dict(exhaustive_topk_numpy(doc_terms, qterms, k=10**6))
+    want = sorted(
+        (
+            (d, sc * math.log(1.0 + factor * val_of[d]))
+            for d, sc in scores.items()
+        ),
+        key=lambda e: (-e[1], e[0]),
+    )[:10]
+    got_fs = [
+        (r["doc_id"], r["score"])
+        for r in s.function_score_topk(
+            q, fv, "nbytes", k=10, factor=factor, modifier="ln1p",
+            boost_mode="multiply", round_to=None,
+        ).collect()
+    ]
+    assert [g[0] for g in got_fs] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got_fs, want):
+        assert gs == pytest.approx(ws, abs=1e-10)
+
+
 def test_sort_topk_and_cardinality(spark, index_dir, pages, doc_terms):
     """ES sort-by-field (doc-values sort, no scoring) and cardinality
     aggregation over the hit set match a pandas recomputation; the
