@@ -611,6 +611,23 @@ def _q_function_score(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+QS_QUERY = "+join value s* -dup"
+
+
+def _q_query_string(spark, sf_dir):
+    """ES query_string over the Lucene +/-/bare/prefix subset:
+    '+join value s* -dup' — doc must contain 'join', 'value' and the s*
+    dictionary expansions score as should clauses, docs containing 'dup'
+    are excluded; score = BM25 sum over every positive term matched."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).query_string_topk(
+        QS_QUERY, k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_json_convert(spark, sf_dir):
     """S2 — JSON deserialize at the ingestion edge (JsonConverter.kt:42-76):
     extract typed fields from the JSON value column."""
@@ -1192,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_range": _q_agg_range,
         "x8_agg_filters": _q_agg_filters,
         "x8_function_score": _q_function_score,
+        "x8_query_string": _q_query_string,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -1943,6 +1961,33 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
         "x8_dis_max": _mm_sql(
             f"greatest(cb, ct) + {DISMAX_TIE} * ((cb + ct) - greatest(cb, ct))"
         ),
+        # query_string '+join value s* -dup': BM25 sum over every
+        # positive term (join, value, alphabetic s* expansions); must
+        # contain join; docs containing dup excluded
+        "x8_query_string": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT DISTINCT term FROM toks),
+exp AS (SELECT term FROM dict WHERE term LIKE 's%' ORDER BY term LIMIT 50),
+pos AS (SELECT DISTINCT term FROM (
+  SELECT unnest(['join', 'value']) AS term UNION ALL SELECT term FROM exp
+)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN pos USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN pos USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+must AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'join'),
+ex AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'dup')
+SELECT s.doc_id, round(score, 4) AS score FROM s JOIN must USING (doc_id)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
         # term suggester: dictionary terms within 1 edit of each missing
         # input token, prefix-anchored, (dist, df desc, term) ranked
         "x8_suggest": f"""

@@ -567,6 +567,72 @@ def phrase_topk(
     )
 
 
+def phrase_match_ids(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    slop: int = 0,
+) -> DataFrame:
+    """Distinct doc ids whose text contains ``phrase`` (ordered slots, at
+    most ``slop`` shared gaps) — the filter-context phrase primitive that
+    query_string's quoted clauses compose on (must = left-semi join,
+    ``-"..."`` = left-anti join). Same slot-chain kernel as phrase_topk
+    minus scoring: positions relation only, pruned to the phrase terms'
+    buckets, per-doc-range chain, no range_dls read. Doc ranges are
+    disjoint, so per-range unique ids are globally unique — no distinct
+    shuffle needed. Pending tombstones excluded (X9 contract)."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+    from kafka_es_spark.operators.compaction import recover_swap_dirs
+    from kafka_es_spark.operators.deletes import read_tombstone_ids
+    from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
+
+    slots = tokenize_py(phrase)
+    if not slots:
+        return spark.createDataFrame([], "doc_id long")
+    recover_swap_dirs(index_dir)
+    excluded = read_tombstone_ids(spark, index_dir) or None
+    st = load_stats(index_dir)
+    pos_dir = os.path.join(index_dir, "positions")
+    if not os.path.isdir(pos_dir):
+        raise ValueError(
+            f"index at {index_dir} has no positions/ relation — phrase "
+            "clauses need the positional index; run "
+            "positions.build_position_index (batch) or append epochs with "
+            "with_positions=True (streaming)"
+        )
+    uniq = list(dict.fromkeys(slots))
+    rel = spark.read.parquet(pos_dir).filter(F.col("term").isin(uniq))
+    if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
+        from kafka_es_spark.operators.dedup import hash32_py
+
+        bs = sorted({hash32_py(t) % int(st["n_term_buckets"]) for t in uniq})
+        rel = rel.filter(F.col("bucket").isin(bs))
+    slop_i = int(slop)
+
+    def match_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
+        if len(pdf) == 0:
+            return empty
+        by_term: dict[str, list[dict]] = {}
+        for r in pdf.to_dict("records"):
+            by_term.setdefault(r["term"], []).append(r)
+        if any(t not in by_term for t in uniq):
+            return empty
+        keys = {t: _slot_keys(by_term[t]) for t in uniq}
+        cur = _chain_slots([keys[t] for t in slots], slop_i)
+        if cur.size == 0:
+            return empty
+        uids = np.unique(cur >> POS_BITS)
+        if excluded is not None:
+            dead = np.fromiter(excluded, dtype=np.int64, count=len(excluded))
+            uids = uids[~np.isin(uids, dead)]
+        return pd.DataFrame({"doc_id": uids})
+
+    return rel.groupBy("seg").applyInPandas(
+        lambda _key, pdf: match_range(pdf), "doc_id long"
+    )
+
+
 def phrase_prefix_topk(
     spark: SparkSession,
     index_dir: str,

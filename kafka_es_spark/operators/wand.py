@@ -1938,6 +1938,122 @@ class Searcher:
             out = out.drop("url")
         return out
 
+    def query_string_topk(
+        self,
+        qs: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        slop: int = 0,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """Lucene/ES ``query_string`` analogue over the documented subset
+        ``+clause`` (must) / ``-clause`` (must_not) / bare clause (should)
+        / ``"a b"`` quoted phrases / trailing-``*`` prefix clauses — no
+        field prefixes or parens (single analyzed field per index here;
+        multi-field routing is ``multi_match_topk``'s job).
+
+        Semantics follow Lucene's BooleanQuery: the score is the BM25 sum
+        over EVERY positive term the doc matches (must terms score too;
+        prefix clauses expand alphabetically capped at ``max_expansions``
+        and score as a scoring-boolean rewrite, exactly like
+        ``prefix_topk``); a doc qualifies iff it matches at least one
+        expansion of every must clause, every must phrase, no must_not
+        term, and no must_not phrase. Phrase clauses are filter-context
+        (``phrase_match_ids`` — they gate but don't score, the
+        constant-score ES filter shape) and need the positional relation.
+
+        Plan: one relational-BM25 aggregation over the positive terms'
+        postings, then left-semi / left-anti joins against the (small)
+        per-clause hit-id sets — each O(postings of that clause's terms),
+        no corpus scan anywhere."""
+        import re
+
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        must_groups: list[list[str]] = []   # each: doc must match >= 1
+        should_terms: list[str] = []
+        not_terms: list[str] = []
+        must_phrases: list[str] = []
+        not_phrases: list[str] = []
+        for sign, phrase, psign, word in re.findall(
+            r'([+-]?)"([^"]*)"|([+-]?)(\S+)', qs
+        ):
+            if phrase:
+                (not_phrases if sign == "-" else must_phrases).append(phrase)
+                continue
+            is_prefix = word.endswith("*") and len(word) > 1
+            toks = tokenize_py(word.rstrip("*"))
+            if not toks:
+                continue
+            if is_prefix:
+                rows = (
+                    self.term_stats.filter(F.col("term").startswith(toks[0]))
+                    .select("term").orderBy("term")
+                    .limit(int(max_expansions)).collect()
+                )
+                exp = [r["term"] for r in rows]
+                if psign == "-":
+                    not_terms.extend(exp)
+                elif psign == "+":
+                    must_groups.append(exp or ["\x00nomatch"])
+                else:
+                    should_terms.extend(exp)
+            else:
+                if psign == "-":
+                    not_terms.extend(toks)
+                elif psign == "+":
+                    for t in toks:
+                        must_groups.append([t])
+                else:
+                    should_terms.extend(toks)
+
+        positive = sorted(
+            set(should_terms) | {t for g in must_groups for t in g if t != "\x00nomatch"}
+        )
+        if not positive or any(g == ["\x00nomatch"] for g in must_groups):
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        out = self.relational_scores(" ".join(positive))
+        for g in must_groups:
+            out = out.join(
+                self.matching_doc_ids(" ".join(g), mode="or"),
+                "doc_id", "left_semi",
+            )
+        if not_terms:
+            out = out.join(
+                self.matching_doc_ids(" ".join(sorted(set(not_terms))), mode="or"),
+                "doc_id", "left_anti",
+            )
+        if must_phrases or not_phrases:
+            from kafka_es_spark.operators.positions import phrase_match_ids
+
+            for p in must_phrases:
+                out = out.join(
+                    phrase_match_ids(spark, self.index_dir, p, slop=slop),
+                    "doc_id", "left_semi",
+                )
+            for p in not_phrases:
+                out = out.join(
+                    phrase_match_ids(spark, self.index_dir, p, slop=slop),
+                    "doc_id", "left_anti",
+                )
+        out = (
+            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if with_url:
+            dm = spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "url")
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
+
     def topk_many(
         self,
         queries: list[str],

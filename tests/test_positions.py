@@ -94,6 +94,53 @@ def brute_phrase_topk(doc_terms, slots, k):
     return out[:k]
 
 
+def test_query_string_full_subset_vs_brute(spark, pages, pidx):
+    """query_string '+data ind* -the "data index"': must / prefix
+    expansion / must_not / quoted-phrase filter all compose; score =
+    BM25 sum over every positive term matched, vs a brute recomputation."""
+    from kafka_es_spark.operators.wand import Searcher, exhaustive_topk_numpy
+
+    doc_terms = prepare_docs(pages).select("doc_id", "terms").toPandas()
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    expansions = [t for t in vocab if t.startswith("ind")][:50]
+    positive = sorted({"data", *expansions})
+    scores = dict(exhaustive_topk_numpy(doc_terms, positive, k=10**6))
+
+    def qualifies(ts):
+        ts = list(ts)
+        if "data" not in ts or "the" in ts:
+            return False
+        return any(
+            ts[i:i + 2] == ["data", "index"] for i in range(len(ts) - 1)
+        )
+
+    ok = {
+        int(d) for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if qualifies(ts)
+    }
+    want = sorted(
+        ((d, s) for d, s in scores.items() if d in ok),
+        key=lambda e: (-e[1], e[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in Searcher(spark, pidx, cache=False).query_string_topk(
+            '+data ind* -the "data index"', k=10, round_to=None
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-10)
+
+    # a must prefix clause with zero dictionary expansions matches nothing
+    assert (
+        Searcher(spark, pidx, cache=False)
+        .query_string_topk("+zzzz* data", k=10)
+        .count()
+        == 0
+    )
+
+
 @pytest.mark.parametrize(
     "phrase", ["data index", "the index", "index the data", "zzz qqq"]
 )
