@@ -611,6 +611,41 @@ def _q_function_score(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+COMP_AFTER = ("de", "src1")
+
+
+def _q_agg_composite(spark, sf_dir):
+    """ES composite aggregation: all (lang, source) combos of the
+    OR-mode hit set in ascending key order, one page of 10 buckets
+    resuming strictly after the ('de','src1') cursor — the stateless
+    pagination pattern for walking a high-cardinality bucket space."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_composite(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir),
+        ["lang", "source"], size=10, after=COMP_AFTER,
+    )
+
+
+RESCORE_QUERY, RESCORE_WEIGHT, RESCORE_WINDOW = "batch merge", 2.0, 50
+
+
+def _q_rescore(spark, sf_dir):
+    """ES rescore API: top-50 window of the base match re-ranked by
+    base + 2x the rescore query's BM25 (window docs the rescore query
+    misses keep their base score)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).rescore_topk(
+        " ".join(QUERY_TERMS), RESCORE_QUERY, k=TOPK,
+        window=RESCORE_WINDOW, rescore_weight=RESCORE_WEIGHT,
+        fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 QS_QUERY = "+join value s* -dup"
 
 
@@ -1210,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_filters": _q_agg_filters,
         "x8_function_score": _q_function_score,
         "x8_query_string": _q_query_string,
+        "x8_agg_composite": _q_agg_composite,
+        "x8_rescore": _q_rescore,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -1961,6 +1998,52 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
         "x8_dis_max": _mm_sql(
             f"greatest(cb, ct) + {DISMAX_TIE} * ((cb + ct) - greatest(cb, ct))"
         ),
+        # composite agg: ascending (lang, source) keys strictly after
+        # the cursor tuple, one page
+        "x8_agg_composite": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (SELECT lang, source, count(*) AS doc_count
+      FROM documents JOIN hits USING (doc_id) GROUP BY 1, 2)
+SELECT lang, source, doc_count FROM g
+WHERE (lang > '{COMP_AFTER[0]}')
+   OR (lang = '{COMP_AFTER[0]}' AND source > '{COMP_AFTER[1]}')
+ORDER BY lang, source LIMIT 10
+""",
+        # rescore: top-50 base window (rounded-score boundary), blended
+        # with 2x the secondary query's BM25 (0 where it doesn't match)
+        "x8_rescore": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+w AS (SELECT doc_id, score FROM s
+      ORDER BY round(score, 4) DESC, doc_id LIMIT {RESCORE_WINDOW}),
+qt2 AS (SELECT unnest([{", ".join(f"'{t}'" for t in RESCORE_QUERY.split())}]) AS term),
+tf2 AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt2 USING (term) GROUP BY 1, 2),
+dfreq2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt2 USING (term) GROUP BY 1),
+s2 AS (
+  SELECT tf2.doc_id,
+         sum(ln(1 + (stats.n - dfreq2.df + 0.5) / (dfreq2.df + 0.5))
+             * tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf2 JOIN dfreq2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT w.doc_id,
+       round(1.0 * w.score + {RESCORE_WEIGHT} * coalesce(s2.score, 0), 4) AS score
+FROM w LEFT JOIN s2 USING (doc_id)
+ORDER BY round(1.0 * w.score + {RESCORE_WEIGHT} * coalesce(s2.score, 0), 4) DESC, doc_id
+LIMIT {TOPK}
+""",
         # query_string '+join value s* -dup': BM25 sum over every
         # positive term (join, value, alphabetic s* expansions); must
         # contain join; docs containing dup excluded

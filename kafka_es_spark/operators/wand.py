@@ -1938,6 +1938,107 @@ class Searcher:
             out = out.drop("url")
         return out
 
+    def agg_composite(
+        self,
+        query: str,
+        field_values: DataFrame,
+        sources: list[str],
+        size: int = 10,
+        after: tuple | None = None,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES composite-aggregation analogue: paginate through ALL
+        distinct value combinations of ``sources`` (bucket key tuple,
+        ascending) over the hit set, ``size`` buckets per page, resuming
+        strictly after the ``after`` key tuple — the ES pattern for
+        exhaustively walking a high-cardinality bucket space without one
+        giant terms response. Stateless-cursor shape (like
+        search_after): each page is an independent job, the after-tuple
+        predicate pushes into the aggregate, and the per-page result is
+        size rows — so walking 10^9 buckets never materializes them in
+        one response."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = hits.join(dm, "doc_id").join(field_values, "url")
+        g = j.groupBy(*sources).agg(F.count("*").alias("doc_count"))
+        if after is not None:
+            if len(after) != len(sources):
+                raise ValueError(
+                    f"after key arity {len(after)} != sources arity {len(sources)}"
+                )
+            # strict tuple > after: (a > A) OR (a = A AND b > B) OR ...
+            cond = F.lit(False)
+            eq = F.lit(True)
+            for col, val in zip(sources, after):
+                cond = cond | (eq & (F.col(col) > F.lit(val)))
+                eq = eq & (F.col(col) == F.lit(val))
+            g = g.filter(cond)
+        return g.orderBy(*[F.col(c).asc() for c in sources]).limit(int(size))
+
+    def rescore_topk(
+        self,
+        query: str,
+        rescore_query: str,
+        k: int = 10,
+        window: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES rescore API analogue: take the top ``window`` docs of the
+        base query (by rounded serving score — the deterministic window
+        boundary both engine and oracle agree on), re-score them as
+        ``query_weight * base + rescore_weight * secondary`` where the
+        secondary score is the rescore query's BM25 (0 for window docs
+        it doesn't match — ES's rescore-window semantics), and return
+        the top ``k`` of the window (requires k <= window, as in ES
+        where hits below the window keep their base order). The classic
+        use is a cheap broad match re-ranked by an expensive secondary
+        query evaluated on only ``window`` docs. Plan: two
+        relational-score sets (each O(postings of its terms)), window =
+        one TakeOrdered, blend = one broadcast-sized left join."""
+        if k > window:
+            raise ValueError(f"k={k} must be <= window={window}")
+        base = self.relational_scores(query)
+        win = (
+            base.withColumn("r", F.round("score", 4))
+            .orderBy(F.col("r").desc(), F.col("doc_id").asc())
+            .limit(int(window))
+            .select("doc_id", F.col("score").alias("base_score"))
+        )
+        sec = self.relational_scores(rescore_query).select(
+            "doc_id", F.col("score").alias("sec_score")
+        )
+        total = (
+            F.lit(float(query_weight)) * F.col("base_score")
+            + F.lit(float(rescore_weight)) * F.coalesce(F.col("sec_score"), F.lit(0.0))
+        )
+        out = (
+            win.join(sec, "doc_id", "left")
+            .select("doc_id", total.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if with_url:
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "url")
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
+
     def query_string_topk(
         self,
         qs: str,

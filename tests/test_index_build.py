@@ -672,6 +672,75 @@ def test_agg_percentiles_ranges_filters_function_score(
         assert gs == pytest.approx(ws, abs=1e-10)
 
 
+def test_agg_composite_and_rescore(spark, index_dir, pages, doc_terms):
+    """ES composite aggregation (after-key pagination walks every bucket
+    exactly once) and rescore (windowed score blend) vs brute
+    recomputations."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    # bucket key: text length mod a few buckets, as two string-ish sources
+    fv = pages.select(
+        "url",
+        (F.length("text") % 3).cast("string").alias("ka"),
+        (F.length("text") % 5).cast("long").alias("kb"),
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    key_of = {
+        r["doc_id"]: (r["ka"], r["kb"])
+        for r in dm.join(fv, "url").collect()
+    }
+    want: dict[tuple, int] = {}
+    for d in or_hits:
+        want[key_of[d]] = want.get(key_of[d], 0) + 1
+    all_keys = sorted(want)
+
+    s = Searcher(spark, index_dir, cache=False)
+    # walk pages of 4 via after-cursors; union must equal the full space
+    seen = []
+    after = None
+    while True:
+        page = s.agg_composite(
+            q, fv, ["ka", "kb"], size=4, after=after
+        ).collect()
+        if not page:
+            break
+        seen.extend(((r["ka"], r["kb"]), r["doc_count"]) for r in page)
+        after = (page[-1]["ka"], page[-1]["kb"])
+    assert [k for k, _ in seen] == all_keys  # every bucket once, in order
+    assert dict(seen) == want
+
+    # rescore: window by rounded base score, blend base + 2*secondary
+    base = dict(exhaustive_topk_numpy(doc_terms, ["data"], k=10**6))
+    sec = dict(exhaustive_topk_numpy(doc_terms, ["index", "search"], k=10**6))
+    window = sorted(
+        base.items(), key=lambda e: (-round(e[1], 4), e[0])
+    )[:20]
+    blended = sorted(
+        ((d, b + 2.0 * sec.get(d, 0.0)) for d, b in window),
+        key=lambda e: (-e[1], e[0]),
+    )[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.rescore_topk(
+            "data", "index search", k=10, window=20,
+            rescore_weight=2.0, round_to=None,
+        ).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in blended]
+    for (gd, gs), (wd, ws) in zip(got, blended):
+        assert gs == pytest.approx(ws, abs=1e-10)
+    with pytest.raises(ValueError, match="must be <="):
+        s.rescore_topk("data", "index", k=30, window=20)
+
+
 def test_sort_topk_and_cardinality(spark, index_dir, pages, doc_terms):
     """ES sort-by-field (doc-values sort, no scoring) and cardinality
     aggregation over the hit set match a pandas recomputation; the
