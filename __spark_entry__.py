@@ -837,6 +837,18 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+PD_WINDOW = 20
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style passage dedup: 20-token chunks hashed corpus-wide;
+    every copy of a chunk appearing in >=2 distinct docs is dropped and
+    the doc's surviving chunks rejoin in order."""
+    from kafka_es_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), window=PD_WINDOW)
+
+
 def _q_jaccard_pairs(spark, sf_dir):
     """N-gram (w=3 shingle) Jaccard near-dup pairs, threshold 0.5, via the
     EXACT prefix-filter set-similarity join (AllPairs/PPJoin): candidates =
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd4_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "dd5_simhash": _q_simhash,
         "dd7_dedup_components": _q_dedup_components,
+        "dd8_paragraph_dedup": _q_paragraph_dedup,
         "dd6_embed_near_pairs": _q_embed_near_pairs,
         "sim1_cosine_topk": _q_cosine_topk,
         "sim2_lsh_ann_topk": _q_lsh_ann_topk,
@@ -2319,6 +2332,27 @@ FROM h
         "dd4_minhash_lsh_pairs": _LSH_PAIRS_SQL,
         "dd5_simhash": _SIMHASH_SQL,
         "dd7_dedup_components": _COMPONENTS_SQL,
+        # passage dedup: 20-token chunks, md5-hash32 keys, drop every
+        # copy of any chunk present in >=2 distinct docs
+        "dd8_paragraph_dedup": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id,
+             unnest(range(CAST(ceil(len(toks) / {PD_WINDOW}.0) AS BIGINT))) AS i,
+             toks
+      FROM t),
+k AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(toks[i*{PD_WINDOW}+1 : i*{PD_WINDOW}+{PD_WINDOW}], ' ') AS chunk
+      FROM c),
+h AS (SELECT doc_id, pos, chunk, {_h32_sql("chunk")} AS ck FROM k),
+d AS (SELECT ck FROM h GROUP BY ck HAVING count(DISTINCT doc_id) >= 2),
+m AS (SELECT h.*, (d.ck IS NOT NULL) AS dup FROM h LEFT JOIN d USING (ck))
+SELECT doc_id,
+       count(chunk) AS n_chunks,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       coalesce(string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM m GROUP BY doc_id ORDER BY doc_id
+""",
         "dd6_embed_near_pairs": _EMB_PAIRS_SQL,
         "sim1_cosine_topk": _COSINE_TOPK_SQL,
         "ev1_sessionize": """

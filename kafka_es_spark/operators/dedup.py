@@ -64,6 +64,82 @@ def dedup_exact_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    window: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level dedup (the CCNet/RefinedWeb paragraph-dedup shape):
+    segment every doc into fixed ``window``-token chunks (the corpus is
+    a flat token stream — with real newline-delimited text the chunker
+    would split on paragraphs instead, same plan), hash each chunk with
+    the portable md5 hash32, and DROP every copy of any chunk whose
+    hash occurs in >= ``min_docs`` distinct docs (CCNet removes all
+    copies of a duplicated paragraph; boilerplate headers/footers
+    vanish corpus-wide). Returns one row per doc: (doc_id, n_chunks,
+    n_dup_chunks, clean_text) with surviving chunks rejoined in
+    position order.
+
+    Scale: all Column ops (no UDF). One chunk-hash aggregation shuffle
+    (map-side combine, #distinct-chunk rows) and one hash-keyed join
+    back — a head boilerplate chunk concentrates only its COUNT row,
+    never its copies; the join fans copies back out across their doc
+    partitions. O(tokens) rows end to end, no pairwise anything."""
+    w = int(window)
+    toks = tokens(F.col(text_col))
+    nchunks = F.ceil(F.size("_toks") / F.lit(w)).cast("int")
+    chunked = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("_toks") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i * w + 1, w), " "
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")).alias("chunks"),
+        )
+        .select("doc_id", F.posexplode_outer("chunks").alias("pos", "chunk"))
+    )
+    keyed = chunked.withColumn("ck", hash32(F.col("chunk")))
+    counts = keyed.groupBy("ck").agg(
+        F.countDistinct("doc_id").alias("_ndocs")
+    )
+    # left join: an empty doc's single NULL chunk row has a NULL hash
+    # (no equi-join partner) and must survive to its output row
+    marked = keyed.join(counts, "ck", "left").withColumn(
+        "dup", F.coalesce(F.col("_ndocs"), F.lit(0)) >= int(min_docs)
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("chunk").alias("n_chunks"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long")
+            .alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("dup"),
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- shingles ----------------------------------------------------------------
 
 def shingles(docs: DataFrame, w: int = 3, id_col: str = "doc_id",

@@ -72,6 +72,36 @@ def test_dedup_exact(spark, dup_docs):
     assert kept == [0, 2, 3, 4, 5]
 
 
+def test_paragraph_dedup_planted_boilerplate(spark):
+    """Passage dedup drops every copy of a chunk shared across docs,
+    keeps unique chunks in order, and survives empty docs."""
+    from kafka_es_spark.operators.dedup import paragraph_dedup
+
+    w = 4
+    # 4-token chunks: docs 0 and 1 share the boilerplate footer chunk
+    rows = [
+        (0, "alpha beta gamma delta all rights reserved footer"),
+        (1, "one two three four all rights reserved footer"),
+        (2, "unique text only here nothing shared at all"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["clean_text"])
+        for r in paragraph_dedup(docs, window=w).collect()
+    }
+    assert out[0] == (2, 1, "alpha beta gamma delta")
+    assert out[1] == (2, 1, "one two three four")
+    assert out[2] == (2, 0, "unique text only here nothing shared at all")
+    assert out[3] == (0, 0, "")
+    # min_docs above the copy count keeps everything
+    keep_all = {
+        r["doc_id"]: r["n_dup_chunks"]
+        for r in paragraph_dedup(docs, window=w, min_docs=3).collect()
+    }
+    assert all(v == 0 for v in keep_all.values())
+
+
 def test_shingles_and_jaccard(spark, dup_docs):
     sh = shingles(dup_docs, w=3)
     s0 = {r["shingle"] for r in sh.filter(F.col("doc_id") == 0).collect()}
