@@ -611,6 +611,43 @@ def _q_function_score(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+def _q_terms_avg(spark, sf_dir):
+    """ES terms aggregation with metric sub-aggregations: per-lang
+    buckets of the OR-mode hit set each carrying avg/sum/min/max of
+    n_chars — the canonical nested-agg request, one partial-agg pass."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).terms_metric_agg(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir),
+        "lang", "n_chars", size=10,
+    )
+
+
+def _q_index_stats(spark, sf_dir):
+    """ES _stats analogue from the index relations alone — the
+    index-integrity probe: doc/term/posting/token counts and avgdl must
+    equal a recomputation from the raw corpus."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).index_stats()
+
+
+ANALYZE_TEXT = "The QUICK-Brown fox, 42 jumps; über die FAST Lane!"
+
+
+def _q_analyze(spark, sf_dir):
+    """ES _analyze API: the analyzer's (position, token) breakdown of a
+    literal input — the same Column tokenizer the index build runs."""
+    from kafka_es_spark.functions.tokenize import tokens
+
+    df = spark.createDataFrame([(ANALYZE_TEXT,)], "text string")
+    return df.select(
+        F.posexplode(tokens("text")).alias("position", "token")
+    ).select(F.col("position").cast("long").alias("position"), "token")
+
+
 COMP_AFTER = ("de", "src1")
 
 
@@ -1259,6 +1296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_query_string": _q_query_string,
         "x8_agg_composite": _q_agg_composite,
         "x8_rescore": _q_rescore,
+        "x8_terms_avg": _q_terms_avg,
+        "x6_index_stats": _q_index_stats,
+        "x2_analyze": _q_analyze,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -2011,6 +2051,35 @@ WHERE tf.doc_id IN ({", ".join(str(d) for d in EXPLAIN_DOCS)})
         "x8_dis_max": _mm_sql(
             f"greatest(cb, ct) + {DISMAX_TIE} * ((cb + ct) - greatest(cb, ct))"
         ),
+        # terms buckets with avg/sum/min/max metric sub-aggs
+        "x8_terms_avg": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT lang, count(*) AS doc_count, round(avg(n_chars), 4) AS avg_v,
+       CAST(sum(n_chars) AS BIGINT) AS sum_v,
+       min(n_chars) AS min_v, max(n_chars) AS max_v
+FROM documents JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        # index _stats: every figure recomputed from the raw corpus —
+        # a mismatch means the index lost or duplicated postings
+        "x6_index_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       CAST(0 AS BIGINT) AS n_deleted,
+       (SELECT count(DISTINCT term) FROM toks) AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, term FROM toks)) AS n_postings,
+       (SELECT count(*) FROM toks) AS sum_tf,
+       (SELECT round(avg(dl), 4) FROM dl) AS avgdl
+""",
+        # _analyze: the DuckDB tokenizer mirror over the same literal
+        "x2_analyze": f"""
+WITH l AS (SELECT {duckdb_tokens_sql(f"'{ANALYZE_TEXT}'")} AS toks)
+SELECT CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS position,
+       unnest(toks) AS token
+FROM l
+""",
         # composite agg: ascending (lang, source) keys strictly after
         # the cursor tuple, one page
         "x8_agg_composite": f"""

@@ -1015,6 +1015,79 @@ class Searcher:
             .limit(int(size))
         )
 
+    def terms_metric_agg(
+        self,
+        query: str,
+        field_values: DataFrame,
+        bucket_field: str,
+        metric_field: str,
+        size: int = 10,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES terms aggregation with metric SUB-aggregations — the
+        canonical nested-agg request (``terms`` buckets each carrying
+        ``avg``/``sum``/``min``/``max`` of a second field). Same plan as
+        facet_terms (hit set → docmap → field join → tiny aggregate);
+        the metrics ride the same partial aggregation, so the nested
+        request costs exactly one more column per metric, not a second
+        pass."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = hits.join(dm, "doc_id").join(
+            field_values.select("url", bucket_field, metric_field), "url"
+        )
+        return (
+            j.groupBy(bucket_field)
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.round(F.avg(metric_field), 4).alias("avg_v"),
+                F.sum(metric_field).cast("long").alias("sum_v"),
+                F.min(metric_field).alias("min_v"),
+                F.max(metric_field).alias("max_v"),
+            )
+            .orderBy(F.col("doc_count").desc(), F.col(bucket_field).asc())
+            .limit(int(size))
+        )
+
+    def index_stats(self) -> DataFrame:
+        """ES ``_stats`` analogue computed from the index relations
+        alone: one row (n_docs, n_deleted, n_terms, n_postings, sum_tf,
+        avgdl). n_docs/avgdl come from the manifest corpus stats,
+        n_deleted from pending tombstones, n_terms from the term
+        dictionary, n_postings/sum_tf from a full decode of the posting
+        segments (one pass over the index — the same cost class as ES
+        force-merge accounting; never run per query). Everything except
+        byte sizes is relationally checkable against the raw corpus,
+        which makes this the index-integrity probe: a mismatch vs the
+        corpus-side oracle means the index lost or duplicated
+        postings."""
+        from kafka_es_spark.operators.deletes import read_tombstone_ids
+
+        spark = self.spark
+        n_deleted = len(read_tombstone_ids(spark, self.index_dir) or ())
+        n_terms = self.term_stats.select("term").distinct().count()
+        segs = spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        p = self._postings_rows(segs).agg(
+            F.count("*").alias("n_postings"),
+            F.sum("tf").alias("sum_tf"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(
+                int(self.n_docs), int(n_deleted), int(n_terms),
+                int(p["n_postings"]), int(p["sum_tf"]),
+                float(round(self.avgdl, 4)),
+            )],
+            "n_docs long, n_deleted long, n_terms long, n_postings long, "
+            "sum_tf long, avgdl double",
+        )
+
     def _hit_fields(
         self, query: str, field_values: DataFrame, field: str,
         mode: str = "or", min_should_match: int | None = None,

@@ -672,6 +672,57 @@ def test_agg_percentiles_ranges_filters_function_score(
         assert gs == pytest.approx(ws, abs=1e-10)
 
 
+def test_terms_metric_agg_and_index_stats(spark, index_dir, pages, doc_terms):
+    """Terms buckets with metric sub-aggs vs pandas; index _stats vs a
+    corpus recomputation (the integrity probe)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    fv = pages.select(
+        "url",
+        (F.length("text") % 3).cast("string").alias("grp"),
+        F.length("text").cast("long").alias("nbytes"),
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    info = {
+        r["doc_id"]: (r["grp"], r["nbytes"])
+        for r in dm.join(fv, "url").collect()
+    }
+    by_grp: dict[str, list[int]] = {}
+    for d in or_hits:
+        g, v = info[d]
+        by_grp.setdefault(g, []).append(v)
+    want = {
+        g: (len(vs), round(sum(vs) / len(vs), 4), sum(vs), min(vs), max(vs))
+        for g, vs in by_grp.items()
+    }
+    s = Searcher(spark, index_dir, cache=False)
+    got = {
+        r["grp"]: (r["doc_count"], r["avg_v"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in s.terms_metric_agg(q, fv, "grp", "nbytes", size=10).collect()
+    }
+    assert got == want
+
+    row = s.index_stats().collect()[0]
+    n_postings = sum(len(set(ts)) for ts in doc_terms["terms"])
+    sum_tf = int(sum(len(ts) for ts in doc_terms["terms"]))
+    assert row["n_docs"] == len(doc_terms)
+    assert row["n_deleted"] == 0
+    assert row["n_terms"] == len({t for ts in doc_terms["terms"] for t in ts})
+    assert row["n_postings"] == n_postings
+    assert row["sum_tf"] == sum_tf
+    assert row["avgdl"] == pytest.approx(
+        round(sum_tf / len(doc_terms), 4), abs=1e-9
+    )
+
+
 def test_agg_composite_and_rescore(spark, index_dir, pages, doc_terms):
     """ES composite aggregation (after-key pagination walks every bucket
     exactly once) and rescore (windowed score blend) vs brute
