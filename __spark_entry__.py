@@ -648,6 +648,145 @@ def _q_analyze(spark, sf_dir):
     ).select(F.col("position").cast("long").alias("position"), "token")
 
 
+def _q_agg_extended_stats(spark, sf_dir):
+    """ES extended_stats aggregation: the stats row plus sum_of_squares /
+    population variance / std_deviation of n_chars over the OR-mode hit
+    set — moments accumulate as exact int64, derived doubles share one
+    expression shape with the oracle."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_extended_stats(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+    )
+
+
+def _q_agg_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: n_chars weighted by token count over
+    the OR-mode hit set — both sums exact int64, one portable division."""
+    from kafka_es_spark.functions.tokenize import tokens
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("n_chars"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return Searcher(spark, idx, cache=False).agg_weighted_avg(
+        " ".join(QUERY_TERMS), fv, "n_chars", "n_tokens",
+    )
+
+
+VC_NULL_SOURCE = "src1"
+
+
+def _q_agg_value_count(spark, sf_dir):
+    """ES value_count + missing aggregations: non-null vs null field
+    values across the hit set (field = source with one value nulled —
+    the sparse-field shape the missing agg exists for)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.nullif(F.col("source"), F.lit(VC_NULL_SOURCE)).alias("sparse_src"),
+    )
+    return Searcher(spark, idx, cache=False).agg_value_count(
+        " ".join(QUERY_TERMS), fv, "sparse_src",
+    )
+
+
+def _q_collapse(spark, sf_dir):
+    """ES field collapsing (collapse: {field: lang}): best-scoring doc
+    per lang with the group's hit count, ranked on the rounded serving
+    score."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "lang",
+        F.col("doc_id").alias("corpus_id"),
+    )
+    return Searcher(spark, idx, cache=False).collapse_topk(
+        " ".join(QUERY_TERMS), fv, "lang", k=TOPK, ext_id_col="corpus_id",
+    )
+
+
+BOOSTING_NEG, BOOSTING_NB = "data", 0.3
+
+
+def _q_boosting(spark, sf_dir):
+    """ES boosting query: positive BM25 scores, docs matching the
+    negative query demoted by x0.3 (kept, not excluded — the contrast
+    with must_not)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).boosting_topk(
+        " ".join(QUERY_TERMS), BOOSTING_NEG,
+        negative_boost=BOOSTING_NB, k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+REGEXP_PAT = "jo.n|qu.+y"
+
+
+def _q_regexp(spark, sf_dir):
+    """ES regexp query: anchored dictionary-scan expansion (alphabetic,
+    capped) scored as a BM25 OR — the multi-term rewrite prefix/fuzzy/
+    wildcard share, over an RE2-compatible pattern."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).regexp_topk(
+        REGEXP_PAT, k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+DATE_RANGE_BOUNDS = ["2024-01-08 00:00:00", "2024-01-20 00:00:00"]
+
+
+def _q_date_range(spark, sf_dir):
+    """ES date_range aggregation over the events stream: from-inclusive /
+    to-exclusive calendar buckets with open ends, every requested range
+    present even when empty."""
+    from kafka_es_spark.operators.sessions import date_range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_range_agg(ev, DATE_RANGE_BOUNDS)
+
+
+def _q_pipeline_aggs(spark, sf_dir):
+    """ES pipeline aggregations (cumulative_sum / derivative / moving_fn
+    avg) over a daily date_histogram of events — window functions on the
+    #buckets-row histogram, the reduce-phase placement ES uses."""
+    from kafka_es_spark.operators.sessions import histogram_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram_pipeline(ev, unit="day", moving_window=3)
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    """The dedup capstone: the deduplicated corpus — connected components
+    over exact Jaccard near-dup pairs, keep the min-doc_id representative
+    per group plus every singleton; one anti join, no corpus window."""
+    from kafka_es_spark.operators.dedup import (
+        connected_components, dedup_survivors, jaccard_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(d, min_jaccard=0.5, w=3)
+    comps = connected_components(pairs)
+    return dedup_survivors(d, comps)
+
+
 COMP_AFTER = ("de", "src1")
 
 
@@ -1299,6 +1438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_terms_avg": _q_terms_avg,
         "x6_index_stats": _q_index_stats,
         "x2_analyze": _q_analyze,
+        "x8_agg_extended_stats": _q_agg_extended_stats,
+        "x8_agg_weighted_avg": _q_agg_weighted_avg,
+        "x8_agg_value_count": _q_agg_value_count,
+        "x8_collapse": _q_collapse,
+        "x8_boosting": _q_boosting,
+        "x8_regexp": _q_regexp,
+        "ev4_date_range": _q_date_range,
+        "ev5_pipeline_aggs": _q_pipeline_aggs,
+        "dd8_dedup_survivors": _q_dedup_survivors,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -2060,6 +2208,172 @@ SELECT lang, count(*) AS doc_count, round(avg(n_chars), 4) AS avg_v,
        min(n_chars) AS min_v, max(n_chars) AS max_v
 FROM documents JOIN hits USING (doc_id)
 GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        # extended_stats: exact int64 moments; derived doubles share the
+        # engine's expression shape (sq/n - (s/n)*(s/n)) before round(4)
+        "x8_agg_extended_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+a AS (
+  SELECT count(n_chars) AS n_docs_agg, min(n_chars) AS min_v,
+         max(n_chars) AS max_v, CAST(sum(n_chars) AS BIGINT) AS sum_v,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_sq
+  FROM documents JOIN hits USING (doc_id)
+)
+SELECT n_docs_agg, min_v, max_v, sum_v, sum_sq,
+       round(CAST(sum_v AS DOUBLE) / n_docs_agg, 4) AS avg_v,
+       round(CAST(sum_sq AS DOUBLE) / n_docs_agg
+             - (CAST(sum_v AS DOUBLE) / n_docs_agg)
+               * (CAST(sum_v AS DOUBLE) / n_docs_agg), 4) AS variance,
+       round(sqrt(CAST(sum_sq AS DOUBLE) / n_docs_agg
+             - (CAST(sum_v AS DOUBLE) / n_docs_agg)
+               * (CAST(sum_v AS DOUBLE) / n_docs_agg)), 4) AS std_dev
+FROM a
+""",
+        # weighted_avg: n_chars weighted by token count, both sums int64
+        "x8_agg_weighted_avg": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+a AS (
+  SELECT CAST(sum(n_chars * len({_TOKS})) AS BIGINT) AS sum_vw,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS sum_w
+  FROM documents JOIN hits USING (doc_id)
+)
+SELECT sum_w, round(CAST(sum_vw AS DOUBLE) / sum_w, 4) AS weighted_avg FROM a
+""",
+        # value_count + missing over a sparse field (one source nulled)
+        "x8_agg_value_count": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT count(nullif(source, '{VC_NULL_SOURCE}')) AS value_count,
+       count(*) - count(nullif(source, '{VC_NULL_SOURCE}')) AS missing_count
+FROM documents JOIN hits USING (doc_id)
+""",
+        # collapse: best rounded-score doc per lang + group hit count
+        "x8_collapse": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+sc AS (SELECT doc_id, round(score, 4) AS score FROM s),
+j AS (SELECT sc.doc_id, sc.score, d.lang FROM sc JOIN documents d USING (doc_id)),
+r AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS group_hits
+  FROM j
+)
+SELECT lang, doc_id, score, CAST(group_hits AS BIGINT) AS group_hits
+FROM r WHERE rnk = 1 ORDER BY score DESC, doc_id LIMIT {TOPK}
+""",
+        # boosting: positive scores, negative-matching docs demoted x0.3
+        "x8_boosting": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{BOOSTING_NEG}')
+SELECT s.doc_id,
+       round(s.score * (CASE WHEN neg.doc_id IS NOT NULL
+                             THEN {BOOSTING_NB} ELSE 1.0 END), 4) AS score
+FROM s LEFT JOIN neg ON s.doc_id = neg.doc_id
+ORDER BY score DESC, s.doc_id LIMIT {TOPK}
+""",
+        # regexp: anchored dictionary expansion, BM25 OR over the matches
+        "x8_regexp": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT term FROM (SELECT DISTINCT term FROM toks) "
+                f"WHERE regexp_matches(term, '^(?:{REGEXP_PAT})$') "
+                "ORDER BY term LIMIT 50"
+            ),
+        ),
+        # date_range: from-incl / to-excl calendar buckets, open ends
+        "ev4_date_range": f"""
+WITH a AS (
+  SELECT
+    CAST(sum(CASE WHEN ts < TIMESTAMP '{DATE_RANGE_BOUNDS[0]}'
+             THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+    CAST(sum(CASE WHEN ts >= TIMESTAMP '{DATE_RANGE_BOUNDS[0]}'
+                  AND ts < TIMESTAMP '{DATE_RANGE_BOUNDS[1]}'
+             THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+    CAST(sum(CASE WHEN ts >= TIMESTAMP '{DATE_RANGE_BOUNDS[1]}'
+             THEN 1 ELSE 0 END) AS BIGINT) AS b2
+  FROM events
+)
+SELECT '*-{DATE_RANGE_BOUNDS[0]}' AS range_key, b0 AS doc_count FROM a
+UNION ALL
+SELECT '{DATE_RANGE_BOUNDS[0]}-{DATE_RANGE_BOUNDS[1]}', b1 FROM a
+UNION ALL
+SELECT '{DATE_RANGE_BOUNDS[1]}-*', b2 FROM a
+ORDER BY range_key
+""",
+        # pipeline aggs: window functions over the daily histogram
+        "ev5_pipeline_aggs": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count,
+       CAST(sum(doc_count) OVER
+            (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_sum,
+       doc_count - lag(doc_count) OVER (ORDER BY bucket) AS derivative,
+       round(CAST(sum(doc_count) OVER w3 AS DOUBLE) / (count(*) OVER w3), 4)
+         AS moving_avg
+FROM h
+WINDOW w3 AS (ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+""",
+        # dedup survivors: corpus minus non-representative group members
+        "dd8_dedup_survivors": f"""
+WITH RECURSIVE {_shingles_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+drops AS (SELECT node FROM comp WHERE node <> component)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+ORDER BY doc_id
 """,
         # index _stats: every figure recomputed from the raw corpus —
         # a mismatch means the index lost or duplicated postings

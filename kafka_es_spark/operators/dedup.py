@@ -528,3 +528,32 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bits: int = 32,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "n_chars"),
+) -> DataFrame:
+    """The dedup CAPSTONE: the deduplicated corpus itself. ``components``
+    is the (doc_id, component) relation from ``connected_components``
+    (component = min doc_id of the near-dup group); the survivor of each
+    group is its component representative (the lowest doc_id — the
+    deterministic keep-first rule CC's min-label propagation already
+    encodes), and docs absent from the pair graph survive as singletons.
+
+    Output: one row per kept doc — (doc_id, *keep_cols) — i.e. the
+    corpus minus every non-representative group member. Plan: the
+    drop-set is ``components.filter(doc_id != component)`` (a relation
+    ~the size of the duplicate docs, far smaller than the corpus) and
+    the kept corpus is one LEFT ANTI join against it — no window over
+    the corpus, no corpus-sized shuffle beyond the anti join keyed on
+    the id. This is the reference pipeline's end state: what actually
+    ships to training (RefinedWeb/CCNet keep-one-per-cluster step)."""
+    drops = components.filter(F.col(id_col) != F.col("component")).select(id_col)
+    return (
+        docs.select(id_col, *keep_cols)
+        .join(drops, id_col, "left_anti")
+        .orderBy(id_col)
+    )

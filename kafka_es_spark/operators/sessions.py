@@ -72,3 +72,90 @@ def date_histogram(
         .agg(F.count("*").alias("doc_count"))
         .orderBy(*(["bucket"] + ([key_col] if key_col else [])))
     )
+
+
+def date_range_agg(
+    events: DataFrame,
+    boundaries: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES date_range-aggregation analogue: ``boundaries`` (ISO
+    timestamps, ascending) cut the time axis into len+1 buckets —
+    ``from`` inclusive, ``to`` exclusive, open ends rendered ``*`` (the
+    ES range-key convention the numeric agg_ranges shares). Every
+    requested range appears even at doc_count 0.
+
+    Plan: one conditional-sum aggregate row unpivoted with ``stack`` —
+    the bucket count is tiny and fixed, so this is a single map-side
+    combine over the scan, no join and no second shuffle."""
+    bs = list(boundaries)
+    edges: list[tuple[str | None, str | None]] = []
+    for i in range(len(bs) + 1):
+        lo = bs[i - 1] if i > 0 else None
+        hi = bs[i] if i < len(bs) else None
+        edges.append((lo, hi))
+    aggs = []
+    names = []
+    for i, (lo, hi) in enumerate(edges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(ts_col) >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            cond = cond & (F.col(ts_col) < F.lit(hi).cast("timestamp"))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        )
+        names.append(f"{lo or '*'}-{hi or '*'}")
+    stack = ", ".join(f"'{n}', _b{i}" for i, n in enumerate(names))
+    return (
+        events.agg(*aggs)
+        .selectExpr(f"stack({len(names)}, {stack}) AS (range_key, doc_count)")
+        .orderBy("range_key")
+    )
+
+
+def histogram_pipeline(
+    events: DataFrame,
+    ts_col: str = "ts",
+    unit: str = "day",
+    moving_window: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES pipeline-aggregation family over a date_histogram: per calendar
+    bucket — doc_count, ``cumulative_sum``, ``derivative`` (difference
+    vs the previous bucket; null for the first, as ES emits no
+    derivative there), and ``moving_fn`` unweighted average over the
+    trailing ``moving_window`` buckets (current included).
+
+    Pipeline aggs are WINDOW functions over the already-tiny histogram
+    relation (#buckets rows), not a second pass over the events: the
+    parent histogram is one partial aggregation, and the pipeline stage
+    runs on its output — exactly ES's reduce-phase placement. The single
+    unpartitioned window is safe because its input is #buckets rows, not
+    corpus rows (never put an unpartitioned window over raw events)."""
+    hist = (
+        events.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    w = Window.orderBy("bucket")
+    mw = w.rowsBetween(-(int(moving_window) - 1), 0)
+    return (
+        hist.withColumn(
+            "cumulative_sum",
+            F.sum("doc_count").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "derivative", F.col("doc_count") - F.lag("doc_count").over(w)
+        )
+        .withColumn(
+            "moving_avg",
+            F.round(
+                F.sum("doc_count").over(mw)
+                / F.count(F.lit(1)).over(mw).cast("double"),
+                round_to,
+            ),
+        )
+        .orderBy("bucket")
+    )

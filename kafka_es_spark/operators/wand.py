@@ -1946,6 +1946,228 @@ class Searcher:
             .orderBy("filter_key")
         )
 
+    def agg_extended_stats(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES extended_stats-aggregation analogue: the ``agg_stats`` row
+        plus sum_of_squares, variance and std_deviation (population
+        variance, ES's default). Same single partial-aggregate plan —
+        the extra moments are one more map-side column each.
+
+        Portability contract: sum and sum-of-squares accumulate as exact
+        int64 (the field is integral), and the derived doubles are
+        spelled as the one expression shape ``sq/n − (s/n)·(s/n)`` so an
+        oracle computing the identical IEEE ops bit-matches before the
+        4dp rounding (same discipline as the BM25 score oracles)."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        c = F.col(field)
+        base = j.agg(
+            F.count(field).alias("n_docs_agg"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.sum(c * c).cast("long").alias("sum_sq"),
+        )
+        mean = "(CAST(sum_v AS DOUBLE) / n_docs_agg)"
+        var = f"(CAST(sum_sq AS DOUBLE) / n_docs_agg - {mean} * {mean})"
+        return base.selectExpr(
+            "n_docs_agg", "min_v", "max_v", "sum_v", "sum_sq",
+            f"round({mean}, 4) AS avg_v",
+            f"round({var}, 4) AS variance",
+            f"round(sqrt({var}), 4) AS std_dev",
+        )
+
+    def agg_weighted_avg(
+        self,
+        query: str,
+        field_values: DataFrame,
+        value_field: str,
+        weight_field: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES weighted_avg-aggregation analogue: one row ``(sum_w,
+        weighted_avg)`` — Σ(value·weight)/Σ(weight) over the hit set.
+        Both sums accumulate as exact int64 (integral fields), so the
+        single double division is engine-portable before rounding."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = hits.join(dm, "doc_id").join(
+            field_values.select("url", value_field, weight_field), "url"
+        )
+        base = j.agg(
+            F.sum(F.col(value_field) * F.col(weight_field))
+            .cast("long").alias("sum_vw"),
+            F.sum(weight_field).cast("long").alias("sum_w"),
+        )
+        return base.selectExpr(
+            "sum_w",
+            "round(CAST(sum_vw AS DOUBLE) / sum_w, 4) AS weighted_avg",
+        )
+
+    def agg_value_count(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES value_count + missing aggregations in one row:
+        ``(value_count, missing_count)`` — hits with a non-null ``field``
+        vs hits where it is null (the ``missing`` agg counts docs the
+        value_count skips; together they partition the hit set)."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        return j.agg(
+            F.count(field).alias("value_count"),
+            (F.count(F.lit(1)) - F.count(field)).alias("missing_count"),
+        )
+
+    def collapse_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        collapse_field: str,
+        k: int = 10,
+        mode: str = "or",
+        round_to: int | None = 4,
+        ext_id_col: str | None = None,
+    ) -> DataFrame:
+        """ES field-collapsing analogue (``collapse: {field}``): the hit
+        list keeps only the best-scoring doc per ``collapse_field`` value
+        (ties → lowest doc id), ranked by that doc's score; ``group_hits``
+        carries the collapsed group's total hit count (the inner_hits
+        cardinality). Plan: the relational score set joins docmap + the
+        field, then ONE window partitioned by the collapse value — the
+        window key is the field, so skew is bounded by the largest field
+        group, and the final global sort is over ≤ #distinct-values rows.
+
+        Scores round BEFORE ranking (the serving-score discipline:
+        what's compared is what a client is shown). ``ext_id_col`` names
+        a caller-provided stable doc identifier in ``field_values``
+        (e.g. the corpus id behind the url); when given, tie-breaks rank
+        on it and the output ``doc_id`` carries it — internal dense ids
+        are an index detail a client never sees."""
+        if mode != "or":
+            raise ValueError("collapse_topk scores OR-mode (ES default)")
+        scores = self.relational_scores(query)
+        if round_to is not None:
+            scores = scores.withColumn("score", F.round("score", round_to))
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        fv_cols = ["url", collapse_field] + (
+            [ext_id_col] if ext_id_col else []
+        )
+        j = scores.join(dm, "doc_id").join(field_values.select(*fv_cols), "url")
+        idc = ext_id_col or "doc_id"
+        grp = Window.partitionBy(collapse_field)
+        w = grp.orderBy(F.col("score").desc(), F.col(idc).asc())
+        return (
+            j.withColumn("rnk", F.row_number().over(w))
+            .withColumn("group_hits", F.count(F.lit(1)).over(grp))
+            .filter(F.col("rnk") == 1)
+            .select(
+                collapse_field, F.col(idc).alias("doc_id"), "score",
+                "group_hits",
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k))
+        )
+
+    def boosting_topk(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.3,
+        k: int = 10,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES boosting-query analogue: docs are scored by the positive
+        query; docs ALSO matching the negative query stay in the results
+        but with score × ``negative_boost`` (demotion, not exclusion —
+        the contrast with bool.must_not). Plan: the positive relational
+        score set left-joins the negative filter-context id set (posting
+        algebra, no scoring) — one broadcast-sized join on doc_id, then
+        the usual rounded top-k. ``with_url``/``fetch_k`` follow the
+        topk contract (over-fetch so a caller re-ranking on an external
+        tie key keeps boundary tie groups)."""
+        pos = self.relational_scores(positive)
+        neg = self.matching_doc_ids(negative).withColumn("_neg", F.lit(True))
+        out = pos.join(neg, "doc_id", "left").withColumn(
+            "score",
+            F.col("score")
+            * F.when(F.col("_neg"), F.lit(float(negative_boost)))
+            .otherwise(F.lit(1.0)),
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        out = (
+            out.select("doc_id", "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+        if with_url:
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "url")
+            out = out.join(dm, "doc_id").select("doc_id", "url", "score")
+        return out
+
+    def regexp_topk(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES regexp-query analogue: the pattern runs against the term
+        dictionary (anchored match — ES regexp is implicitly anchored,
+        so the pattern is wrapped ``^(?:...)$``), expansion is
+        deterministic (alphabetic, capped at max_expansions) and scored
+        as a BM25 OR — the same scoring-boolean rewrite the other
+        multi-term queries use. Keep patterns to the RE2-compatible
+        subset (classes, alternation, ``.*+?`` quantifiers) so any
+        engine's regex library agrees on the match set."""
+        rows = (
+            self.term_stats
+            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term")
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
     def function_score_topk(
         self,
         query: str,

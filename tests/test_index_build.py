@@ -1310,3 +1310,147 @@ def test_mget_found_fields_and_tombstones(spark, pages, tmp_path):
     r1 = {r["url"]: r for r in s2.mget([u0, u1], fv).collect()}
     assert r1[u0]["found"]
     assert not r1[u1]["found"] and r1[u1]["lang"] is None
+
+
+def test_collapse_boosting_regexp(spark, index_dir, pages, doc_terms):
+    """Field collapsing (best doc per group + group_hits), boosting-query
+    demotion, and regexp dictionary expansion — vs pandas/numpy brute
+    force over the same corpus."""
+    import re as _re
+    from collections import defaultdict
+
+    from kafka_es_spark.operators.wand import (
+        Searcher, exhaustive_topk_numpy, round_half_up,
+    )
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    full = dict(exhaustive_topk_numpy(doc_terms, qterms, k=10**9))
+
+    # --- collapse: best rounded score per grp, ties -> lowest doc_id
+    fv = pages.select(
+        "url", (F.length("text") % 3).cast("string").alias("grp")
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    grp_of = {r["doc_id"]: r["grp"] for r in dm.join(fv, "url").collect()}
+    by: dict[str, list] = defaultdict(list)
+    for d, sc in full.items():
+        by[grp_of[d]].append((float(round_half_up(np.array([sc]), 4)[0]), d))
+    want = {}
+    for g, lst in by.items():
+        sc, d = sorted(lst, key=lambda e: (-e[0], e[1]))[0]
+        want[g] = (d, sc, len(lst))
+    got = {
+        r["grp"]: (r["doc_id"], r["score"], r["group_hits"])
+        for r in s.collapse_topk(q, fv, "grp", k=10).collect()
+    }
+    assert got == want
+
+    # --- boosting: docs matching the negative term demoted x0.4, kept
+    neg = "search"
+    neg_docs = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if neg in set(ts)
+    }
+    adj = {
+        d: sc * (0.4 if d in neg_docs else 1.0) for d, sc in full.items()
+    }
+    exp = sorted(
+        ((float(round_half_up(np.array([sc]), 4)[0]), d) for d, sc in adj.items()),
+        key=lambda e: (-e[0], e[1]),
+    )[:10]
+    got_b = [
+        (r["score"], r["doc_id"])
+        for r in s.boosting_topk(q, neg, negative_boost=0.4, k=10).collect()
+    ]
+    assert [d for _, d in got_b] == [d for _, d in exp]
+    for (gs, _), (ws, _) in zip(got_b, exp):
+        assert gs == pytest.approx(ws, abs=2e-4)
+    # demotion reorders rather than excludes: the undemoted top-10 had
+    # negative-matching docs, and they left the page on SCORE (x0.4),
+    # not via a filter — the full result set still contains them
+    undemoted = sorted(full.items(), key=lambda e: (-e[1], e[0]))[:10]
+    assert any(d in neg_docs for d, _ in undemoted)
+    all_b = {
+        r["doc_id"]
+        for r in s.boosting_topk(q, neg, negative_boost=0.4, k=10**6).collect()
+    }
+    assert neg_docs & set(full) <= all_b
+
+    # --- regexp: anchored dictionary expansion == python re over the
+    # term dictionary; scored as the OR of the expansions
+    pat = "ind.x|se.rch"
+    vocab = sorted({t for ts in doc_terms["terms"] for t in ts})
+    rx = _re.compile(f"^(?:{pat})$")
+    terms = [t for t in vocab if rx.match(t)][:50]
+    assert terms, "pattern must match something"
+    want_r = exhaustive_topk_numpy(doc_terms, terms, k=10)
+    got_r = [
+        (r["doc_id"], r["score"])
+        for r in s.regexp_topk(pat, k=10, round_to=None).collect()
+    ]
+    assert [d for d, _ in got_r] == [d for d, _ in want_r]
+    for (_, gs), (_, ws) in zip(got_r, want_r):
+        assert gs == pytest.approx(ws, abs=1e-10)
+
+
+def test_agg_extended_weighted_value_count(spark, index_dir, pages, doc_terms):
+    """extended_stats moments, weighted_avg, and value_count/missing over
+    the OR-mode hit set — vs pandas recomputation."""
+    import math
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    qterms = sorted(set(q.split()))
+    hit = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    }
+    fv = pages.select(
+        "url",
+        F.length("text").cast("long").alias("nbytes"),
+        F.when(F.length("text") % 5 == 0, None)
+        .otherwise(F.lit("x")).alias("sparse"),
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    info = {
+        r["doc_id"]: (r["nbytes"], r["sparse"])
+        for r in dm.join(fv, "url").collect()
+    }
+    vals = [info[d][0] for d in hit]
+    n, sv, sq = len(vals), sum(vals), sum(v * v for v in vals)
+    mean = sv / n
+    var = sq / n - mean * mean
+    row = s.agg_extended_stats(q, fv, "nbytes").collect()[0]
+    assert (row["n_docs_agg"], row["min_v"], row["max_v"], row["sum_v"],
+            row["sum_sq"]) == (n, min(vals), max(vals), sv, sq)
+    assert row["avg_v"] == pytest.approx(round(mean, 4), abs=1e-9)
+    assert row["variance"] == pytest.approx(round(var, 4), abs=1e-9)
+    assert row["std_dev"] == pytest.approx(round(math.sqrt(var), 4), abs=1e-9)
+
+    # weighted_avg: nbytes weighted by dl (token count)
+    dls = {d: len(ts) for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])}
+    fv2 = pages.select("url", F.length("text").cast("long").alias("nbytes"))
+    from kafka_es_spark.functions.tokenize import tokens as _tok
+
+    fv2 = fv2.join(
+        pages.select("url", F.size(_tok("text")).cast("long").alias("ntok")),
+        "url",
+    )
+    svw = sum(info[d][0] * dls[d] for d in hit)
+    sw = sum(dls[d] for d in hit)
+    row2 = s.agg_weighted_avg(q, fv2, "nbytes", "ntok").collect()[0]
+    assert row2["sum_w"] == sw
+    assert row2["weighted_avg"] == pytest.approx(round(svw / sw, 4), abs=1e-9)
+
+    # value_count + missing partition the hit set
+    nn = sum(1 for d in hit if info[d][1] is not None)
+    row3 = s.agg_value_count(q, fv, "sparse").collect()[0]
+    assert (row3["value_count"], row3["missing_count"]) == (nn, n - nn)

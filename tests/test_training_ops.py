@@ -791,3 +791,71 @@ def test_date_histogram_calendar_buckets(spark):
         for r in date_histogram(ev, "ts", unit="day").collect()
     ]
     assert got2 == [(d1, 3), (d3, 1)]
+
+
+def test_date_range_and_pipeline_aggs(spark):
+    """ES date_range (from-incl/to-excl, open ends, empty buckets kept)
+    and the pipeline-agg family (cumulative_sum / derivative / moving
+    avg) over a daily histogram — vs hand computation."""
+    import datetime as dt
+
+    from kafka_es_spark.operators.sessions import date_range_agg, histogram_pipeline
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 5), "a"),
+        (dt.datetime(2024, 3, 1, 6), "a"),
+        (dt.datetime(2024, 3, 2, 0), "a"),   # boundary: lands in 2nd range (from-inclusive)
+        (dt.datetime(2024, 3, 2, 9), "a"),
+        (dt.datetime(2024, 3, 2, 10), "a"),
+        (dt.datetime(2024, 3, 5, 1), "a"),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        r["range_key"]: r["doc_count"]
+        for r in date_range_agg(
+            ev, ["2024-03-02 00:00:00", "2024-03-04 00:00:00"]
+        ).collect()
+    }
+    assert got == {
+        "*-2024-03-02 00:00:00": 2,
+        "2024-03-02 00:00:00-2024-03-04 00:00:00": 3,
+        "2024-03-04 00:00:00-*": 1,
+    }
+
+    out = [
+        (
+            r["bucket"], r["doc_count"], r["cumulative_sum"],
+            r["derivative"], r["moving_avg"],
+        )
+        for r in histogram_pipeline(ev, unit="day", moving_window=2).collect()
+    ]
+    d1, d2, d5 = (dt.datetime(2024, 3, d) for d in (1, 2, 5))
+    # daily counts 2, 3, 1; cumsum 2, 5, 6; derivative None, +1, -2
+    # (ES emits no derivative for the first bucket; gaps diff adjacent
+    # buckets as ES does with min_doc_count=1); trailing-2 moving avg
+    assert out == [
+        (d1, 2, 2, None, 2.0),
+        (d2, 3, 5, 1, 2.5),
+        (d5, 1, 6, -2, 2.0),
+    ]
+
+
+def test_dedup_survivors_keep_one_per_component(spark):
+    """The dedup capstone: survivors = min-id representative per near-dup
+    component plus every singleton, as one anti join."""
+    from kafka_es_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, "en", 100 + i) for i in range(8)],
+        "doc_id long, lang string, n_chars long",
+    )
+    # components: {1,3,5} (label 1) and {2,6} (label 2); 0,4,7 singletons
+    comps = spark.createDataFrame(
+        [(1, 1), (3, 1), (5, 1), (2, 2), (6, 2)],
+        "doc_id long, component long",
+    )
+    got = [r["doc_id"] for r in dedup_survivors(docs, comps).collect()]
+    assert got == [0, 1, 2, 4, 7]
+    # keep_cols ride through
+    row = dedup_survivors(docs, comps).collect()[0]
+    assert (row["lang"], row["n_chars"]) == ("en", 100)
