@@ -411,3 +411,25 @@ def compact_index(
     man.commit(f"compact-{int(t0)}", {"elapsed_sec": time.time() - t0})
     clear_tombstones(index_dir)
     return counters
+
+
+def should_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_units: int = 64,
+    max_tombstones: int = 1_000_000,
+) -> bool:
+    """The merge-policy trigger — the decision ES's TieredMergePolicy makes
+    continuously, exposed as one cheap predicate: compact when the index
+    serves from ≥ ``max_units`` epoch units (per-query metadata and
+    cursor-init concatenation cost grow with unit count) or carries ≥
+    ``max_tombstones`` pending deletes (excluded-id set size; stats drift
+    from the live corpus). Reads only the manifest entry list and the tiny
+    ``_deletes/`` relation — safe to call once per micro-batch."""
+    man = Manifest(index_dir)
+    units = sum(
+        1 for e in man.entries() if e["name"].startswith("epoch-")
+    )
+    if units >= int(max_units):
+        return True
+    return len(read_tombstone_ids(spark, index_dir)) >= int(max_tombstones)

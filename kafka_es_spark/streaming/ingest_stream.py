@@ -253,9 +253,22 @@ def stream_pages_to_index(
     n_term_buckets: int = 8,
     once: bool = False,
     with_positions: bool = False,
+    compact_every: int | None = None,
 ):
     """Wire a streaming pages DataFrame into the index via foreachBatch.
-    trigger ≈ the reference's bulk.delay.ms; source rate limits ≈ bulk.size."""
+    trigger ≈ the reference's bulk.delay.ms; source rate limits ≈ bulk.size.
+
+    ``compact_every=N`` enables the in-stream merge policy (the ES
+    background-merge analogue): after an epoch commits, if the index has
+    accreted ≥ N epoch units (or tombstones past the policy bound) the
+    sink runs ``compact_index`` before the next micro-batch. The sink is
+    the index's only writer and foreachBatch serializes epochs, so the
+    swap window never races another writer; serving Searchers must
+    re-init after a compaction (same quiesce contract as a manual
+    force-merge — a crash mid-swap is repaired by recover_swap_dirs at
+    the next Searcher init). Compaction cost is O(index), so N trades
+    per-query unit overhead against periodic merge stalls — exactly the
+    Lucene segment-count/merge-cost dial."""
     spark = pages_stream.sparkSession
 
     def sink(batch: DataFrame, epoch: int) -> None:
@@ -263,6 +276,13 @@ def stream_pages_to_index(
             spark, batch, index_dir, epoch, n_term_buckets=n_term_buckets,
             with_positions=with_positions,
         )
+        if compact_every is not None:
+            from kafka_es_spark.operators.compaction import (
+                compact_index, should_compact,
+            )
+
+            if should_compact(spark, index_dir, max_units=int(compact_every)):
+                compact_index(spark, index_dir, n_term_buckets=n_term_buckets)
 
     w = pages_stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

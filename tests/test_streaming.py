@@ -282,3 +282,55 @@ def test_iceberg_source_gate_and_parquet_fallback(spark, tmp_path):
         pass
     with pytest.raises(ValueError, match="unknown pages source"):
         read_pages_table(spark, src, fmt="orc")
+
+
+def test_stream_auto_compaction_merge_policy(spark, tmp_path):
+    """compact_every wires the ES merge-policy analogue into the sink:
+    after enough epochs accrete, the stream itself folds them into one
+    base unit — file count collapses, ranking is unchanged, and a later
+    epoch append still works (no id collision with folded units)."""
+    import glob as _glob
+
+    from kafka_es_spark.operators.compaction import should_compact
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "cidx")
+    ckpt = str(tmp_path / "ckpt")
+    pages = gen_pages(spark, 180, seed=7, partitions=2)
+    for i in range(3):
+        pages.filter(F.crc32("url") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_pages_to_index(
+        stream, idx, ckpt, once=True, n_term_buckets=4, compact_every=3
+    )
+    q.awaitTermination(300)
+
+    # the third epoch crossed the threshold -> everything folded to base
+    man = Manifest(idx)
+    assert not [e for e in man.entries() if e["name"].startswith("epoch-")]
+    shards = _glob.glob(os.path.join(idx, "postings", "shard=*"))
+    assert [os.path.basename(s) for s in shards] == ["shard=base"]
+    assert not should_compact(spark, idx, max_units=3)
+    assert load_stats(idx)["n_docs"] == 180
+
+    # ranking unchanged vs the exhaustive oracle over the same corpus
+    doc_terms = prepare_docs(pages).select("doc_id", "url", "terms").toPandas()
+    want = exhaustive_topk_numpy(doc_terms, ["data", "index", "search"], k=10)
+    s = Searcher(spark, idx, cache=False)
+    got = s.topk("data index search", k=10, round_to=None).collect()
+    for r, (_, ws) in zip(got, want):
+        assert r["score"] == pytest.approx(ws, abs=1e-10)
+
+    # post-compaction appends base ids on ALLOCATED ids — still queryable
+    extra = gen_pages(spark, 40, seed=99, partitions=1)
+    c = append_epoch(spark, extra, idx, epoch=50, n_term_buckets=4)
+    assert c["docs"] == 40
+    assert load_stats(idx)["n_docs"] == 220
+    assert len(Searcher(spark, idx, cache=False).topk("data", k=5).collect()) == 5
