@@ -96,9 +96,15 @@ def _ensure_index(spark, sf_dir) -> str:
     from kafka_es_spark.plans.build_index import build_index
     from kafka_es_spark.sources.pages import docs_as_pages
 
-    idx = f"/tmp/kafka_es_index_v2_{_corpus_tag(sf_dir)}"
+    idx = f"/tmp/kafka_es_index_v3_{_corpus_tag(sf_dir)}"
     if not os.path.exists(os.path.join(idx, "_manifest", "term_stats.json")):
-        build_index(spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8, n_term_buckets=8)
+        # lang rides in the docmap as a stored field (ES doc-values
+        # analogue) — the x8_facet_stored entry aggregates it with no
+        # external field join; v3: cached v2 indexes predate store_fields
+        build_index(
+            spark, docs_as_pages(spark, sf_dir), idx, seg_bits=8,
+            n_term_buckets=8, store_fields=("lang",),
+        )
     return idx
 
 
@@ -465,6 +471,20 @@ def _q_sig_terms(spark, sf_dir):
     )
     return Searcher(spark, idx, cache=False).significant_terms(
         " ".join(QUERY_TERMS), dt, size=10, mode="and"
+    )
+
+
+def _q_facet_stored(spark, sf_dir):
+    """The same terms aggregation served from the index's STORED fields
+    (ES doc-values): lang lives in the docmap, so the agg is one dense
+    doc_id join — no external field relation, no url-keyed shuffle. Must
+    produce byte-identical buckets to x8_facet_lang's external-join
+    plan."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).facet_terms(
+        " ".join(QUERY_TERMS), None, "lang", size=10
     )
 
 
@@ -1416,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_search_after": _q_search_after,
         "x8_match_count": _q_match_count,
         "x8_facet_lang": _q_facet_lang,
+        "x8_facet_stored": _q_facet_stored,
         "x8_sort_field": _q_sort_field,
         "x8_top_hits": _q_top_hits,
         "x8_explain": _q_explain,
@@ -2132,6 +2153,13 @@ SELECT count(*) AS n_hits FROM (
 )
 """,
         "x8_facet_lang": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT lang, count(*) AS doc_count FROM documents JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        # identical buckets, served from the docmap's stored fields
+        "x8_facet_stored": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
 SELECT lang, count(*) AS doc_count FROM documents JOIN hits USING (doc_id)

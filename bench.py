@@ -73,7 +73,12 @@ def main() -> None:
     def one_build() -> str:
         d = tempfile.mkdtemp(prefix="kes_bench_idx_")
         tmp_dirs.append(d)
-        build_index(spark, pages, d, n_term_buckets=int(cpus))
+        # lang stored in the docmap (ES doc-values analogue) — the build
+        # pays the stored column like production would; facet_lang_stored
+        # below serves the terms agg from it with no external join
+        build_index(
+            spark, pages, d, n_term_buckets=int(cpus), store_fields=("lang",)
+        )
         return d
 
     try:
@@ -121,6 +126,11 @@ def main() -> None:
         t0 = time.time()
         searcher.facet_terms(qs[0], pages.select("url", "lang"), "lang").collect()
         queries["facet_lang"] = round(time.time() - t0, 3)
+        # same terms agg from the docmap's stored fields (doc-values path):
+        # one dense-id join, no external field relation
+        t0 = time.time()
+        searcher.facet_terms(qs[0], None, "lang").collect()
+        queries["facet_lang_stored"] = round(time.time() - t0, 3)
         searcher.close()
 
         # positional relation: one-time build cost + phrase serving latency

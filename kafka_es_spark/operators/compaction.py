@@ -308,8 +308,10 @@ def compact_index(
         )
 
     # --- docmap: drop tombstoned rows, fold epochs into epoch=base --------
+    # stored fields (ES doc-values analogue) ride along — the recorded
+    # store_fields list is the docmap schema contract
     dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
-        "doc_id", "url", "dl"
+        "doc_id", "url", "dl", *tuple(stats.get("store_fields") or ())
     )
     if dead:
         tdf = spark.createDataFrame(

@@ -1089,20 +1089,33 @@ class Searcher:
         )
 
     def _hit_fields(
-        self, query: str, field_values: DataFrame, field: str,
+        self, query: str, field_values: DataFrame | None, field: str,
         mode: str = "or", min_should_match: int | None = None,
         must_not: str | None = None,
     ) -> DataFrame:
         """The hit set joined to its per-doc field values — the shared
-        input relation of every aggregation (doc_id, url, field)."""
+        input relation of every aggregation (doc_id, url, field).
+
+        ``field_values=None`` reads the field from the docmap's STORED
+        fields instead (the ES doc-values path — fields persisted at
+        build via ``build_index(store_fields=...)``, plus ``dl``, which
+        every index stores): one join on the dense doc id, no external
+        table, no second url-keyed shuffle. The external-relation path
+        stays for fields the index doesn't store."""
         hits = self.matching_doc_ids(
             query, mode=mode, min_should_match=min_should_match,
             must_not=must_not,
         )
-        dm = self.spark.read.parquet(
-            os.path.join(self.index_dir, "docmap")
-        ).select("doc_id", "url")
-        return hits.join(dm, "doc_id").join(
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        if field_values is None:
+            if field not in dm.columns:
+                raise ValueError(
+                    f"field {field!r} is not stored in this index's docmap "
+                    f"(stored: {sorted(set(dm.columns) - {'doc_id'})}); "
+                    "build with store_fields=(...) or pass field_values"
+                )
+            return hits.join(dm.select("doc_id", "url", field), "doc_id")
+        return hits.join(dm.select("doc_id", "url"), "doc_id").join(
             field_values.select("url", field), "url"
         )
 

@@ -55,18 +55,26 @@ from kafka_es_spark.plans.manifest import Manifest
 BUCKET_SCHEME = "md5h32"
 
 
-def extracted_pages(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) → (url, text). The ONLY column
-    that is expensive to recompute (Python UDF) — build_index persists
-    exactly this slim relation. html is dropped immediately; tokenization is
-    JVM-side regex and is recomputed by each consumer (cheaper than caching
-    token arrays, which blows the columnar cache at scale)."""
+def extracted_pages(
+    pages: DataFrame,
+    extract_if_missing: bool = True,
+    store_fields: tuple[str, ...] = (),
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → (url, text[, *store_fields]).
+    The text is the ONLY column that is expensive to recompute (Python
+    UDF) — build_index persists exactly this slim relation. html is
+    dropped immediately; tokenization is JVM-side regex and is recomputed
+    by each consumer (cheaper than caching token arrays, which blows the
+    columnar cache at scale). ``store_fields`` carries small scalar page
+    columns through to the docmap — the ES stored-fields / doc-values
+    analogue (keep them scalar; a wide stored column belongs in an
+    external field relation, not the cached build lineage)."""
     text = (
         F.coalesce(F.col("text"), extract_text(F.col("html")), F.lit(""))
         if extract_if_missing
         else F.coalesce(F.col("text"), F.lit(""))
     )
-    return pages.select("url", text.alias("text"))
+    return pages.select("url", text.alias("text"), *store_fields)
 
 
 def prepare_docs(pages: DataFrame, extract_if_missing: bool = True) -> DataFrame:
@@ -92,11 +100,15 @@ def build_index(
     resume: bool = False,
     extract_if_missing: bool = True,
     metrics=None,
+    store_fields: tuple[str, ...] = (),
 ) -> dict:
     """Build (or resume) the index; returns the manifest counter summary.
     ``metrics``: optional plans.metrics.BuildMetrics — W2 accumulators
     updated executor-side (observability; the manifest counters computed
-    from the written data stay authoritative)."""
+    from the written data stay authoritative). ``store_fields``: page
+    columns stored in the docmap (ES doc-values analogue) — aggregations
+    over them need no external field join at query time; recorded in
+    stats.json so epoch appends keep the docmap schema uniform."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     # The extracted text is persisted once: the build is multi-job (bucket
@@ -107,11 +119,13 @@ def build_index(
     # At cluster scale: DISK_ONLY or checkpoint the extracted-text dataset
     # (it is a deliverable of its own anyway).
     t_ex = time.time()
-    slim = extracted_pages(pages, extract_if_missing).persist()
+    store_fields = tuple(store_fields)
+    slim = extracted_pages(pages, extract_if_missing, store_fields).persist()
     docs = assign_doc_ids(slim)  # the bucket-count job materializes `slim`
     _t = tokens(F.col("text"))
     docs = docs.select(
-        "doc_id", "url", F.size(_t).cast("long").alias("dl"), _t.alias("terms")
+        "doc_id", "url", F.size(_t).cast("long").alias("dl"),
+        _t.alias("terms"), *store_fields
     )
     # not resume-gated (the persist must rebuild every run) — recorded so
     # per-stage attribution covers the whole build, not just committed stages
@@ -132,7 +146,7 @@ def build_index(
         # cost the scaling number pays at every corpus size)
         obs = Observation()
         (
-            docs.select("doc_id", "url", "dl")
+            docs.select("doc_id", "url", "dl", *store_fields)
             .observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
@@ -152,6 +166,7 @@ def build_index(
             "seg_bits": seg_bits,
             "n_term_buckets": n_term_buckets,
             "bucket_scheme": BUCKET_SCHEME,
+            "store_fields": list(store_fields),
         }
         with open(os.path.join(index_dir, "stats.json"), "w") as f:
             json.dump(stats, f)

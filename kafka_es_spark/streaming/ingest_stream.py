@@ -62,12 +62,17 @@ def append_epoch(
     n_term_buckets: int = 8,
     codec: str = "varint",
     with_positions: bool = False,
+    store_fields: tuple[str, ...] = (),
 ) -> dict | None:
     """Append one micro-batch of pages to the index as shard ``epoch-<n>``.
     Idempotent: a committed epoch is skipped entirely (exactly-once under
     foreachBatch replay). Returns the committed counters (None if skipped).
     ``with_positions=True`` also writes the epoch's positional unit (phrase
-    queries then cover streamed docs; see operators.positions)."""
+    queries then cover streamed docs; see operators.positions).
+    ``store_fields`` must MATCH the index's recorded stored-field set
+    (stats.json): a mismatched epoch would fork the docmap schema and
+    Spark's partition discovery would silently drop columns from one side
+    — so it raises instead."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     name = f"epoch-{epoch:08d}"
@@ -80,6 +85,17 @@ def append_epoch(
         return None
     t0 = time.time()
     stats = _read_stats(index_dir)
+    store_fields = tuple(store_fields)
+    recorded = tuple(stats.get("store_fields") or ())
+    if os.path.exists(os.path.join(index_dir, "stats.json")):
+        if recorded != store_fields:
+            raise ValueError(
+                f"append_epoch(store_fields={list(store_fields)}) does not "
+                f"match the index's recorded stored fields {list(recorded)} "
+                "— a mixed docmap schema loses columns silently under "
+                "partition discovery. Pass the same store_fields the index "
+                "was built with (or compact+rebuild to change them)."
+            )
     # The doc-id base and running token total come from COMMITTED manifest
     # entries, not stats.json: a crash after the stats write but before the
     # manifest commit would otherwise inflate the base on replay, punching a
@@ -98,7 +114,7 @@ def append_epoch(
     prev_docs_live = sum(int(e.get("docs", 0)) for e in committed)
     prev_tokens = sum(int(e.get("tokens", 0)) for e in committed)
 
-    slim = extracted_pages(batch).persist()
+    slim = extracted_pages(batch, store_fields=store_fields).persist()
     # dense ids continuing from the current corpus size; within-epoch order
     # by url (the epoch is one deterministic unit, same as a batch shard)
     from kafka_es_spark.operators.docids import assign_doc_ids
@@ -106,7 +122,8 @@ def append_epoch(
     docs = assign_doc_ids(slim).withColumn("doc_id", F.col("doc_id") + F.lit(base))
     t = tokens(F.col("text"))
     docs = docs.select(
-        "doc_id", "url", F.size(t).cast("long").alias("dl"), t.alias("terms")
+        "doc_id", "url", F.size(t).cast("long").alias("dl"),
+        t.alias("terms"), *store_fields
     )
 
     dm_out = os.path.join(index_dir, "docmap", f"epoch={epoch}")
@@ -114,7 +131,7 @@ def append_epoch(
 
     dm_obs = Observation()
     (
-        docs.select("doc_id", "url", "dl")
+        docs.select("doc_id", "url", "dl", *store_fields)
         .observe(dm_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
         .write.mode("overwrite")
         .parquet(dm_out)
@@ -198,6 +215,7 @@ def append_epoch(
         "seg_bits": seg_bits,
         "n_term_buckets": n_term_buckets if consistent else None,
         "bucket_scheme": BUCKET_SCHEME if consistent else None,
+        "store_fields": list(store_fields),
     }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(new_stats, f)
@@ -254,6 +272,7 @@ def stream_pages_to_index(
     once: bool = False,
     with_positions: bool = False,
     compact_every: int | None = None,
+    store_fields: tuple[str, ...] = (),
 ):
     """Wire a streaming pages DataFrame into the index via foreachBatch.
     trigger ≈ the reference's bulk.delay.ms; source rate limits ≈ bulk.size.
@@ -274,7 +293,7 @@ def stream_pages_to_index(
     def sink(batch: DataFrame, epoch: int) -> None:
         append_epoch(
             spark, batch, index_dir, epoch, n_term_buckets=n_term_buckets,
-            with_positions=with_positions,
+            with_positions=with_positions, store_fields=store_fields,
         )
         if compact_every is not None:
             from kafka_es_spark.operators.compaction import (

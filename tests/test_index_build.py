@@ -1454,3 +1454,45 @@ def test_agg_extended_weighted_value_count(spark, index_dir, pages, doc_terms):
     nn = sum(1 for d in hit if info[d][1] is not None)
     row3 = s.agg_value_count(q, fv, "sparse").collect()[0]
     assert (row3["value_count"], row3["missing_count"]) == (nn, n - nn)
+
+
+def test_stored_fields_doc_values_path(spark, pages, tmp_path, doc_terms):
+    """store_fields persists page columns into the docmap (ES doc-values):
+    aggregations with field_values=None read them with one dense-id join
+    and must produce byte-identical buckets to the external-join path;
+    dl is stored by construction; an unstored field raises with a hint."""
+    from kafka_es_spark.operators.wand import Searcher
+    from kafka_es_spark.plans.build_index import build_index, load_stats
+
+    idx = str(tmp_path / "sfidx")
+    build_index(
+        spark, pages, idx, seg_bits=SEG_BITS, n_term_buckets=8,
+        store_fields=("lang",),
+    )
+    assert load_stats(idx)["store_fields"] == ["lang"]
+    s = Searcher(spark, idx, cache=False)
+    q = "data index search"
+    ext = pages.select("url", "lang")
+    want = {
+        r["lang"]: r["doc_count"]
+        for r in s.facet_terms(q, ext, "lang", size=20).collect()
+    }
+    got = {
+        r["lang"]: r["doc_count"]
+        for r in s.facet_terms(q, None, "lang", size=20).collect()
+    }
+    assert got == want and want
+
+    # dl is always stored: ES-style doc-length stats with no field table
+    qterms = sorted(set(q.split()))
+    hit_dls = [
+        len(ts) for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if set(qterms) & set(ts)
+    ]
+    row = s.agg_stats(q, None, "dl").collect()[0]
+    assert (row["n_docs_agg"], row["min_v"], row["max_v"], row["sum_v"]) == (
+        len(hit_dls), min(hit_dls), max(hit_dls), sum(hit_dls)
+    )
+
+    with pytest.raises(ValueError, match="store_fields"):
+        s.facet_terms(q, None, "n_chars").collect()

@@ -334,3 +334,41 @@ def test_stream_auto_compaction_merge_policy(spark, tmp_path):
     assert c["docs"] == 40
     assert load_stats(idx)["n_docs"] == 220
     assert len(Searcher(spark, idx, cache=False).topk("data", k=5).collect()) == 5
+
+
+def test_append_epoch_store_fields_uniform_schema(spark, tmp_path):
+    """Stored fields flow through streaming epochs; a mismatched epoch
+    raises instead of forking the docmap schema; compaction keeps the
+    stored columns."""
+    from kafka_es_spark.operators.compaction import compact_index
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = str(tmp_path / "sfstream")
+    p1 = gen_pages(spark, 90, seed=3, partitions=2)
+    p2 = gen_pages(spark, 60, seed=4, partitions=2)
+    append_epoch(spark, p1, idx, epoch=0, n_term_buckets=4,
+                 store_fields=("lang",))
+    with pytest.raises(ValueError, match="store_fields"):
+        append_epoch(spark, p2, idx, epoch=1, n_term_buckets=4)
+    append_epoch(spark, p2, idx, epoch=1, n_term_buckets=4,
+                 store_fields=("lang",))
+
+    s = Searcher(spark, idx, cache=False)
+    ext = p1.unionByName(p2).select("url", "lang")
+    want = {
+        r["lang"]: r["doc_count"]
+        for r in s.facet_terms("data", ext, "lang", size=20).collect()
+    }
+    got = {
+        r["lang"]: r["doc_count"]
+        for r in s.facet_terms("data", None, "lang", size=20).collect()
+    }
+    assert got == want and want
+
+    compact_index(spark, idx, n_term_buckets=4)
+    s2 = Searcher(spark, idx, cache=False)
+    got2 = {
+        r["lang"]: r["doc_count"]
+        for r in s2.facet_terms("data", None, "lang", size=20).collect()
+    }
+    assert got2 == want
