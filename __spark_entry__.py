@@ -793,6 +793,22 @@ def _q_pipeline_aggs(spark, sf_dir):
     return histogram_pipeline(ev, unit="day", moving_window=3)
 
 
+DSIR_MOD, DSIR_W, DSIR_M = 43, 2, 256
+
+
+def _q_importance_weights(spark, sf_dir):
+    """DSIR-style importance weights for domain matching: hashed word
+    2-gram bucket distributions, target = the doc_id % 43 == 1 slice (a
+    deterministic stand-in domain), logw = Σ c_f·(ln p_f − ln q_f) with
+    Laplace smoothing — sample ∝ exp(logw) downstream to tilt the
+    mixture toward the target."""
+    from kafka_es_spark.operators.traindata import importance_weights
+
+    d = _docs(spark, sf_dir)
+    t = d.filter((F.col("doc_id") % DSIR_MOD) == 1)
+    return importance_weights(d, t, n_features=DSIR_M, w=DSIR_W)
+
+
 def _q_dedup_survivors(spark, sf_dir):
     """The dedup capstone: the deduplicated corpus — connected components
     over exact Jaccard near-dup pairs, keep the min-doc_id representative
@@ -1468,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev4_date_range": _q_date_range,
         "ev5_pipeline_aggs": _q_pipeline_aggs,
         "dd8_dedup_survivors": _q_dedup_survivors,
+        "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
         "x8_range_filter": _q_range_filter_topk,
@@ -1641,10 +1658,10 @@ def _decon_shingles() -> str:
     return shingles_sql(DECON_W, "documents")
 
 
-def _shingles_cte() -> str:
+def _shingles_cte(w: int = 3) -> str:
     from kafka_es_spark.operators.dedup import shingles_sql
 
-    return f"sh AS ({shingles_sql(3, 'documents')})"
+    return f"sh AS ({shingles_sql(w, 'documents')})"
 
 
 _MINHASH_SQL = f"""
@@ -2402,6 +2419,30 @@ drops AS (SELECT node FROM comp WHERE node <> component)
 SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT node FROM drops)
 ORDER BY doc_id
+""",
+        # DSIR importance weights: hashed 2-gram bucket distributions,
+        # +1-smoothed log ratios, per-doc weighted sum — ln/÷ on the
+        # same exact integers in both engines
+        "tr1_importance_weights": f"""
+WITH {_shingles_cte(DSIR_W)},
+fx AS (
+  SELECT doc_id, {_h32_sql("shingle")} % {DSIR_M} AS f FROM sh
+),
+c AS (SELECT doc_id, f, count(*) AS c FROM fx GROUP BY 1, 2),
+tc AS (SELECT f, count(*) AS n FROM fx WHERE doc_id % {DSIR_MOD} = 1 GROUP BY f),
+qc AS (SELECT f, count(*) AS n FROM fx GROUP BY f),
+tot AS (
+  SELECT (SELECT count(*) FROM fx WHERE doc_id % {DSIR_MOD} = 1) AS t,
+         (SELECT count(*) FROM fx) AS q
+),
+r AS (
+  SELECT qc.f,
+         ln((coalesce(tc.n, 0) + 1.0) / (tot.t + {DSIR_M}))
+         - ln((qc.n + 1.0) / (tot.q + {DSIR_M})) AS logratio
+  FROM qc LEFT JOIN tc USING (f) CROSS JOIN tot
+)
+SELECT c.doc_id, round(sum(c.c * r.logratio), 4) AS logw
+FROM c JOIN r USING (f) GROUP BY 1
 """,
         # index _stats: every figure recomputed from the raw corpus —
         # a mismatch means the index lost or duplicated postings

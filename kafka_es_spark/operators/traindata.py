@@ -172,3 +172,75 @@ def decontaminate(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_features: int = 1024,
+    w: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights for domain matching (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every corpus doc by how much more likely its hashed n-gram features
+    are under a small TARGET domain than under the corpus itself —
+    ``logw = Σ_f c_f(doc) · (ln p_f − ln q_f)`` with Laplace-smoothed
+    bucket distributions p (target) and q (corpus) over ``n_features``
+    hash buckets. Downstream, sample ∝ exp(logw) (e.g. via Gumbel top-k
+    or a stratified keep-rate on logw quantiles) to tilt the mixture
+    toward the target domain.
+
+    Engine-portable by construction: features are the dedup operator's
+    distinct word w-shingles (shared `shingles` relation) bucketed by the
+    md5 ``hash32 % n_features``; c_f counts distinct shingles per (doc,
+    bucket); distributions use exact integer counts with +1 smoothing.
+
+    Plan at 10^12 docs: the target is small by definition (broadcast);
+    corpus bucket counts aggregate to exactly ``n_features`` rows (one
+    partial-agg shuffle); the per-doc weight is a broadcast join of the
+    (f, logratio) table onto the doc-feature relation plus one hash
+    aggregation per doc — no corpus-sized shuffle beyond the doc-keyed
+    agg, no driver collect bigger than ``n_features`` rows.
+
+    Output: (doc_id, logw) for every doc with ≥ 1 feature."""
+    import math
+
+    from kafka_es_spark.operators.dedup import shingles
+
+    m = int(n_features)
+    feats = shingles(docs, w=w).withColumn(
+        "f", F.pmod(hash32(F.col("shingle")), F.lit(m))
+    )
+    c = feats.groupBy("doc_id", "f").agg(F.count("*").alias("c"))
+
+    tfeats = shingles(target, w=w).withColumn(
+        "f", F.pmod(hash32(F.col("shingle")), F.lit(m))
+    )
+    tcounts = {
+        int(r["f"]): int(r["n"])
+        for r in tfeats.groupBy("f").agg(F.count("*").alias("n")).collect()
+    }
+    qcounts = {
+        int(r["f"]): int(r["n"])
+        for r in c.groupBy("f").agg(F.sum("c").alias("n")).collect()
+    }
+    T = sum(tcounts.values())
+    Q = sum(qcounts.values())
+    spark = docs.sparkSession
+    ratio = spark.createDataFrame(
+        [
+            (
+                f,
+                math.log((tcounts.get(f, 0) + 1) / (T + m))
+                - math.log((qcounts.get(f, 0) + 1) / (Q + m)),
+            )
+            for f in sorted(qcounts)
+        ],
+        "f long, logratio double",
+    )
+    return (
+        c.join(F.broadcast(ratio), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("logratio")), round_to).alias("logw"))
+    )

@@ -859,3 +859,57 @@ def test_dedup_survivors_keep_one_per_component(spark):
     # keep_cols ride through
     row = dedup_survivors(docs, comps).collect()[0]
     assert (row["lang"], row["n_chars"]) == ("en", 100)
+
+
+def test_importance_weights_dsir(spark):
+    """DSIR importance weights: exact value check vs a python recompute on
+    a tiny corpus, and the semantic property — docs sharing the target
+    domain's vocabulary outweigh off-domain docs."""
+    import math
+    from collections import Counter
+
+    from kafka_es_spark.operators.dedup import hash32_py
+    from kafka_es_spark.operators.traindata import importance_weights
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ran in the park"),
+        (2, "stock market prices rose sharply today"),
+        (3, "market prices fell as stock traders sold"),
+        (4, "a cat and a dog met in the park"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id").isin([2, 3]))  # finance domain
+    m, w = 64, 2
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in importance_weights(docs, target, n_features=m, w=w).collect()
+    }
+
+    def grams(text):
+        t = text.split()
+        return {" ".join(t[i:i + w]) for i in range(len(t) - w + 1)} or {" ".join(t)}
+
+    feats = {d: Counter(hash32_py(g) % m for g in grams(t)) for d, t in rows}
+    tc = Counter()
+    for d in (2, 3):
+        tc.update(feats[d])
+    qc = Counter()
+    for d, _ in rows:
+        qc.update(feats[d])
+    T, Q = sum(tc.values()), sum(qc.values())
+    want = {
+        d: round(
+            sum(
+                c * (math.log((tc.get(f, 0) + 1) / (T + m))
+                     - math.log((qc[f] + 1) / (Q + m)))
+                for f, c in feats[d].items()
+            ), 4,
+        )
+        for d, _ in rows
+    }
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=2e-4), d
+    # in-domain docs outweigh off-domain docs
+    assert min(got[2], got[3]) > max(got[0], got[1], got[4])
