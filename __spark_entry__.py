@@ -809,6 +809,20 @@ def _q_importance_weights(spark, sf_dir):
     return importance_weights(d, t, n_features=DSIR_M, w=DSIR_W)
 
 
+LM_MOD = 7  # deterministic stand-in for CCNet's clean reference corpus
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-doc perplexity under a
+    Laplace-smoothed bigram LM trained on the doc_id % 7 == 0 slice
+    (the clean-reference stand-in); low ppl = fluent/domain-typical,
+    the head/middle/tail split thresholds on it."""
+    from kafka_es_spark.operators.traindata import lm_perplexity
+
+    d = _docs(spark, sf_dir)
+    return lm_perplexity(d, d.filter((F.col("doc_id") % LM_MOD) == 0))
+
+
 def _q_dedup_survivors(spark, sf_dir):
     """The dedup capstone: the deduplicated corpus — connected components
     over exact Jaccard near-dup pairs, keep the min-doc_id representative
@@ -821,6 +835,28 @@ def _q_dedup_survivors(spark, sf_dir):
     pairs = jaccard_pairs(d, min_jaccard=0.5, w=3)
     comps = connected_components(pairs)
     return dedup_survivors(d, comps)
+
+
+SUBSTR_W = 5  # entry-sized window; the operator default is 20 (Lee et al.)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication stats (Lee et al. 2022 ExactSubstr at
+    w-token granularity): corpus-duplicated w-gram windows merged into
+    maximal per-doc spans — (n_spans, dup_tokens, total_tokens,
+    dup_frac) per document, zeroes when clean."""
+    from kafka_es_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), w=SUBSTR_W)
+
+
+def _q_substr_scrub(spark, sf_dir):
+    """The scrub half of ExactSubstr dedup: token positions covered by a
+    duplicated w-gram interval are dropped; the kept normalized tokens
+    re-join with single spaces."""
+    from kafka_es_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), w=SUBSTR_W)
 
 
 COMP_AFTER = ("de", "src1")
@@ -1484,6 +1520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev4_date_range": _q_date_range,
         "ev5_pipeline_aggs": _q_pipeline_aggs,
         "dd8_dedup_survivors": _q_dedup_survivors,
+        "dd9_dup_spans": _q_dup_spans,
+        "dd9_substr_scrub": _q_substr_scrub,
+        "tr2_lm_perplexity": _q_lm_perplexity,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -1662,6 +1701,120 @@ def _shingles_cte(w: int = 3) -> str:
     from kafka_es_spark.operators.dedup import shingles_sql
 
     return f"sh AS ({shingles_sql(w, 'documents')})"
+
+
+def _dup_starts_ctes(w: int) -> str:
+    """CTE chain ending in starts(doc_id, pos): positional w-grams over
+    the normalized token stream, corpus-duplicated grams (count >= 2,
+    multiplicity incl. same-doc repeats), and their start positions —
+    the DuckDB mirror of dedup.positional_grams + _dup_gram_starts."""
+    leads = ["term"] + [f"lead(term, {i}) OVER w" for i in range(1, w)]
+    gram = " || ' ' || ".join(leads)
+    return f"""
+p AS (
+  SELECT doc_id, unnest({_TOKS}) AS term,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos,
+         CASE WHEN {leads[-1]} IS NOT NULL THEN {gram} END AS gram
+  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2 AS (SELECT doc_id, pos, gram FROM g WHERE gram IS NOT NULL),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+starts AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram))"""
+
+
+_DUP_SPANS_SQL = f"""
+WITH {_dup_starts_ctes(SUBSTR_W)},
+isl AS (
+  SELECT doc_id, pos,
+         max(pos + {SUBSTR_W}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM starts
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS ni
+  FROM isl
+),
+isl3 AS (
+  SELECT doc_id, pos,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl2
+),
+spans AS (
+  SELECT doc_id, island, max(pos) + {SUBSTR_W} - min(pos) AS span_len
+  FROM isl3 GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS dup_tokens
+  FROM spans GROUP BY 1
+),
+base AS (SELECT doc_id, len({_TOKS}) AS total_tokens FROM documents)
+SELECT base.doc_id,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+             / greatest(total_tokens, 1), 4) AS dup_frac
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+_SUBSTR_SCRUB_SQL = f"""
+WITH {_dup_starts_ctes(SUBSTR_W)},
+cov AS (
+  SELECT p.doc_id, p.pos, p.term,
+         max(CASE WHEN s.pos IS NOT NULL THEN p.pos + {SUBSTR_W} END)
+           OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                 ROWS UNBOUNDED PRECEDING) AS cover_end
+  FROM p LEFT JOIN starts s ON s.doc_id = p.doc_id AND s.pos = p.pos
+),
+kept AS (
+  SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM cov WHERE cover_end IS NULL OR pos >= cover_end
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(clean_text, '') AS clean_text,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN kept USING (doc_id)
+"""
+
+_LM_PPL_SQL = f"""
+WITH p AS (
+  SELECT doc_id, unnest({_TOKS}) AS cur,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents
+),
+tr AS (
+  SELECT doc_id, lag(cur) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, cur
+  FROM p
+),
+t2 AS (SELECT doc_id, prev, cur FROM tr WHERE prev IS NOT NULL),
+lmtr AS (SELECT prev, cur FROM t2 WHERE doc_id % {LM_MOD} = 0),
+big AS (SELECT prev, cur, count(*) AS c2 FROM lmtr GROUP BY 1, 2),
+uni AS (SELECT prev, count(*) AS c1 FROM lmtr GROUP BY 1),
+v AS (SELECT count(DISTINCT cur) AS v FROM p WHERE doc_id % {LM_MOD} = 0),
+sc AS (
+  SELECT t2.doc_id,
+         ln((coalesce(c2, 0) + 1.0)
+            / (coalesce(c1, 0) + (SELECT v FROM v))) AS logp
+  FROM t2
+  LEFT JOIN big USING (prev, cur)
+  LEFT JOIN uni USING (prev)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_scored, -sum(logp) / count(*) AS ce
+  FROM sc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+       round(ce, 4) AS cross_entropy,
+       round(exp(ce), 4) AS ppl
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
 
 
 _MINHASH_SQL = f"""
@@ -2420,6 +2573,12 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT node FROM drops)
 ORDER BY doc_id
 """,
+        # ExactSubstr dedup (Lee et al. 2022 at w-token granularity):
+        # duplicated-window spans per doc, and the scrubbed corpus
+        "dd9_dup_spans": _DUP_SPANS_SQL,
+        "dd9_substr_scrub": _SUBSTR_SCRUB_SQL,
+        # CCNet LM quality: bigram-Laplace perplexity vs the %7 slice LM
+        "tr2_lm_perplexity": _LM_PPL_SQL,
         # DSIR importance weights: hashed 2-gram bucket distributions,
         # +1-smoothed log ratios, per-doc weighted sum — ln/÷ on the
         # same exact integers in both engines

@@ -557,3 +557,179 @@ def dedup_survivors(
         .join(drops, id_col, "left_anti")
         .orderBy(id_col)
     )
+
+
+# --- exact-substring (Lee et al. 2022) ----------------------------------------
+
+def positional_grams(docs: DataFrame, w: int, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, gram): POSITIONAL word w-grams, multiplicity kept
+    (unlike ``shingles``, which is distinct — substring dedup needs every
+    occurrence and its position). Docs shorter than w tokens contribute
+    nothing: they cannot contain a duplicated substring of length w.
+    Engine-portable (unnest + lead in DuckDB)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", i).over(win) for i in range(1, w)]
+    gram = F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts))
+    return (
+        toks.select("doc_id", "pos", gram.alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+
+
+def _dup_gram_starts(docs: DataFrame, w: int, min_count: int,
+                     keep_first: bool, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos) rows where a corpus-duplicated w-gram starts.
+
+    A gram is duplicated when it occurs >= min_count times in the corpus
+    (multiplicity counted, INCLUDING repeats inside one document — a
+    self-repeating doc duplicates itself, exactly as a suffix array
+    would report). With keep_first, the globally-first occurrence
+    (lowest (doc_id, pos)) of each duplicated gram is exempted — the
+    Lee et al. keep-one-copy policy; without it every occurrence is
+    marked (the conservative scrub-all variant).
+
+    Plan: one gram-keyed shuffle with map-side partial counts; the
+    mark-back is a shuffle join keyed on the gram. No pairwise join
+    anywhere — cost is O(total grams), independent of duplicate
+    cluster sizes."""
+    grams = positional_grams(docs, w, id_col, text_col)
+    agg = [F.count("*").alias("n")]
+    if keep_first:
+        agg.append(F.min(F.struct("doc_id", "pos")).alias("first_occ"))
+    dup = grams.groupBy("gram").agg(*agg).filter(F.col("n") >= min_count)
+    marked = grams.join(dup, "gram")
+    if keep_first:
+        marked = marked.filter(
+            ~((F.col("doc_id") == F.col("first_occ.doc_id"))
+              & (F.col("pos") == F.col("first_occ.pos")))
+        )
+    return marked.select("doc_id", "pos")
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    w: int = 20,
+    min_count: int = 2,
+    keep_first: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the distributed
+    analogue of Lee et al. 2022's suffix-array ExactSubstr scan
+    ("Deduplicating Training Data Makes Language Models Better"),
+    at w-token granularity instead of byte granularity: any w-token
+    window occurring >= min_count times corpus-wide marks the token
+    interval [pos, pos+w) as duplicated; overlapping intervals merge
+    into maximal spans (gaps-and-islands over one per-doc window).
+
+    Output: (doc_id, n_spans, dup_tokens, total_tokens, dup_frac) —
+    every doc gets a row (zeroes when clean). dup_frac rounds to 4dp
+    for cross-engine hash stability.
+
+    Scale: one gram shuffle + one gram join (see _dup_gram_starts),
+    then windows partitioned by doc_id — each bounded by a single
+    document's length. No corpus-sized window, no quadratic join."""
+    starts = _dup_gram_starts(docs, w, min_count, keep_first, id_col, text_col)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        starts
+        .withColumn("prev_end", F.max(F.col("pos") + F.lit(w)).over(prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end")), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(win))
+        .groupBy("doc_id", "island")
+        .agg((F.max("pos") + F.lit(w) - F.min("pos")).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_len").alias("dup_tokens"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("total_tokens"),
+    )
+    return base.join(islands, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        "total_tokens",
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("total_tokens"), F.lit(1)), 4
+        ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    w: int = 20,
+    min_count: int = 2,
+    keep_first: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The scrub half of ExactSubstr dedup: every token position covered
+    by a duplicated w-gram interval is dropped and the remainder is
+    re-joined with single spaces — over the NORMALIZED token stream
+    (the build tokenizer's lowercased, punctuation-split tokens), which
+    is the representation the duplicate detection ran on. Docs shorter
+    than w tokens pass through untouched (as their normalized join).
+
+    Output: (doc_id, clean_text, n_kept). Coverage is computed without
+    an interval join: dup-gram starts flag their position, and a
+    running max of (start + w) over each doc's token sequence marks
+    covered positions — one per-doc window, O(doc length).
+
+    Scale: identical to duplicate_span_stats plus one doc-keyed join of
+    the token stream against the (much smaller) start set."""
+    starts = _dup_gram_starts(docs, w, min_count, keep_first, id_col, text_col) \
+        .withColumn("is_start", F.lit(1))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        toks.join(starts, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cover_end",
+            F.max(
+                F.when(F.col("is_start").isNotNull(), F.col("pos") + F.lit(w))
+            ).over(run),
+        )
+        .filter(F.col("cover_end").isNull() | (F.col("pos") >= F.col("cover_end")))
+    )
+    kept = flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -244,3 +244,79 @@ def importance_weights(
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("logratio")), round_to).alias("logw"))
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    per-document perplexity under a bigram LM with Laplace (+1)
+    smoothing, trained on ``lm_docs`` (a clean reference corpus — CCNet
+    uses Wikipedia; defaults to ``docs`` itself, which turns the score
+    into an in-corpus typicality measure). Low perplexity ⇒ fluent,
+    domain-typical text; the classic head/middle/tail split thresholds
+    on this value.
+
+    Model: P(t_i | t_{i-1}) = (B(t_{i-1}, t_i) + 1) / (U(t_{i-1}) + V)
+    over the build tokenizer's normalized stream, with B/U the LM
+    corpus's bigram/unigram counts and V its distinct-vocabulary size
+    (+1 for the unseen event). Only transitions are scored (docs with
+    < 2 tokens get NULL ppl — nothing to score), so
+    ``ce = −(1/(T−1)) Σ ln P`` and ``ppl = exp(ce)``, both rounded to
+    ``round_to`` for cross-engine hash stability.
+
+    Plan at 10^12 docs: bigram/unigram counts are two partial-agg
+    shuffles over the LM corpus; scoring is two shuffle joins keyed on
+    the bigram/prev-token strings plus one doc-keyed aggregation. The
+    LM relation is NOT assumed broadcastable (a web-scale reference
+    corpus has web-scale vocabulary); when ``lm_docs`` is genuinely
+    small, AQE turns the joins into broadcasts on its own. No driver
+    collect beyond the scalar V.
+
+    Output: (doc_id, n_scored, cross_entropy, ppl) for every doc."""
+    lm = lm_docs if lm_docs is not None else docs
+
+    def _transitions(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "cur"),
+        )
+        win = Window.partitionBy("doc_id").orderBy("pos")
+        return toks.withColumn("prev", F.lag("cur").over(win)) \
+                   .filter(F.col("prev").isNotNull())
+
+    lm_tr = _transitions(lm)
+    big = lm_tr.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    uni = lm_tr.groupBy("prev").agg(F.count("*").alias("c1"))
+    v = lm.select(
+        F.explode(tokens(text_col)).alias("t")
+    ).agg(F.countDistinct("t")).collect()[0][0]
+
+    scored = (
+        _transitions(docs)
+        .join(big, ["prev", "cur"], "left")
+        .join(uni, "prev", "left")
+        .withColumn(
+            "logp",
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + F.lit(1.0))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(float(v)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            (-F.sum("logp") / F.count("*")).alias("ce"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        F.round("ce", round_to).alias("cross_entropy"),
+        F.round(F.exp("ce"), round_to).alias("ppl"),
+    )

@@ -913,3 +913,123 @@ def test_importance_weights_dsir(spark):
         assert got[d] == pytest.approx(want[d], abs=2e-4), d
     # in-domain docs outweigh off-domain docs
     assert min(got[2], got[3]) > max(got[0], got[1], got[4])
+
+
+# --- exact-substring dedup (Lee et al. 2022) ----------------------------------
+
+@pytest.fixture(scope="module")
+def substr_docs(spark):
+    return spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "intro words alpha beta gamma delta epsilon zeta different tail here"),
+        (2, "totally unique content nothing shared at all whatsoever"),
+        (3, "rep rep rep rep rep rep rep rep"),   # self-repeating
+        (4, "tiny doc"),                          # shorter than w
+    ], ["doc_id", "text"])
+
+
+def test_duplicate_span_stats_planted(spark, substr_docs):
+    """Planted shared 6-token run between docs 0/1: overlapping 4-gram
+    windows merge into ONE maximal span of 6 tokens in each doc; a
+    self-repeating doc is fully covered; clean and sub-w docs get
+    zero rows with correct totals."""
+    from kafka_es_spark.operators.dedup import duplicate_span_stats
+
+    out = {r["doc_id"]: r for r in duplicate_span_stats(substr_docs, w=4).collect()}
+    assert len(out) == 5
+    assert (out[0]["n_spans"], out[0]["dup_tokens"]) == (1, 6)
+    assert (out[1]["n_spans"], out[1]["dup_tokens"]) == (1, 6)
+    assert out[1]["total_tokens"] == 11 and out[1]["dup_frac"] == pytest.approx(0.5455)
+    assert (out[2]["n_spans"], out[2]["dup_tokens"]) == (0, 0)
+    # self-repetition counts (a suffix array would report it too)
+    assert (out[3]["dup_tokens"], out[3]["dup_frac"]) == (8, 1.0)
+    assert (out[4]["n_spans"], out[4]["total_tokens"]) == (0, 2)
+
+
+def test_remove_duplicate_spans_scrub_and_keep_first(spark, substr_docs):
+    """Scrub-all drops every covered position in every copy; keep_first
+    exempts the globally-first occurrence (lowest (doc_id, pos)) so
+    exactly one copy of the duplicated run survives."""
+    from kafka_es_spark.operators.dedup import remove_duplicate_spans
+
+    scrub = {r["doc_id"]: r for r in
+             remove_duplicate_spans(substr_docs, w=4).collect()}
+    assert scrub[0]["clean_text"] == "eta theta"
+    assert scrub[1]["clean_text"] == "intro words different tail here"
+    assert scrub[2]["n_kept"] == 8      # untouched
+    assert scrub[3] and scrub[3]["clean_text"] == "" and scrub[3]["n_kept"] == 0
+    assert scrub[4]["clean_text"] == "tiny doc"   # sub-w passthrough
+
+    keep = {r["doc_id"]: r for r in
+            remove_duplicate_spans(substr_docs, w=4, keep_first=True).collect()}
+    # doc 0 holds the first occurrence of the shared run -> intact
+    assert keep[0]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert keep[1]["clean_text"] == "intro words different tail here"
+    # self-repeater keeps its first copy's uncovered prefix
+    assert keep[3]["n_kept"] == 1
+
+
+def test_duplicate_spans_python_parity(spark):
+    """Brute-force python recompute of covered positions on a random-ish
+    deterministic corpus must equal the operator's dup_tokens."""
+    from kafka_es_spark.operators.dedup import duplicate_span_stats
+
+    w = 3
+    rng_words = ["a", "b", "c", "d", "e"]
+    texts = []
+    for i in range(30):
+        toks = [rng_words[(i * 7 + j * j) % 5] for j in range(12)]
+        texts.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    from collections import Counter
+    grams = Counter()
+    per_doc = {}
+    for i, t in texts:
+        toks = t.split()
+        per_doc[i] = toks
+        for p in range(len(toks) - w + 1):
+            grams[" ".join(toks[p:p + w])] += 1
+    expect = {}
+    for i, toks in per_doc.items():
+        covered = set()
+        for p in range(len(toks) - w + 1):
+            if grams[" ".join(toks[p:p + w])] >= 2:
+                covered.update(range(p, p + w))
+        expect[i] = len(covered)
+
+    out = {r["doc_id"]: r["dup_tokens"]
+           for r in duplicate_span_stats(docs, w=w).collect()}
+    assert out == expect
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Bigram-Laplace perplexity against a by-hand recompute; docs with
+    < 2 tokens get NULL ppl; LM-typical text scores lower than text the
+    LM never saw."""
+    import math
+
+    from kafka_es_spark.operators.traindata import lm_perplexity
+
+    lm = spark.createDataFrame(
+        [(0, "a b a b a c"), (1, "a b c")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame([
+        (10, "a b a"),        # transitions the LM likes
+        (11, "c c c"),        # unseen transitions
+        (12, "x"),            # single token: nothing to score
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_perplexity(docs, lm).collect()}
+
+    # LM counts: bigrams ab=3, ba=2, ac=1, bc=1; transition sources
+    # a=4, b=3 (c never precedes anything); V = |{a, b, c}| = 3.
+    def p(c2, c1):
+        return (c2 + 1) / (c1 + 3)
+
+    ce10 = -(math.log(p(3, 4)) + math.log(p(2, 3))) / 2
+    assert out[10]["cross_entropy"] == pytest.approx(round(ce10, 4))
+    assert out[10]["ppl"] == pytest.approx(round(math.exp(ce10), 4))
+    ce11 = -2 * math.log(p(0, 0)) / 2
+    assert out[11]["ppl"] == pytest.approx(round(math.exp(ce11), 4))
+    assert out[10]["ppl"] < out[11]["ppl"]
+    assert out[12]["n_scored"] == 0 and out[12]["ppl"] is None
