@@ -614,6 +614,62 @@ def _q_agg_filters(spark, sf_dir):
     )
 
 
+RARE_MAX = 2
+
+
+def _q_agg_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation: the long-tail inverse of terms —
+    n_chars values carried by at most RARE_MAX hit docs, count asc.
+    Exact (ES approximates with a CuckooFilter)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_rare_terms(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        max_doc_count=RARE_MAX,
+    )
+
+
+def _q_agg_multi_terms(spark, sf_dir):
+    """ES multi_terms aggregation: compound (lang, source) buckets of
+    the OR-mode hit set, top 10 by doc_count — one hash aggregate on
+    the field tuple."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_multi_terms(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir),
+        ["lang", "source"], size=10,
+    )
+
+
+def _q_agg_adjacency(spark, sf_dir):
+    """ES adjacency_matrix aggregation: the three named filters plus
+    every pairwise intersection, one conditional-sum pass, zero-doc
+    buckets omitted."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_adjacency_matrix(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), AGG_FILTERS,
+    )
+
+
+TOP_METRICS_SIZE = 3
+
+
+def _q_agg_top_metrics(spark, sf_dir):
+    """ES top_metrics aggregation: source carried by the 3 longest
+    (n_chars desc) hit docs — "metric at the sort peak", ties on url."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_top_metrics(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir),
+        "n_chars", "source", size=TOP_METRICS_SIZE,
+    )
+
+
 FS_FACTOR = 0.1
 
 
@@ -1504,6 +1560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_percentiles": _q_agg_percentiles,
         "x8_agg_range": _q_agg_range,
         "x8_agg_filters": _q_agg_filters,
+        "x8_agg_rare_terms": _q_agg_rare_terms,
+        "x8_agg_multi_terms": _q_agg_multi_terms,
+        "x8_agg_adjacency": _q_agg_adjacency,
+        "x8_agg_top_metrics": _q_agg_top_metrics,
         "x8_function_score": _q_function_score,
         "x8_query_string": _q_query_string,
         "x8_agg_composite": _q_agg_composite,
@@ -2856,6 +2916,50 @@ SELECT 'english' AS filter_key,
 UNION ALL SELECT 'long_docs', (SELECT count(*) FROM d WHERE n_chars >= 400)
 UNION ALL SELECT 'src0', (SELECT count(*) FROM d WHERE source = 'src0')
 ORDER BY filter_key
+""",
+        # rare_terms: long-tail buckets, exact
+        "x8_agg_rare_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+d AS (SELECT * FROM documents JOIN hits USING (doc_id))
+SELECT n_chars, count(*) AS doc_count FROM d
+GROUP BY 1 HAVING count(*) <= {RARE_MAX}
+ORDER BY doc_count, n_chars
+""",
+        # multi_terms: compound (lang, source) buckets, top 10
+        "x8_agg_multi_terms": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+d AS (SELECT * FROM documents JOIN hits USING (doc_id))
+SELECT lang, source, count(*) AS doc_count FROM d
+GROUP BY 1, 2 ORDER BY doc_count DESC, lang, source LIMIT 10
+""",
+        # adjacency_matrix: named filters + pairwise intersections, no zeros
+        "x8_agg_adjacency": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+d AS (SELECT * FROM documents JOIN hits USING (doc_id))
+SELECT key, doc_count FROM (
+  SELECT 'english' AS key,
+         (SELECT count(*) FROM d WHERE lang = 'en') AS doc_count
+  UNION ALL SELECT 'long_docs', (SELECT count(*) FROM d WHERE n_chars >= 400)
+  UNION ALL SELECT 'src0', (SELECT count(*) FROM d WHERE source = 'src0')
+  UNION ALL SELECT 'english&long_docs',
+         (SELECT count(*) FROM d WHERE lang = 'en' AND n_chars >= 400)
+  UNION ALL SELECT 'english&src0',
+         (SELECT count(*) FROM d WHERE lang = 'en' AND source = 'src0')
+  UNION ALL SELECT 'long_docs&src0',
+         (SELECT count(*) FROM d WHERE n_chars >= 400 AND source = 'src0')
+) WHERE doc_count > 0 ORDER BY key
+""",
+        # top_metrics: metric at the sort-field peak, ties on url
+        "x8_agg_top_metrics": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+d AS (SELECT * FROM documents JOIN hits USING (doc_id))
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       n_chars AS sort_value, source AS metric_value
+FROM d ORDER BY n_chars DESC, url LIMIT {TOP_METRICS_SIZE}
 """,
         # function_score field_value_factor: unrounded BM25 sum times
         # ln(1 + factor * n_chars), rounded once at the end (the engine

@@ -2055,6 +2055,180 @@ class Searcher:
             (F.count(F.lit(1)) - F.count(field)).alias("missing_count"),
         )
 
+    def agg_rare_terms(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        field: str,
+        max_doc_count: int = 1,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES rare_terms aggregation: the LONG-TAIL inverse of terms —
+        buckets whose doc_count is ≤ ``max_doc_count``, ordered count
+        asc then value asc. ES approximates with a CuckooFilter to
+        bound memory; this implementation is exact — the aggregate is
+        the same tiny (#distinct-values)-row relation facet_terms
+        builds, and the rarity filter is a post-aggregation predicate
+        Catalyst keeps in the same stage, so exactness costs nothing
+        extra at any corpus size."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        return (
+            j.groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") <= int(max_doc_count))
+            .orderBy(F.col("doc_count").asc(), F.col(field).asc())
+        )
+
+    def agg_multi_terms(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        fields: list[str],
+        size: int = 10,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES multi_terms aggregation: terms buckets keyed on the
+        COMPOUND value of several fields (the ES answer to "group by
+        two columns"), top ``size`` by doc_count desc then the key
+        fields asc. Plan identical to facet_terms — one hash aggregate
+        keyed on the field tuple; compound keys add no extra shuffle.
+
+        With ``field_values=None`` every field must be stored in the
+        docmap (the doc-values path: one dense-id join)."""
+        if len(fields) < 2:
+            raise ValueError("multi_terms needs >= 2 fields (use facet_terms)")
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        if field_values is None:
+            missing = [f for f in fields if f not in dm.columns]
+            if missing:
+                raise ValueError(
+                    f"fields {missing} not stored in this index's docmap; "
+                    "build with store_fields=(...) or pass field_values"
+                )
+            j = hits.join(dm.select("doc_id", *fields), "doc_id")
+        else:
+            j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+                field_values.select("url", *fields), "url"
+            )
+        return (
+            j.groupBy(*fields)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), *[F.col(f).asc() for f in fields])
+            .limit(int(size))
+        )
+
+    def agg_adjacency_matrix(
+        self,
+        query: str,
+        field_values: DataFrame,
+        filters: dict[str, str],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES adjacency_matrix aggregation: named predicate buckets PLUS
+        every pairwise intersection — bucket ``a&b`` counts docs
+        matching both predicates (ES key syntax). Zero-doc buckets are
+        omitted, exactly as ES omits them.
+
+        Single-pass plan like agg_filters: one conditional-sum
+        aggregate row covering all names and pairs (O(n²) COLUMNS, not
+        rows or passes — ES caps n at 100 for the same quadratic
+        reason), unpivoted with stack. The hit-set scan happens once
+        regardless of filter count."""
+        if len(filters) > 50:
+            raise ValueError(
+                "adjacency_matrix is quadratic in filter count; "
+                f"{len(filters)} > 50 (ES caps at 100)"
+            )
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        j = hits.join(dm, "doc_id").join(field_values, "url")
+        names = sorted(filters)
+        keys, conds = [], []
+        for i, n in enumerate(names):
+            keys.append(n)
+            conds.append(F.expr(filters[n]))
+            for m in names[i + 1:]:
+                keys.append(f"{n}&{m}")
+                conds.append(F.expr(filters[n]) & F.expr(filters[m]))
+        aggs = [
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+            for i, c in enumerate(conds)
+        ]
+        stack = ", ".join(
+            f"'{k}', _b{i}" for i, k in enumerate(keys)
+        )
+        return (
+            j.agg(*aggs)
+            .selectExpr(f"stack({len(keys)}, {stack}) AS (key, doc_count)")
+            .filter(F.col("doc_count") > 0)
+            .orderBy("key")
+        )
+
+    def agg_top_metrics(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        sort_field: str,
+        metric_field: str,
+        size: int = 1,
+        sort: str = "desc",
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES top_metrics aggregation: the metric value(s) carried by the
+        ``size`` hit-set docs with the largest (``sort="desc"``) or
+        smallest sort-field value — "what was X on the row where Y
+        peaked". Ties break on url asc (ES picks arbitrarily; this is
+        deterministic). Plan: hit fields → TakeOrderedAndProject — the
+        limit rides the sort, no full-sort shuffle at any corpus size."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        cols = [sort_field, metric_field]
+        if field_values is None:
+            missing = [f for f in cols if f not in dm.columns]
+            if missing:
+                raise ValueError(
+                    f"fields {missing} not stored in this index's docmap; "
+                    "build with store_fields=(...) or pass field_values"
+                )
+            j = hits.join(dm.select("doc_id", "url", *cols), "doc_id")
+        else:
+            j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+                field_values.select("url", *cols), "url"
+            )
+        key = F.col(sort_field).desc() if sort == "desc" else F.col(sort_field).asc()
+        return (
+            j.orderBy(key, F.col("url").asc())
+            .select(
+                F.col("url"),
+                F.col(sort_field).alias("sort_value"),
+                F.col(metric_field).alias("metric_value"),
+            )
+            .limit(int(size))
+        )
+
     def collapse_topk(
         self,
         query: str,

@@ -1556,3 +1556,85 @@ def test_stored_field_plan_has_no_external_relation(spark, pages, tmp_path):
         assert printed.startswith(idx) or idx.startswith(printed), (
             f"non-index relation in stored plan: {line}"
         )
+
+
+def test_rare_multi_adjacency_top_metrics_aggs(spark, index_dir, pages, doc_terms):
+    """Round-4 agg family: rare_terms (long-tail buckets), multi_terms
+    (compound keys), adjacency_matrix (pairwise filter intersections,
+    zero buckets omitted), top_metrics (metric at the sort peak) — all
+    checked against a pandas recompute of the OR hit set."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    q = "data index search"
+    qterms = set(q.split())
+    or_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if qterms & set(ts)
+    }
+    s = Searcher(spark, index_dir, cache=False)
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).select(
+        "doc_id", "url"
+    )
+    fv = pages.select(
+        "url", "lang", F.length("text").cast("int").alias("n_chars")
+    )
+    rows = {
+        r["doc_id"]: (r["lang"], r["n_chars"], r["url"])
+        for r in dm.join(fv, "url").collect()
+    }
+    hit_rows = [rows[d] for d in or_hits]
+
+    # rare_terms on n_chars, max_doc_count=2
+    from collections import Counter
+    cnt = Counter(n for _, n, _ in hit_rows)
+    want_rare = sorted(
+        ((n, c) for n, c in cnt.items() if c <= 2), key=lambda e: (e[1], e[0])
+    )
+    got_rare = [
+        (r["n_chars"], r["doc_count"])
+        for r in s.agg_rare_terms(q, fv, "n_chars", max_doc_count=2).collect()
+    ]
+    assert got_rare == want_rare
+
+    # multi_terms on (lang, n_chars-bucket is overkill) -> (lang,) pairs need 2 fields
+    fv2 = fv.withColumn("band", (F.col("n_chars") / 100).cast("int"))
+    pairs = Counter((rows[d][0], rows[d][1] // 100) for d in or_hits)
+    want_mt = sorted(
+        ((l, b, c) for (l, b), c in pairs.items()),
+        key=lambda e: (-e[2], e[0], e[1]),
+    )[:5]
+    got_mt = [
+        (r["lang"], r["band"], r["doc_count"])
+        for r in s.agg_multi_terms(q, fv2, ["lang", "band"], size=5).collect()
+    ]
+    assert got_mt == want_mt
+    with pytest.raises(ValueError, match=">= 2 fields"):
+        s.agg_multi_terms(q, fv2, ["lang"])
+
+    # adjacency_matrix: en / long plus their intersection; zeros omitted
+    filters = {"en": "lang = 'en'", "long": "n_chars >= 300"}
+    n_en = sum(1 for l, n, _ in hit_rows if l == "en")
+    n_long = sum(1 for l, n, _ in hit_rows if n >= 300)
+    n_both = sum(1 for l, n, _ in hit_rows if l == "en" and n >= 300)
+    want_adj = [
+        (k, v) for k, v in
+        [("en", n_en), ("en&long", n_both), ("long", n_long)] if v > 0
+    ]
+    got_adj = [
+        (r["key"], r["doc_count"])
+        for r in s.agg_adjacency_matrix(q, fv, filters).collect()
+    ]
+    assert got_adj == want_adj
+
+    # top_metrics: lang at the n_chars peak, ties on url asc
+    want_top = sorted(hit_rows, key=lambda e: (-e[1], e[2]))[:2]
+    want_top = [(u, n, l) for l, n, u in want_top]
+    got_top = [
+        (r["url"], r["sort_value"], r["metric_value"])
+        for r in s.agg_top_metrics(q, fv, "n_chars", "lang", size=2).collect()
+    ]
+    assert got_top == want_top
+    # ascending sort variant
+    want_asc = sorted(hit_rows, key=lambda e: (e[1], e[2]))[:1]
+    got_asc = s.agg_top_metrics(q, fv, "n_chars", "lang", size=1, sort="asc").collect()
+    assert got_asc[0]["sort_value"] == want_asc[0][1]
