@@ -160,6 +160,42 @@ def _q_wand_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+REINDEX_TERM = "spark"
+
+
+def _ensure_reindexed(spark, sf_dir) -> str:
+    """ES _reindex analogue, cached like _ensure_index: subset index over
+    the docs matching REINDEX_TERM in the source index (hit set semi-join
+    onto the corpus, fresh dense ids, fresh stats)."""
+    import os
+
+    from kafka_es_spark.plans.build_index import reindex
+    from kafka_es_spark.sources.pages import docs_as_pages
+
+    idx = _ensure_index(spark, sf_dir)
+    ridx = f"/tmp/kafka_es_reindex_v1_{_corpus_tag(sf_dir)}"
+    if not os.path.exists(os.path.join(ridx, "_manifest", "term_stats.json")):
+        reindex(
+            spark, idx, docs_as_pages(spark, sf_dir), ridx,
+            query=REINDEX_TERM, seg_bits=8, n_term_buckets=8,
+        )
+    return ridx
+
+
+def _q_reindex_topk(spark, sf_dir):
+    """X10 — ES _reindex with query: WAND top-k over the reindexed subset
+    index must equal exhaustive BM25 over the query-filtered corpus with
+    stats recomputed on the subset (a fresh index, not a view)."""
+    from kafka_es_spark.operators.wand import wand_topk
+
+    ridx = _ensure_reindexed(spark, sf_dir)
+    out = wand_topk(
+        spark, ridx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_wand_and_topk(spark, sf_dir):
     """X8 conjunctive half (ES bool.must): every query term must match —
     per-range posting-list INTERSECTION over the same index, same BM25
@@ -1532,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
         "x8_and_topk": _q_wand_and_topk,
+        "x10_reindex_topk": _q_reindex_topk,
         "x8_msm_topk": _q_wand_msm_topk,
         "x8_phrase_topk": _q_phrase_topk,
         "x8_sloppy_phrase_topk": _q_sloppy_phrase_topk,
@@ -2243,6 +2280,13 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
         "x8_and_topk": _bm25_sql("documents", conjunctive=True),
+        # _reindex with query: BM25 over the subset corpus, subset stats
+        "x10_reindex_topk": _bm25_sql(
+            "(SELECT * FROM documents WHERE doc_id IN ("
+            "  SELECT DISTINCT doc_id FROM ("
+            f"    SELECT doc_id, unnest({_TOKS}) AS term FROM documents"
+            f"  ) WHERE term = '{REINDEX_TERM}'))"
+        ),
         "x8_msm_topk": _bm25_sql("documents", min_match=2),
         "x8_prefix_topk": _bm25_sql(
             "documents",

@@ -287,3 +287,51 @@ def build_index(
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats.json")) as f:
         return json.load(f)
+
+
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    pages: DataFrame,
+    dst_index_dir: str,
+    query: str | None = None,
+    mode: str = "or",
+    must_not: str | None = None,
+    **build_kw,
+) -> dict:
+    """The ES ``_reindex`` analogue: build a FRESH index (new seg_bits /
+    buckets / codec / store_fields — the reasons one reindexes) over the
+    subset of the corpus matching ``query`` against the SOURCE index.
+
+    ES reindex reads each doc's ``_source``; this engine keeps sources
+    in the external corpus relation (``pages``), so the filter is the
+    source index's hit set (posting-list algebra, no scoring) semi-joined
+    onto ``pages`` by url — the 100 TB side is touched once, pruned by
+    the (typically far smaller) hit set. ``query=None`` reindexes every
+    live doc (the settings-migration case), which also drops tombstoned
+    docs — reindex-as-compaction, exactly like ES. Doc ids in the new
+    index are freshly dense-assigned (reference: ES assigns new Lucene
+    ids on reindex too; identity is the url).
+
+    Returns build_index's manifest summary for the new index."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, src_index_dir, cache=False)
+    try:
+        dm = spark.read.parquet(os.path.join(src_index_dir, "docmap"))
+        if query is not None:
+            hits = s.matching_doc_ids(query, mode=mode, must_not=must_not)
+            urls = hits.join(dm.select("doc_id", "url"), "doc_id").select("url")
+        else:
+            from kafka_es_spark.operators.deletes import read_tombstone_ids
+
+            dead = read_tombstone_ids(spark, src_index_dir)
+            urls = dm.select("doc_id", "url")
+            if dead:
+                # bounded by MAX_PENDING_TOMBSTONES — safe as a literal filter
+                urls = urls.filter(~F.col("doc_id").isin(*sorted(dead)))
+            urls = urls.select("url")
+        subset = pages.join(urls, "url", "left_semi")
+        return build_index(spark, subset, dst_index_dir, **build_kw)
+    finally:
+        s.close()

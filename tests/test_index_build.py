@@ -1638,3 +1638,45 @@ def test_rare_multi_adjacency_top_metrics_aggs(spark, index_dir, pages, doc_term
     want_asc = sorted(hit_rows, key=lambda e: (e[1], e[2]))[:1]
     got_asc = s.agg_top_metrics(q, fv, "n_chars", "lang", size=1, sort="asc").collect()
     assert got_asc[0]["sort_value"] == want_asc[0][1]
+
+
+def test_reindex_with_query_and_tombstone_drop(spark, pages, index_dir, doc_terms, tmp_path):
+    """ES _reindex analogue: (a) reindex with a query builds a fresh
+    subset index whose corpus is exactly the source hit set, with fresh
+    dense ids and subset-recomputed stats; (b) reindex without a query
+    drops tombstoned docs (reindex-as-compaction)."""
+    from kafka_es_spark.operators.deletes import add_tombstones
+    from kafka_es_spark.operators.wand import Searcher
+    from kafka_es_spark.plans.build_index import build_index, reindex
+
+    want_hits = {
+        d for d, ts in zip(doc_terms["doc_id"], doc_terms["terms"])
+        if "data" in set(ts)
+    }
+    dst = str(tmp_path / "reidx")
+    reindex(spark, index_dir, pages, dst, query="data",
+            seg_bits=SEG_BITS, n_term_buckets=8)
+    dm_src = {r["doc_id"]: r["url"] for r in spark.read.parquet(
+        os.path.join(index_dir, "docmap")).select("doc_id", "url").collect()}
+    dm_dst = spark.read.parquet(os.path.join(dst, "docmap"))
+    got_urls = {r["url"] for r in dm_dst.select("url").collect()}
+    assert got_urls == {dm_src[d] for d in want_hits}
+    # fresh dense ids over the subset
+    ids = sorted(r["doc_id"] for r in dm_dst.select("doc_id").collect())
+    assert ids == list(range(len(want_hits)))
+    # subset stats: searcher over the new index answers queries
+    s = Searcher(spark, dst, cache=False)
+    n = s.match_count("data").collect()[0]["n_hits"]
+    assert n == len(want_hits)
+    s.close()
+
+    # (b) tombstone-dropping full reindex
+    src2 = str(tmp_path / "src2")
+    build_index(spark, pages, src2, seg_bits=SEG_BITS, n_term_buckets=8)
+    dead = sorted(want_hits)[:3]
+    add_tombstones(spark, src2, dead)
+    dst2 = str(tmp_path / "reidx2")
+    reindex(spark, src2, pages, dst2, seg_bits=SEG_BITS, n_term_buckets=8)
+    got2 = {r["url"] for r in spark.read.parquet(
+        os.path.join(dst2, "docmap")).select("url").collect()}
+    assert got2 == set(dm_src.values()) - {dm_src[d] for d in dead}
