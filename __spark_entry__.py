@@ -160,6 +160,33 @@ def _q_wand_topk(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+PS_INPUT = ("tabl", "scah")  # misspellings of corpus terms table/scan
+PS_PER_SLOT, PS_MAX_ERRORS, PS_SIZE = 5, 2, 5
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: whole-input corrections of 'tabl scah' ranked
+    by the corpus bigram LM (Laplace-smoothed), candidates within 1 edit
+    per slot from the term dictionary, at most 2 slots changed."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    return s.phrase_suggest(
+        " ".join(PS_INPUT), _docs_url_text(spark, sf_dir),
+        per_slot=PS_PER_SLOT, max_errors=PS_MAX_ERRORS, size=PS_SIZE,
+    )
+
+
+def _docs_url_text(spark, sf_dir):
+    """documents as the (url, text) source relation the docmap keys on."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+
+
 REINDEX_TERM = "spark"
 
 
@@ -1569,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_wand_topk": _q_wand_topk,
         "x8_and_topk": _q_wand_and_topk,
         "x10_reindex_topk": _q_reindex_topk,
+        "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
         "x8_phrase_topk": _q_phrase_topk,
         "x8_sloppy_phrase_topk": _q_sloppy_phrase_topk,
@@ -2280,6 +2308,54 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the compressed index must reproduce the exhaustive SQL
         "x8_wand_topk": _BM25_SQL,
         "x8_and_topk": _bm25_sql("documents", conjunctive=True),
+        # phrase suggester: per-slot dictionary candidates, bigram-LM rank
+        "x8_phrase_suggest": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term,
+         generate_subscripts({_TOKS}, 1) - 1 AS pos
+  FROM documents
+),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+inp AS (SELECT 0 AS slot, '{PS_INPUT[0]}' AS input
+        UNION ALL SELECT 1, '{PS_INPUT[1]}'),
+c0 AS (
+  SELECT slot, input, term, df,
+         levenshtein(term, input) AS dist,
+         row_number() OVER (
+           PARTITION BY slot
+           ORDER BY levenshtein(term, input), df DESC, term
+         ) AS rnk
+  FROM dict JOIN inp
+    ON substr(term, 1, 1) = substr(input, 1, 1)
+   AND length(term) BETWEEN length(input) - 1 AND length(input) + 1
+   AND levenshtein(term, input) <= 1
+),
+cand AS (
+  SELECT DISTINCT slot, term FROM c0 WHERE rnk <= {PS_PER_SLOT}
+  UNION SELECT slot, input FROM inp
+),
+tr AS (
+  SELECT a.term AS prev, b.term AS cur
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+v AS (SELECT count(DISTINCT term) AS v FROM toks),
+phr AS (
+  SELECT a.term || ' ' || b.term AS suggestion,
+         round(ln((coalesce(bg.n, 0) + 1.0)
+                  / (coalesce(u.n, 0) + (SELECT v FROM v))), 4) AS score,
+         CAST(a.term <> '{PS_INPUT[0]}' AS INT)
+           + CAST(b.term <> '{PS_INPUT[1]}' AS INT) AS n_changed
+  FROM (SELECT term FROM cand WHERE slot = 0) a
+  CROSS JOIN (SELECT term FROM cand WHERE slot = 1) b
+  LEFT JOIN (SELECT prev, cur, count(*) AS n FROM tr GROUP BY 1, 2) bg
+    ON bg.prev = a.term AND bg.cur = b.term
+  LEFT JOIN (SELECT prev, count(*) AS n FROM tr GROUP BY 1) u
+    ON u.prev = a.term
+)
+SELECT suggestion, score, CAST(n_changed AS BIGINT) AS n_changed
+FROM phr WHERE n_changed <= {PS_MAX_ERRORS}
+ORDER BY score DESC, suggestion LIMIT {PS_SIZE}
+""",
         # _reindex with query: BM25 over the subset corpus, subset stats
         "x10_reindex_topk": _bm25_sql(
             "(SELECT * FROM documents WHERE doc_id IN ("

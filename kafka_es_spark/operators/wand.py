@@ -1492,6 +1492,143 @@ class Searcher:
             .orderBy("input", "rnk")
         )
 
+    def phrase_suggest(
+        self,
+        text: str,
+        docs_text: DataFrame,
+        max_edits: int = 1,
+        per_slot: int = 5,
+        max_errors: int = 1,
+        size: int = 5,
+        prefix_length: int = 1,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES phrase-suggester analogue (``suggest: {phrase: {...}}``):
+        whole-input corrections ranked by a bigram language model over
+        the corpus, instead of the term suggester's per-token view.
+
+        Per input slot, candidates are dictionary terms within
+        ``max_edits`` (the original term rides along at distance 0 —
+        forced if absent from the dictionary, so a slot can always stay
+        unchanged), capped at ``per_slot`` by (dist, df desc, term). A
+        candidate phrase changes at most ``max_errors`` slots (the ES
+        knob); phrases score ``Σ ln P(tᵢ|tᵢ₋₁)`` under the corpus bigram
+        LM with Laplace (+1) smoothing — the same model lm_perplexity
+        trains — rounded for engine portability.
+
+        Plan at 10^12 docs: the dictionary scan is pruned by prefix +
+        length band exactly as ``suggest``; the corpus pass joins its
+        transition stream against a BROADCAST candidate-pair dimension
+        (≤ per_slot² · slots rows) so only matching bigrams aggregate;
+        everything collected is query-sized (candidates, pair counts,
+        source counts, one scalar V). Phrase enumeration is driver-side
+        over ≤ Σ|candᵢ|^max_errors combos — bounded by the input length,
+        never the corpus.
+
+        Output: (suggestion, score, n_changed), score desc."""
+        from kafka_es_spark.functions.tokenize import tokenize_py, tokens
+
+        spark = self.spark
+        toks = tokenize_py(text)
+        if len(toks) < 2:
+            raise ValueError("phrase_suggest needs >= 2 tokens (bigram LM)")
+        if max_errors < 0:
+            raise ValueError("max_errors must be >= 0")
+
+        slots = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "slot long, input string"
+        )
+        cand = (
+            self.term_stats.select("term", "df")
+            .join(
+                F.broadcast(slots),
+                (F.length("term") >= F.length("input") - int(max_edits))
+                & (F.length("term") <= F.length("input") + int(max_edits))
+                & (
+                    F.substring("term", 1, int(prefix_length))
+                    == F.substring("input", 1, int(prefix_length))
+                ),
+            )
+            .withColumn("dist", F.levenshtein("term", "input").cast("long"))
+            .filter(F.col("dist") <= int(max_edits))
+        )
+        w = Window.partitionBy("slot").orderBy(
+            F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+        )
+        top = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= int(per_slot))
+            .select("slot", "term", "dist")
+            .collect()
+        )
+        by_slot: dict[int, list[tuple[str, int]]] = {}
+        for r in top:
+            by_slot.setdefault(int(r["slot"]), []).append(
+                (r["term"], int(r["dist"]))
+            )
+        for i, t in enumerate(toks):  # original always available, dist 0
+            cands = by_slot.setdefault(i, [])
+            if t not in {c for c, _ in cands}:
+                cands.append((t, 0))
+            by_slot[i] = sorted(
+                {(c, 0 if c == t else d) for c, d in cands},
+                key=lambda e: (e[1], e[0]),
+            )
+
+        # corpus bigram/unigram counts for ONLY the candidate pairs
+        pairs = sorted({
+            (a, b)
+            for i in range(len(toks) - 1)
+            for a, _ in by_slot[i]
+            for b, _ in by_slot[i + 1]
+        })
+        pair_dim = spark.createDataFrame(pairs, "prev string, cur string")
+        tk = docs_text.select(
+            "url", F.posexplode(tokens("text")).alias("pos", "cur")
+        )
+        winp = Window.partitionBy("url").orderBy("pos")
+        tr = tk.withColumn("prev", F.lag("cur").over(winp)).filter(
+            F.col("prev").isNotNull()
+        )
+        big = {
+            (r["prev"], r["cur"]): int(r["n"])
+            for r in tr.join(F.broadcast(pair_dim), ["prev", "cur"])
+            .groupBy("prev", "cur").agg(F.count("*").alias("n")).collect()
+        }
+        srcs = sorted({a for a, _ in pairs})
+        uni = {
+            r["prev"]: int(r["n"])
+            for r in tr.filter(F.col("prev").isin(srcs))
+            .groupBy("prev").agg(F.count("*").alias("n")).collect()
+        }
+        v = int(
+            docs_text.select(F.explode(tokens("text")).alias("t"))
+            .agg(F.countDistinct("t")).collect()[0][0]
+        )
+
+        import math
+
+        def lp(a: str, b: str) -> float:
+            return math.log((big.get((a, b), 0) + 1) / (uni.get(a, 0) + v))
+
+        results: list[tuple[str, float, int]] = []
+
+        def rec(i: int, chosen: list[str], changed: int) -> None:
+            if i == len(toks):
+                s = sum(lp(chosen[j - 1], chosen[j]) for j in range(1, len(chosen)))
+                results.append((" ".join(chosen), round(s, round_to), changed))
+                return
+            for c, _ in by_slot[i]:
+                dc = changed + (c != toks[i])
+                if dc <= max_errors:
+                    rec(i + 1, chosen + [c], dc)
+
+        rec(0, [], 0)
+        out = sorted(results, key=lambda e: (-e[1], e[0]))[: int(size)]
+        return spark.createDataFrame(
+            out, "suggestion string, score double, n_changed long"
+        )
+
     def mget(
         self,
         urls: list[str],

@@ -1680,3 +1680,49 @@ def test_reindex_with_query_and_tombstone_drop(spark, pages, index_dir, doc_term
     got2 = {r["url"] for r in spark.read.parquet(
         os.path.join(dst2, "docmap")).select("url").collect()}
     assert got2 == set(dm_src.values()) - {dm_src[d] for d in dead}
+
+
+def test_phrase_suggest_bigram_lm_ranking(spark, index_dir, pages, tmp_path):
+    """ES phrase suggester: per-slot dictionary candidates within 1 edit,
+    whole-phrase ranking by the corpus bigram LM — a planted corpus where
+    'data index' dominates must rank it above the unchanged misspelling
+    and any single-token fix; max_errors gates multi-slot fixes; < 2
+    tokens raises."""
+    import math
+
+    from kafka_es_spark.operators.wand import Searcher
+    from kafka_es_spark.plans.build_index import build_index
+
+    docs = spark.createDataFrame(
+        [(f"doc://{i}", "data index " * 5) for i in range(4)]
+        + [("doc://9", "dita indev once")],
+        ["url", "text"],
+    )
+    idx = str(tmp_path / "psidx")
+    build_index(
+        spark,
+        docs.withColumnRenamed("text", "t").selectExpr(
+            "url", "NULL AS warc_ts", "CAST(NULL AS BINARY) AS html",
+            "t AS text", "'en' AS lang",
+        ),
+        idx, seg_bits=SEG_BITS, n_term_buckets=4,
+    )
+    s = Searcher(spark, idx, cache=False)
+    out = s.phrase_suggest("dita indev", docs, max_errors=2, size=10)
+    rows = out.collect()
+    assert rows[0]["suggestion"] == "data index" and rows[0]["n_changed"] == 2
+
+    # hand-check the winning score: corpus transitions
+    # 'data index'x5 per doc x4 docs: B(data,index)=20, B(index,data)=16;
+    # doc9: B(dita,indev)=1, B(indev,once)=1. U(data)=20, V=|{data,index,
+    # dita,indev,once}|=5
+    want = round(math.log((20 + 1) / (20 + 5)), 4)
+    assert rows[0]["score"] == pytest.approx(want)
+
+    # max_errors=1 forbids the two-slot fix
+    one = s.phrase_suggest("dita indev", docs, max_errors=1, size=10)
+    assert all(r["n_changed"] <= 1 for r in one.collect())
+
+    with pytest.raises(ValueError, match=">= 2 tokens"):
+        s.phrase_suggest("data", docs)
+    s.close()
