@@ -956,6 +956,22 @@ def _q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(d, comps)
 
 
+DOMAIN_CAP = 10
+
+
+def _q_cap_per_source(spark, sf_dir):
+    """RefinedWeb-style per-domain cap (source plays the host key in the
+    driver corpus): keep at most 30 docs per source, best n_chars first,
+    doc_id tie-break; under-cap sources bypass the window entirely."""
+    from kafka_es_spark.operators.traindata import cap_per_key
+
+    d = _docs(spark, sf_dir)
+    return cap_per_key(
+        d.select("doc_id", "source", "n_chars"), "source", DOMAIN_CAP,
+        rank_col="n_chars",
+    )
+
+
 SUBSTR_W = 5  # entry-sized window; the operator default is 20 (Lee et al.)
 
 
@@ -1648,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd9_dup_spans": _q_dup_spans,
         "dd9_substr_scrub": _q_substr_scrub,
         "tr2_lm_perplexity": _q_lm_perplexity,
+        "sp2_cap_per_source": _q_cap_per_source,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2759,6 +2776,16 @@ ORDER BY doc_id
         "dd9_substr_scrub": _SUBSTR_SCRUB_SQL,
         # CCNet LM quality: bigram-Laplace perplexity vs the %7 slice LM
         "tr2_lm_perplexity": _LM_PPL_SQL,
+        # per-domain cap: top-N per source by (n_chars desc, doc_id)
+        "sp2_cap_per_source": f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rnk
+  FROM documents
+) WHERE rnk <= {DOMAIN_CAP}
+""",
         # DSIR importance weights: hashed 2-gram bucket distributions,
         # +1-smoothed log ratios, per-doc weighted sum — ln/÷ on the
         # same exact integers in both engines

@@ -320,3 +320,57 @@ def lm_perplexity(
         F.round("ce", round_to).alias("cross_entropy"),
         F.round(F.exp("ce"), round_to).alias("ppl"),
     )
+
+
+def host_of(url_col: "Column | str") -> "Column":
+    """Registrable-host extraction from a url column, pure Column regex
+    (no Python): scheme and userinfo stripped, port and path dropped,
+    lowercased. A full public-suffix-list reduction (co.uk etc.) needs
+    the PSL data file — out of sandbox scope; the host is the grouping
+    key RefinedWeb-style per-domain caps actually use."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(
+        F.regexp_extract(c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def cap_per_key(
+    docs: DataFrame,
+    key_col: str,
+    cap: int,
+    rank_col: str | None = None,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain (per-key) document caps — the RefinedWeb/C4 guard
+    against a single host flooding the training mix: keep at most
+    ``cap`` docs per ``key_col`` value, ranked by ``rank_col`` (e.g. a
+    quality score, descending by default) with the id as deterministic
+    tie-break; ``rank_col=None`` keeps the lowest ids (arrival order
+    for dense ids).
+
+    Plan: one window row_number per key. The sort is per-partition-key
+    and spills — exact per-key top-N has no cheaper distributed form —
+    and the heaviest key costs O(its size · log) in ONE task's external
+    sort, not a global serialization. For pathological single-host
+    skew, pre-filter with a cheap per-key count and only window the
+    over-cap keys (the under-cap corpus passes through an anti join):
+    that is exactly what this does — docs whose key count ≤ cap skip
+    the window entirely, so the window input is only the offending
+    heavy keys."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    counts = docs.groupBy(key_col).agg(F.count("*").alias("_n"))
+    heavy = counts.filter(F.col("_n") > cap).select(key_col)
+    light = docs.join(heavy, key_col, "left_anti")
+    over = docs.join(heavy, key_col, "left_semi")
+    order = [
+        (F.col(rank_col).asc() if ascending else F.col(rank_col).desc())
+    ] if rank_col else []
+    w = Window.partitionBy(key_col).orderBy(*order, F.col(id_col).asc())
+    kept_over = (
+        over.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= int(cap))
+        .drop("_rnk")
+    )
+    return light.unionByName(kept_over)

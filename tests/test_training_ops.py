@@ -1033,3 +1033,42 @@ def test_lm_perplexity_hand_computed(spark):
     assert out[11]["ppl"] == pytest.approx(round(math.exp(ce11), 4))
     assert out[10]["ppl"] < out[11]["ppl"]
     assert out[12]["n_scored"] == 0 and out[12]["ppl"] is None
+
+
+def test_host_of_and_cap_per_key(spark):
+    """URL host extraction (scheme/userinfo/port/path stripped, lowered)
+    and the RefinedWeb per-domain cap: heavy keys keep the cap best by
+    rank with id tie-break, light keys pass through without windowing."""
+    from kafka_es_spark.operators.traindata import cap_per_key, host_of
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://Site-3.Example/en/p0"),
+            (1, "http://user@site-3.example:8080/de/p1?q=2"),
+            (2, "site-9.example/path"),
+            (3, "ftp://A.B.C/x"),
+        ],
+        ["doc_id", "url"],
+    )
+    hosts = {r["doc_id"]: r["h"] for r in
+             urls.select("doc_id", host_of("url").alias("h")).collect()}
+    assert hosts == {0: "site-3.example", 1: "site-3.example",
+                     2: "site-9.example", 3: "a.b.c"}
+
+    docs = spark.createDataFrame(
+        [(i, "heavy", 100 - i) for i in range(10)]
+        + [(100 + i, "light", i) for i in range(3)],
+        ["doc_id", "host", "score"],
+    )
+    kept = cap_per_key(docs, "host", cap=4, rank_col="score")
+    got = sorted((r["host"], r["doc_id"]) for r in kept.collect())
+    # heavy: top-4 by score desc = doc_ids 0..3; light: all 3 survive
+    assert got == [("heavy", 0), ("heavy", 1), ("heavy", 2), ("heavy", 3),
+                   ("light", 100), ("light", 101), ("light", 102)]
+    # rank_col=None keeps lowest ids; ascending rank keeps smallest scores
+    kept2 = cap_per_key(docs, "host", cap=2)
+    assert sorted(r["doc_id"] for r in kept2.collect() if r["host"] == "heavy") == [0, 1]
+    kept3 = cap_per_key(docs, "host", cap=2, rank_col="score", ascending=True)
+    assert sorted(r["doc_id"] for r in kept3.collect() if r["host"] == "heavy") == [8, 9]
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(docs, "host", cap=0)
