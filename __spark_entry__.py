@@ -956,6 +956,26 @@ def _q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(d, comps)
 
 
+PERC_QUERIES = {
+    "q_data_hash": ["data", "hash"],
+    "q_sqj": ["spark", "query", "join"],
+    "q_table": ["table"],
+    "q_never": ["data", "zzzabsent"],
+}
+
+
+def _q_percolate(spark, sf_dir):
+    """ES percolator (reverse search): every doc probed against the
+    registered query set — AND semantics, broadcast query dimension,
+    one (doc, query) count aggregate; q_never can never match."""
+    from kafka_es_spark.operators.percolate import percolate
+
+    qdf = spark.createDataFrame(
+        sorted(PERC_QUERIES.items()), "query_id string, terms array<string>"
+    )
+    return percolate(_docs(spark, sf_dir), qdf, mode="and")
+
+
 DOMAIN_CAP = 10
 
 
@@ -1665,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd9_substr_scrub": _q_substr_scrub,
         "tr2_lm_perplexity": _q_lm_perplexity,
         "sp2_cap_per_source": _q_cap_per_source,
+        "pc1_percolate": _q_percolate,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2776,6 +2797,26 @@ ORDER BY doc_id
         "dd9_substr_scrub": _SUBSTR_SCRUB_SQL,
         # CCNet LM quality: bigram-Laplace perplexity vs the %7 slice LM
         "tr2_lm_perplexity": _LM_PPL_SQL,
+        # percolator: registered queries vs the doc stream, AND semantics
+        "pc1_percolate": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+q AS (
+  SELECT * FROM (VALUES {", ".join(
+      f"('{qid}', '{t}')"
+      for qid, ts in sorted(PERC_QUERIES.items()) for t in ts
+  )}) AS t(query_id, term)
+),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+j AS (
+  SELECT doc_id, query_id, count(*) AS n_matched
+  FROM toks JOIN q USING (term) GROUP BY 1, 2
+)
+SELECT doc_id, query_id, n_matched, n_terms
+FROM j JOIN qn USING (query_id)
+WHERE n_matched = n_terms
+""",
         # per-domain cap: top-N per source by (n_chars desc, doc_id)
         "sp2_cap_per_source": f"""
 SELECT doc_id, source, n_chars FROM (

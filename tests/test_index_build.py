@@ -1726,3 +1726,42 @@ def test_phrase_suggest_bigram_lm_ranking(spark, index_dir, pages, tmp_path):
     with pytest.raises(ValueError, match=">= 2 tokens"):
         s.phrase_suggest("data", docs)
     s.close()
+
+
+def test_aliases_blue_green_cutover(spark, pages, index_dir, tmp_path):
+    """ES _aliases parity: atomic alias swap makes reindex zero-downtime —
+    readers resolve the alias before opening; swapping to a half-built
+    dir is refused; drop is idempotent."""
+    from kafka_es_spark.operators.wand import Searcher
+    from kafka_es_spark.plans.aliases import (
+        aliases, drop_alias, resolve_alias, set_alias,
+    )
+    from kafka_es_spark.plans.build_index import reindex
+
+    repo = str(tmp_path / "aliasrepo")
+    set_alias(repo, "prod", index_dir)
+    assert resolve_alias(repo, "prod") == os.path.abspath(index_dir)
+
+    s = Searcher(spark, resolve_alias(repo, "prod"), cache=False)
+    full = s.match_count("data").collect()[0]["n_hits"]
+    s.close()
+
+    green = str(tmp_path / "green")
+    reindex(spark, index_dir, pages, green, query="data",
+            seg_bits=SEG_BITS, n_term_buckets=8)
+    set_alias(repo, "prod", green)   # atomic cutover
+    s2 = Searcher(spark, resolve_alias(repo, "prod"), cache=False)
+    assert s2.match_count("data").collect()[0]["n_hits"] == full
+    # the green index holds ONLY the reindexed subset
+    assert s2.index_stats().collect()[0]["n_docs"] == full
+    s2.close()
+
+    with pytest.raises(ValueError, match="refusing"):
+        set_alias(repo, "prod", str(tmp_path / "halfbuilt"))
+    assert resolve_alias(repo, "prod") == os.path.abspath(green)
+
+    drop_alias(repo, "prod")
+    drop_alias(repo, "prod")   # idempotent
+    with pytest.raises(KeyError):
+        resolve_alias(repo, "prod")
+    assert aliases(repo) == {}

@@ -1072,3 +1072,40 @@ def test_host_of_and_cap_per_key(spark):
     assert sorted(r["doc_id"] for r in kept3.collect() if r["host"] == "heavy") == [8, 9]
     with pytest.raises(ValueError, match="cap"):
         cap_per_key(docs, "host", cap=0)
+
+
+def test_percolate_and_or_msm(spark):
+    """Percolator semantics: AND needs every query term, OR needs any,
+    a per-query msm column overrides; duplicate query terms dedupe; no
+    row for non-matching pairs."""
+    from kafka_es_spark.operators.percolate import percolate
+
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma"),
+        (1, "alpha delta"),
+        (2, "epsilon zeta"),
+    ], ["doc_id", "text"])
+    qs = spark.createDataFrame([
+        ("q_ab", ["alpha", "beta"]),
+        ("q_ad", ["alpha", "delta", "delta"]),   # dupes dedupe -> n_terms 2
+        ("q_z", ["zeta"]),
+    ], "query_id string, terms array<string>")
+
+    a = {(r["doc_id"], r["query_id"]): (r["n_matched"], r["n_terms"])
+         for r in percolate(docs, qs, mode="and").collect()}
+    assert set(a) == {(0, "q_ab"), (1, "q_ad"), (2, "q_z")}
+    assert a[(1, "q_ad")] == (2, 2)
+
+    o = {(r["doc_id"], r["query_id"]) for r in
+         percolate(docs, qs, mode="or").collect()}
+    assert (1, "q_ab") in o and (0, "q_ab") in o and (2, "q_ab") not in o
+
+    qm = spark.createDataFrame(
+        [("q_abz", ["alpha", "beta", "zeta"], 2)],
+        "query_id string, terms array<string>, msm int",
+    )
+    m = {r["doc_id"] for r in percolate(docs, qm, mode="and").collect()}
+    assert m == {0}   # only doc 0 has >= 2 of {alpha, beta, zeta}
+
+    with pytest.raises(ValueError, match="mode"):
+        percolate(docs, qs, mode="xor")
