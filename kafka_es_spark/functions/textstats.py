@@ -181,3 +181,81 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
         lambda acc, term: (acc * F.lit(FP_BASE) + hash32(term)) % F.lit(FP_MOD),
     )
     return docs.select(F.col(id_col).alias("doc_id"), h.alias("fingerprint"))
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ! ? or closing quote),
+    carry at least ``min_words`` words, and contain neither a curly
+    brace, the phrase "lorem ipsum", nor "javascript" (case-insensitive
+    for both). Output: (doc_id, clean_text, n_lines, n_kept) with kept
+    lines re-joined by newlines.
+
+    Pure Column ops end-to-end — split, one filter lambda over the line
+    array, array stats — whole-stage codegen'd, no shuffle at all (a
+    per-row map), so it composes for free in front of any build."""
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _keep(l):  # noqa: E741
+        low = F.lower(l)
+        return (
+            l.rlike(r'[.!?"”]\s*$')
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+            & ~low.contains("{")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+PII_PATTERNS = {
+    # deliberately conservative, engine-portable regexes (no lookaround)
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII redaction for training corpora (the C4/CCNet-pipeline hygiene
+    step): emails, IPv4 addresses, and phone-shaped digit runs replaced
+    by [EMAIL] / [IP] / [PHONE] sentinels, applied in that order (the
+    email pattern would otherwise leave its digits to the phone rule).
+    Output: (doc_id, clean_text, n_email, n_ip, n_phone).
+
+    Counts come from regexp_extract_all BEFORE each replacement; all
+    pure Column regex — per-row map, no shuffle, composes in front of
+    any build. The pattern set is deliberately high-precision (a
+    production run tunes recall per jurisdiction — GDPR vs CCPA scope
+    is policy, not engineering)."""
+    c = F.col(text_col)
+    counts = {
+        k: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("long")
+        for k, p in PII_PATTERNS.items()
+    }
+    out = c
+    for k in ("EMAIL", "IP", "PHONE"):
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k}]")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("clean_text"),
+        counts["EMAIL"].alias("n_email"),
+        counts["IP"].alias("n_ip"),
+        counts["PHONE"].alias("n_phone"),
+    )

@@ -1765,3 +1765,49 @@ def test_aliases_blue_green_cutover(spark, pages, index_dir, tmp_path):
     with pytest.raises(KeyError):
         resolve_alias(repo, "prod")
     assert aliases(repo) == {}
+
+
+def test_snapshot_restore_roundtrip(spark, index_dir, tmp_path):
+    """ES _snapshot parity: snapshot a committed index (manifest-last,
+    immutable), restore with per-file checksum verification, and the
+    restored index answers queries identically; corrupted snapshots and
+    dirty targets are refused."""
+    import json
+
+    from kafka_es_spark.operators.wand import Searcher
+    from kafka_es_spark.plans.snapshot import restore_index, snapshot_index
+
+    repo = str(tmp_path / "snaprepo")
+    meta = snapshot_index(index_dir, repo, "snap1")
+    assert meta["n_files"] > 5
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_index(index_dir, repo, "snap1")
+
+    s = Searcher(spark, index_dir, cache=False)
+    want = [(r["doc_id"], r["score"]) for r in s.topk("data index", k=5).collect()]
+    s.close()
+
+    dst = str(tmp_path / "restored")
+    restore_index(repo, "snap1", dst)
+    s2 = Searcher(spark, dst, cache=False)
+    got = [(r["doc_id"], r["score"]) for r in s2.topk("data index", k=5).collect()]
+    s2.close()
+    assert got == want
+
+    with pytest.raises(ValueError, match="not empty"):
+        restore_index(repo, "snap1", dst)
+
+    # corrupt one payload byte -> restore refuses with checksum error
+    cat = json.load(open(os.path.join(repo, "snap1", "SNAPSHOT.json")))
+    victim = next(r for r in sorted(cat["files"]) if r.endswith(".parquet"))
+    vp = os.path.join(repo, "snap1", "files", victim)
+    b = bytearray(open(vp, "rb").read())
+    b[len(b) // 2] ^= 0xFF
+    open(vp, "wb").write(bytes(b))
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        restore_index(repo, "snap1", str(tmp_path / "restored2"))
+
+    # snapshot without SNAPSHOT.json (crash before catalog) is unusable
+    os.remove(os.path.join(repo, "snap1", "SNAPSHOT.json"))
+    with pytest.raises(ValueError, match="incomplete snapshot"):
+        restore_index(repo, "snap1", str(tmp_path / "restored3"))

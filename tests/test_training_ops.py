@@ -1109,3 +1109,51 @@ def test_percolate_and_or_msm(spark):
 
     with pytest.raises(ValueError, match="mode"):
         percolate(docs, qs, mode="xor")
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 §2.2 line rules: terminal punctuation, >= min_words words, no
+    curly brace / lorem ipsum / javascript — planted lines exercise each
+    rule independently."""
+    from kafka_es_spark.functions.textstats import c4_line_filter
+
+    text = "\n".join([
+        "This sentence is long enough and ends properly.",   # KEEP
+        "No terminal punctuation here at all",               # drop: punct
+        "Too short.",                                        # drop: words
+        "This line mentions JavaScript features sadly.",     # drop: js
+        "Lorem ipsum dolor sit amet is filler text.",        # drop: lorem
+        "Code with a curly brace { is navigation junk.",     # drop: brace
+        'He said the quoted line counts as terminal."',      # KEEP
+    ])
+    docs = spark.createDataFrame([(0, text), (1, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[0]["n_lines"] == 7 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == (
+        "This sentence is long enough and ends properly.\n"
+        'He said the quoted line counts as terminal."'
+    )
+    assert out[1]["n_kept"] == 0 and out[1]["clean_text"] == ""
+
+
+def test_pii_scrub_redactions(spark):
+    """Email / IPv4 / phone-shaped runs redact to sentinels with correct
+    counts; email digits never double-count as phones; clean text
+    passes through untouched."""
+    from kafka_es_spark.functions.textstats import pii_scrub
+
+    docs = spark.createDataFrame([
+        (0, "write to jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+        (1, "server at 192.168.0.1 answered"),
+        (2, "user42@host99.org has no phone"),
+        (3, "perfectly clean text stays"),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "[EMAIL]" in out[0]["clean_text"] and "[PHONE]" in out[0]["clean_text"]
+    assert "jane" not in out[0]["clean_text"] and "555" not in out[0]["clean_text"]
+    assert out[1]["n_ip"] == 1 and out[1]["clean_text"] == "server at [IP] answered"
+    assert out[2]["n_email"] == 1 and out[2]["n_phone"] == 0
+    assert out[2]["clean_text"] == "[EMAIL] has no phone"
+    assert out[3]["clean_text"] == "perfectly clean text stays"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
