@@ -956,6 +956,30 @@ def _q_dedup_survivors(spark, sf_dir):
     return dedup_survivors(d, comps)
 
 
+def _q_partial_update(spark, sf_dir):
+    """ES _update with a doc body: field-wise last-write-wins merge —
+    seq-1 updates set lang='xx' on doc_id%5==0, seq-2 updates set
+    source='srcU' on doc_id%7==0 (overlap gets both), plus one
+    doc_as_upsert of an unseen id; null update fields never clobber."""
+    from kafka_es_spark.operators.deletes import apply_partial_updates
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    u1 = d.filter(F.col("doc_id") % 5 == 0).selectExpr(
+        "doc_id", "CAST(1 AS LONG) AS seq", "'xx' AS lang",
+        "CAST(NULL AS STRING) AS source", "CAST(NULL AS LONG) AS n_chars",
+    )
+    u2 = d.filter(F.col("doc_id") % 7 == 0).selectExpr(
+        "doc_id", "CAST(2 AS LONG) AS seq", "CAST(NULL AS STRING) AS lang",
+        "'srcU' AS source", "CAST(NULL AS LONG) AS n_chars",
+    )
+    u3 = spark.createDataFrame(
+        [(1000000, 3, "zz", None, None)],
+        "doc_id long, seq long, lang string, source string, n_chars long",
+    )
+    ups = u1.unionByName(u2).unionByName(u3)
+    return apply_partial_updates(d, ups, id_col="doc_id")
+
+
 PERC_QUERIES = {
     "q_data_hash": ["data", "hash"],
     "q_sqj": ["spark", "query", "join"],
@@ -1686,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr2_lm_perplexity": _q_lm_perplexity,
         "sp2_cap_per_source": _q_cap_per_source,
         "pc1_percolate": _q_percolate,
+        "x9_partial_update": _q_partial_update,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2797,6 +2822,30 @@ ORDER BY doc_id
         "dd9_substr_scrub": _SUBSTR_SCRUB_SQL,
         # CCNet LM quality: bigram-Laplace perplexity vs the %7 slice LM
         "tr2_lm_perplexity": _LM_PPL_SQL,
+        # partial update: field-wise last-write-wins via struct max
+        "x9_partial_update": """
+WITH base AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS seq, lang, source, n_chars
+  FROM documents
+),
+u AS (
+  SELECT doc_id, CAST(1 AS BIGINT), 'xx', CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 2, NULL, 'srcU', NULL FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT 1000000, 3, 'zz', NULL, NULL
+),
+b AS (SELECT * FROM base UNION ALL SELECT * FROM u)
+SELECT doc_id,
+  (max(CASE WHEN lang IS NOT NULL THEN {'s': seq, 'v': lang} END)).v
+    AS lang,
+  (max(CASE WHEN source IS NOT NULL THEN {'s': seq, 'v': source} END)).v
+    AS source,
+  (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
+    AS n_chars
+FROM b GROUP BY doc_id
+""",
         # percolator: registered queries vs the doc stream, AND semantics
         "pc1_percolate": f"""
 WITH toks AS (

@@ -126,3 +126,46 @@ def latest_versions(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def apply_partial_updates(
+    docs: DataFrame,
+    updates: DataFrame,
+    id_col: str = "url",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """ES partial-document update (``_update`` with a ``doc`` body,
+    BulkAction.kt:55-102's Update op without the painless-script form):
+    per document, later updates override earlier values FIELD-WISE —
+    a null field in an update leaves the standing value untouched
+    (the doc-merge semantics), and docs never mentioned pass through.
+
+    ``docs`` is the base corpus (treated as seq 0 unless it carries
+    ``seq_col``); ``updates`` holds (id, seq, subset-of-columns) rows
+    with seq >= 1 and null for untouched fields. Update ids absent from
+    the base are upserts (doc_as_upsert) — their unmentioned fields
+    stay null.
+
+    Plan: one unionByName + ONE hash aggregate per id — per field,
+    ``max(struct(seq, value))`` over non-null values picks the latest
+    write (engine-portable: DuckDB compares structs field-order too).
+    No window, no per-field shuffle; 10^12 docs cost exactly one
+    doc-keyed aggregation."""
+    if seq_col not in docs.columns:
+        docs = docs.withColumn(seq_col, F.lit(0).cast("long"))
+    fields = [c for c in docs.columns if c not in (id_col, seq_col)]
+    up = updates
+    for c in fields:
+        if c not in up.columns:
+            up = up.withColumn(c, F.lit(None))
+    both = docs.select(id_col, seq_col, *fields).unionByName(
+        up.select(id_col, seq_col, *fields)
+    )
+    aggs = [
+        F.max(
+            F.when(F.col(c).isNotNull(), F.struct(F.col(seq_col).alias("s"),
+                                                  F.col(c).alias("v")))
+        )["v"].alias(c)
+        for c in fields
+    ]
+    return both.groupBy(id_col).agg(*aggs)

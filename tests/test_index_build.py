@@ -1811,3 +1811,34 @@ def test_snapshot_restore_roundtrip(spark, index_dir, tmp_path):
     os.remove(os.path.join(repo, "snap1", "SNAPSHOT.json"))
     with pytest.raises(ValueError, match="incomplete snapshot"):
         restore_index(repo, "snap1", str(tmp_path / "restored3"))
+
+
+def test_apply_partial_updates_merge_semantics(spark):
+    """ES _update doc-merge: later updates override field-wise, nulls
+    never clobber, two updates on different fields of one doc both land,
+    later update on the SAME field wins, unknown ids upsert with null
+    unmentioned fields, untouched docs pass through."""
+    from kafka_es_spark.operators.deletes import apply_partial_updates
+
+    base = spark.createDataFrame(
+        [("a", "en", 10), ("b", "de", 20), ("c", "uk", 30)],
+        "url string, lang string, size long",
+    )
+    ups = spark.createDataFrame(
+        [
+            ("a", 1, "fr", None),    # a: lang fr
+            ("a", 2, None, 11),      # a: size 11 (lang stays fr)
+            ("b", 1, "es", None),
+            ("b", 2, "it", None),    # same field twice: latest wins
+            ("d", 1, "xx", None),    # upsert: size stays null
+        ],
+        "url string, seq long, lang string, size long",
+    )
+    got = {r["url"]: (r["lang"], r["size"])
+           for r in apply_partial_updates(base, ups).collect()}
+    assert got == {
+        "a": ("fr", 11),
+        "b": ("it", 20),
+        "c": ("uk", 30),
+        "d": ("xx", None),
+    }
