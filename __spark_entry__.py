@@ -980,6 +980,65 @@ def _q_partial_update(spark, sf_dir):
     return apply_partial_updates(d, ups, id_col="doc_id")
 
 
+DBQ_TERMS = ["data", "hash"]  # conjunctive delete: docs with BOTH terms
+
+
+def _q_delete_by_query(spark, sf_dir):
+    """ES _delete_by_query: the matched doc set (bool.must, filter context
+    through the index — the _count path, no scoring) persists as
+    tombstones; the subsequent OR-mode top-k auto-excludes them while
+    index-level stats stay those of the built index (ES delete-then-merge
+    semantics). Runs against a COPY of the cached index — tombstones are
+    real index state and must not leak into the other entries."""
+    import os
+    import shutil
+
+    from kafka_es_spark.operators.deletes import delete_by_query
+    from kafka_es_spark.operators.wand import wand_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    didx = f"/tmp/kafka_es_dbq_v1_{_corpus_tag(sf_dir)}"
+    marker = os.path.join(didx, "_dbq_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(didx, ignore_errors=True)
+        shutil.copytree(idx, didx)
+        delete_by_query(spark, didx, " ".join(DBQ_TERMS), mode="and")
+        open(marker, "w").close()
+    out = wand_topk(
+        spark, didx, " ".join(QUERY_TERMS), k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+UBQ_TERM, UBQ_LANG = "hash", "xx"
+
+
+def _q_update_by_query(spark, sf_dir):
+    """ES _update_by_query with the common script shape (ctx._source.lang
+    = 'xx' on every doc matching 'hash'): stored-field rewrite in the
+    docmap through the crash-recoverable swap, then the stored-field terms
+    aggregation over the main query's hit set reflects the update — no
+    external field relation anywhere. Copy-isolated like dbq."""
+    import os
+    import shutil
+
+    from kafka_es_spark.operators.deletes import update_by_query
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    uidx = f"/tmp/kafka_es_ubq_v1_{_corpus_tag(sf_dir)}"
+    marker = os.path.join(uidx, "_ubq_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(uidx, ignore_errors=True)
+        shutil.copytree(idx, uidx)
+        update_by_query(spark, uidx, UBQ_TERM, {"lang": UBQ_LANG})
+        open(marker, "w").close()
+    return Searcher(spark, uidx, cache=False).facet_terms(
+        " ".join(QUERY_TERMS), None, "lang", size=10
+    )
+
+
 PERC_QUERIES = {
     "q_data_hash": ["data", "hash"],
     "q_sqj": ["spark", "query", "join"],
@@ -1711,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp2_cap_per_source": _q_cap_per_source,
         "pc1_percolate": _q_percolate,
         "x9_partial_update": _q_partial_update,
+        "x9_delete_by_query": _q_delete_by_query,
+        "x9_update_by_query": _q_update_by_query,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2845,6 +2906,29 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # _delete_by_query: survivors = docs NOT containing BOTH delete
+        # terms; scores keep full-index stats (ES delete-then-merge)
+        "x9_delete_by_query": _bm25_sql(
+            "documents",
+            filter_where=(
+                f"NOT (list_contains({_TOKS}, '{DBQ_TERMS[0]}') "
+                f"AND list_contains({_TOKS}, '{DBQ_TERMS[1]}'))"
+            ),
+        ),
+        # _update_by_query: stored lang becomes 'xx' wherever text matches
+        # the update query; facet over the main query's hit set
+        "x9_update_by_query": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+upd AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({_TOKS}, '{UBQ_TERM}')
+              THEN '{UBQ_LANG}' ELSE lang END AS lang
+  FROM documents
+)
+SELECT lang, count(*) AS doc_count FROM upd JOIN hits USING (doc_id)
+GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10
 """,
         # percolator: registered queries vs the doc stream, AND semantics
         "pc1_percolate": f"""

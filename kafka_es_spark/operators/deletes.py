@@ -78,7 +78,9 @@ def add_tombstones(
     unit = f"unit={int(time.time() * 1000)}"
     out = os.path.join(tombstone_dir(index_dir), unit)
     rel.write.mode("overwrite").parquet(out)
-    return rel.count()
+    # count from the written footers (metadata-only) — recomputing rel
+    # would re-run the whole matching plan a second time
+    return spark.read.parquet(out).count()
 
 
 def read_tombstone_ids(spark: SparkSession, index_dir: str) -> frozenset[int]:
@@ -126,6 +128,102 @@ def latest_versions(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    mode: str = "or",
+    min_should_match: int | None = None,
+    must_not: str | None = None,
+) -> int:
+    """ES ``_delete_by_query``: resolve the matching doc set through the
+    index in filter context (posting-list set algebra, no scoring — the
+    same path as ``_count``) and persist it as tombstones. Every Searcher
+    opened afterwards excludes the docs; corpus stats stay those of the
+    built index until compaction folds the deletes in — exactly ES's
+    delete-then-merge lifecycle. Returns the number of docs deleted.
+
+    Scale: the matching set never touches the driver — it flows from the
+    pruned postings scan straight into the tombstone parquet write; the
+    in-memory pending-set bound is enforced at read time
+    (MAX_PENDING_TOMBSTONES → compact_index)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    try:
+        ids = s.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        return add_tombstones(spark, index_dir, doc_ids=ids)
+    finally:
+        s.close()
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    set_fields: dict,
+    mode: str = "or",
+    min_should_match: int | None = None,
+    must_not: str | None = None,
+) -> int:
+    """ES ``_update_by_query`` with literal field assignments (the common
+    ``ctx._source.field = value`` script shape; general painless stays
+    out of scope): rewrite the docmap's STORED field columns for every
+    doc matching the query. Analyzed text is untouched — assigning to an
+    indexed field would require reindexing those docs (use ``reindex``) —
+    so only ``store_fields`` columns are assignable; anything else raises
+    instead of silently diverging the docmap from the schema contract.
+
+    One doc_id-keyed join (matching ids × docmap) and one partitioned
+    rewrite; the swap reuses compaction's crash-recoverable rename
+    contract (readers quiesced for the two-rename window,
+    ``recover_swap_dirs`` repairs a crash inside it). Returns the number
+    of docs updated."""
+    import json
+
+    from kafka_es_spark.operators.compaction import _swap_in, recover_swap_dirs
+    from kafka_es_spark.operators.wand import Searcher
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stored = set(json.load(f).get("store_fields", []))
+    bad = sorted(set(set_fields) - stored)
+    if bad:
+        raise ValueError(
+            f"update_by_query can only assign stored fields {sorted(stored)}; "
+            f"{bad} are not in the index's store_fields contract (reindex to "
+            "change analyzed text)"
+        )
+    recover_swap_dirs(index_dir)
+    s = Searcher(spark, index_dir, cache=False)
+    try:
+        ids = s.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        ).withColumn("_hit", F.lit(True))
+        dm_dir = os.path.join(index_dir, "docmap")
+        upd = spark.read.parquet(dm_dir).join(ids, "doc_id", "left")
+        for c, v in set_fields.items():
+            upd = upd.withColumn(
+                c, F.when(F.col("_hit"), F.lit(v)).otherwise(F.col(c))
+            )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        upd = upd.observe(
+            obs, F.count(F.when(F.col("_hit"), F.lit(1))).alias("n_updated")
+        ).drop("_hit")
+        tmp = dm_dir + ".new"
+        upd.write.partitionBy("epoch").mode("overwrite").parquet(tmp)
+        n = int(obs.get["n_updated"])
+    finally:
+        s.close()
+    _swap_in(index_dir, "docmap")
+    return n
 
 
 def apply_partial_updates(

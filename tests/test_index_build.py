@@ -1842,3 +1842,66 @@ def test_apply_partial_updates_merge_semantics(spark):
         "c": ("uk", 30),
         "d": ("xx", None),
     }
+
+
+def test_delete_by_query_then_update_by_query(spark, pages, tmp_path):
+    """_delete_by_query persists the query-matched doc set as tombstones
+    (filter context, conjunctive); subsequent queries exclude them.
+    _update_by_query rewrites stored docmap fields for matched live docs
+    through the crash-recoverable swap; non-stored assignments raise."""
+    from kafka_es_spark.operators.deletes import (
+        delete_by_query, read_tombstone_ids, update_by_query,
+    )
+    from kafka_es_spark.operators.wand import Searcher
+
+    d = str(tmp_path / "idxdbq")
+    build_index(
+        spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=4,
+        store_fields=("lang",),
+    )
+    toks = prepare_docs(pages).select("doc_id", "terms")
+    both = set(
+        r["doc_id"]
+        for r in toks.filter(
+            F.array_contains("terms", "data") & F.array_contains("terms", "index")
+        ).collect()
+    )
+    assert both, "test premise: some docs contain both terms"
+
+    n = delete_by_query(spark, d, "data index", mode="and")
+    assert n == len(both)
+    assert set(read_tombstone_ids(spark, d)) == both
+    hits = {
+        r["doc_id"]
+        for r in Searcher(spark, d, cache=False)
+        .topk("data index search", k=10**6, round_to=4)
+        .collect()
+    }
+    assert hits and not (hits & both)
+
+    # update_by_query: matched LIVE docs get lang='xx'; deleted docs and
+    # non-matches keep their stored value; row count unchanged
+    search_docs = set(
+        r["doc_id"]
+        for r in toks.filter(F.array_contains("terms", "search")).collect()
+    )
+    expect_upd = search_docs - both
+    before = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(os.path.join(d, "docmap")).collect()
+    }
+    n_upd = update_by_query(spark, d, "search", {"lang": "xx"})
+    assert n_upd == len(expect_upd)
+    after = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(os.path.join(d, "docmap")).collect()
+    }
+    assert len(after) == len(before)
+    for doc_id, lang in after.items():
+        if doc_id in expect_upd:
+            assert lang == "xx"
+        else:
+            assert lang == before[doc_id]
+
+    with pytest.raises(ValueError, match="store_fields"):
+        update_by_query(spark, d, "search", {"n_chars": 1})
