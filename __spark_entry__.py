@@ -980,6 +980,65 @@ def _q_partial_update(spark, sf_dir):
     return apply_partial_updates(d, ups, id_col="doc_id")
 
 
+TE_PREFIX, TE_SIZE = "s", 5
+
+
+def _q_terms_enum(spark, sf_dir):
+    """ES _terms_enum API: dictionary terms starting with the prefix,
+    term-ordered with their doc frequencies — a pure term_stats
+    dictionary scan, no postings."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).terms_enum(TE_PREFIX, size=TE_SIZE)
+
+
+MS_FIELDS = ["n_chars", "n_tokens"]
+
+
+def _q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats aggregation over the conjunctive hit set:
+    population mean/variance plus pairwise covariance and correlation of
+    n_chars and the analyzer token count — power sums gathered in one
+    hash aggregation, pair rows expanded from the single agg row."""
+    from kafka_es_spark.functions.tokenize import tokens
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return Searcher(spark, idx, cache=False).matrix_stats(
+        " ".join(QUERY_TERMS), fv, MS_FIELDS, mode="and"
+    )
+
+
+BS_MIN_AVG, BS_SIZE = 48, 5
+
+
+def _q_bucket_sort(spark, sf_dir):
+    """ES bucket_selector + bucket_sort pipeline aggs: daily histogram of
+    events with count and avg(value) metric sub-aggs; buckets whose avg
+    falls below the floor are dropped (bucket_selector), survivors
+    reorder by doc_count desc with a bucket tiebreak and truncate to the
+    top 5 (bucket_sort) — reduce-phase ops over #buckets rows, never
+    over raw events."""
+    from kafka_es_spark.operators.sessions import bucket_selector, bucket_sort
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket")).agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.sum("value") / F.count("*"), 4).alias("avg_value"),
+    )
+    sel = bucket_selector(buckets, f"avg_value >= {BS_MIN_AVG}")
+    return bucket_sort(
+        sel, [("doc_count", "desc"), ("bucket", "asc")], size=BS_SIZE
+    )
+
+
 DBQ_TERMS = ["data", "hash"]  # conjunctive delete: docs with BOTH terms
 
 
@@ -1772,6 +1831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_partial_update": _q_partial_update,
         "x9_delete_by_query": _q_delete_by_query,
         "x9_update_by_query": _q_update_by_query,
+        "x8_terms_enum": _q_terms_enum,
+        "x8_matrix_stats": _q_matrix_stats,
+        "ev6_bucket_sort": _q_bucket_sort,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2906,6 +2968,59 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # _terms_enum: prefix-matched dictionary terms with doc freqs
+        "x8_terms_enum": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS doc_count FROM toks
+WHERE term LIKE '{TE_PREFIX}%' GROUP BY term ORDER BY term LIMIT {TE_SIZE}
+""",
+        # matrix_stats: population moments from power sums over the
+        # conjunctive hit set — one pair row per ordered field pair
+        "x8_matrix_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+f AS (
+  SELECT CAST(n_chars AS DOUBLE) AS a, CAST(len({_TOKS}) AS DOUBLE) AS b
+  FROM documents JOIN hits USING (doc_id)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(a) AS s1a, sum(b) AS s1b,
+         sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab
+  FROM f
+),
+e AS (
+  SELECT n, s1a/n AS ma, s1b/n AS mb,
+         saa/n - (s1a/n)*(s1a/n) AS va,
+         sbb/n - (s1b/n)*(s1b/n) AS vb,
+         sab/n - (s1a/n)*(s1b/n) AS cab
+  FROM m
+)
+SELECT 'n_chars' AS field_x, 'n_chars' AS field_y, n, ma AS mean_x,
+       va AS covariance, va / sqrt(va*va) AS correlation FROM e
+UNION ALL
+SELECT 'n_chars', 'n_tokens', n, ma, cab, cab / sqrt(va*vb) FROM e
+UNION ALL
+SELECT 'n_tokens', 'n_chars', n, mb, cab, cab / sqrt(va*vb) FROM e
+UNION ALL
+SELECT 'n_tokens', 'n_tokens', n, mb, vb, vb / sqrt(vb*vb) FROM e
+ORDER BY field_x, field_y
+""",
+        # bucket_selector (avg floor) + bucket_sort (count desc, top 5)
+        # over a daily date_histogram with metric sub-aggs
+        "ev6_bucket_sort": f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count,
+         round(sum(value)/count(*), 4) AS avg_value
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count, avg_value FROM h
+WHERE avg_value >= {BS_MIN_AVG}
+ORDER BY doc_count DESC, bucket LIMIT {BS_SIZE}
 """,
         # _delete_by_query: survivors = docs NOT containing BOTH delete
         # terms; scores keep full-index stats (ES delete-then-merge)

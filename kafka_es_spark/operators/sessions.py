@@ -114,6 +114,39 @@ def date_range_agg(
     )
 
 
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES bucket_selector pipeline aggregation: drop parent-agg buckets
+    where the script predicate is false. The painless subset that covers
+    real usage (comparisons/arithmetic over ``buckets_path`` values) IS a
+    SQL boolean expression over the bucket row, so the predicate is one.
+    Runs in the reduce phase over #buckets rows — never over raw events —
+    exactly ES's pipeline placement."""
+    return buckets.filter(predicate)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES bucket_sort pipeline aggregation: reorder the parent agg's
+    buckets by ``sort`` ([(column, 'asc'|'desc'), ...], applied in order)
+    and paginate with ``from``/``size``. Deterministic output needs a
+    deterministic sort — include a unique tiebreak column in ``sort``,
+    as in ES. #buckets rows; with a size the sort rides TakeOrdered."""
+    cols = [
+        F.col(c).desc() if d.lower().startswith("d") else F.col(c).asc()
+        for c, d in sort
+    ]
+    out = buckets.orderBy(*cols)
+    if from_:
+        out = out.offset(int(from_))
+    if size is not None:
+        out = out.limit(int(size))
+    return out
+
+
 def histogram_pipeline(
     events: DataFrame,
     ts_col: str = "ts",

@@ -2366,6 +2366,83 @@ class Searcher:
             .limit(int(size))
         )
 
+    def terms_enum(self, prefix: str, size: int = 10) -> DataFrame:
+        """ES ``_terms_enum`` API: index-dictionary terms starting with
+        ``prefix``, term-ordered, with their doc frequencies — served
+        straight from the term_stats relation (a dictionary scan; no
+        postings are touched). Like ES, the df reflects the built index:
+        pending tombstones don't lower it until merge. At scale the
+        prefix predicate pushes into the parquet scan and the top-``size``
+        rides a TakeOrdered, so cost is O(matching dictionary rows)."""
+        return (
+            self.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term", F.col("df").cast("long").alias("doc_count"))
+            .orderBy("term")
+            .limit(int(size))
+        )
+
+    def matrix_stats(
+        self,
+        query: str,
+        field_values: DataFrame,
+        fields: list[str],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES matrix_stats aggregation over the filter-context hit set:
+        one row per ordered field pair ``(field_x, field_y)`` carrying
+        the hit count, mean of x, the POPULATION covariance, and the
+        correlation; diagonal rows (x == x) give each field's variance.
+
+        Every moment composes from power sums (Σx, Σx², Σxy) gathered in
+        ONE hash aggregation over the hit-joined field relation — no
+        sample-bias variants, so any engine reproduces the numbers; the
+        pair expansion is a union of selects over the single tiny agg
+        row, never a second pass over the data."""
+        from functools import reduce as _reduce
+
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", *fields), "url"
+        )
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for fx in fields:
+            x = F.col(fx).cast("double")
+            aggs.append(F.sum(x).alias(f"s1_{fx}"))
+        for fx in fields:
+            for fy in fields:
+                x = F.col(fx).cast("double")
+                y = F.col(fy).cast("double")
+                aggs.append(F.sum(x * y).alias(f"sxy_{fx}_{fy}"))
+        row = j.agg(*aggs)
+        outs = []
+        for fx in fields:
+            for fy in fields:
+                n = F.col("n").cast("double")
+                mx = F.col(f"s1_{fx}") / n
+                my = F.col(f"s1_{fy}") / n
+                cov = F.col(f"sxy_{fx}_{fy}") / n - mx * my
+                vx = F.col(f"sxy_{fx}_{fx}") / n - mx * mx
+                vy = F.col(f"sxy_{fy}_{fy}") / n - my * my
+                outs.append(
+                    row.select(
+                        F.lit(fx).alias("field_x"),
+                        F.lit(fy).alias("field_y"),
+                        F.col("n"),
+                        mx.alias("mean_x"),
+                        cov.alias("covariance"),
+                        (cov / F.sqrt(vx * vy)).alias("correlation"),
+                    )
+                )
+        return _reduce(lambda a, b: a.unionByName(b), outs).orderBy(
+            "field_x", "field_y"
+        )
+
     def collapse_topk(
         self,
         query: str,

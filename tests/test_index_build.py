@@ -1905,3 +1905,81 @@ def test_delete_by_query_then_update_by_query(spark, pages, tmp_path):
 
     with pytest.raises(ValueError, match="store_fields"):
         update_by_query(spark, d, "search", {"n_chars": 1})
+
+
+def test_terms_enum_and_matrix_stats(spark, index_dir, pages, doc_terms):
+    """_terms_enum: prefix-matched dictionary terms with df, term-ordered,
+    size-truncated. matrix_stats: population moments + pairwise
+    covariance/correlation vs numpy brute force over the same hit set."""
+    import numpy as np
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    # brute-force dictionary from the corpus tokens
+    from collections import defaultdict
+
+    df_by_term = defaultdict(set)
+    for _, row in doc_terms.iterrows():
+        for t in set(row["terms"]):
+            df_by_term[t].add(row["doc_id"])
+    want = sorted(
+        (t, len(ds)) for t, ds in df_by_term.items() if t.startswith("s")
+    )[:3]
+    got = [(r["term"], r["doc_count"]) for r in s.terms_enum("s", size=3).collect()]
+    assert got == want
+
+    # matrix_stats vs numpy population moments on the AND hit set
+    q = "data index"
+    hits = sorted(
+        row["doc_id"]
+        for _, row in doc_terms.iterrows()
+        if {"data", "index"} <= set(row["terms"])
+    )
+    assert hits
+    fv = pages.select(
+        "url",
+        F.length("text").cast("long").alias("f1"),
+        (F.length("text") % 7).cast("long").alias("f2"),
+    )
+    dm = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    }
+    fvrows = {r["url"]: (r["f1"], r["f2"]) for r in fv.collect()}
+    a = np.array([fvrows[dm[d]][0] for d in hits], dtype=float)
+    b = np.array([fvrows[dm[d]][1] for d in hits], dtype=float)
+    got_ms = {
+        (r["field_x"], r["field_y"]): r
+        for r in s.matrix_stats(q, fv, ["f1", "f2"], mode="and").collect()
+    }
+    assert len(got_ms) == 4
+    r = got_ms[("f1", "f2")]
+    assert r["n"] == len(hits)
+    assert abs(r["mean_x"] - a.mean()) < 1e-9
+    cov = ((a - a.mean()) * (b - b.mean())).mean()
+    assert abs(r["covariance"] - cov) < 1e-6
+    corr = cov / np.sqrt(a.var() * b.var())
+    assert abs(r["correlation"] - corr) < 1e-9
+    assert abs(got_ms[("f1", "f1")]["covariance"] - a.var()) < 1e-6
+    assert abs(got_ms[("f2", "f2")]["correlation"] - 1.0) < 1e-12
+
+
+def test_bucket_selector_and_bucket_sort(spark):
+    """bucket_selector drops buckets failing the predicate; bucket_sort
+    orders by the spec and paginates with from/size."""
+    from kafka_es_spark.operators.sessions import bucket_selector, bucket_sort
+
+    b = spark.createDataFrame(
+        [("a", 10, 1.0), ("b", 30, 2.0), ("c", 20, 3.0), ("d", 5, 9.0)],
+        "k string, doc_count long, m double",
+    )
+    kept = {r["k"] for r in bucket_selector(b, "doc_count >= 10").collect()}
+    assert kept == {"a", "b", "c"}
+    out = bucket_sort(
+        bucket_selector(b, "doc_count >= 10"),
+        [("doc_count", "desc"), ("k", "asc")], size=2,
+    ).collect()
+    assert [(r["k"], r["doc_count"]) for r in out] == [("b", 30), ("c", 20)]
+    out2 = bucket_sort(b, [("m", "asc")], size=2, from_=1).collect()
+    assert [r["k"] for r in out2] == ["b", "c"]
