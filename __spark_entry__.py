@@ -1039,6 +1039,75 @@ def _q_bucket_sort(spark, sf_dir):
     )
 
 
+def _q_terms_set(spark, sf_dir):
+    """ES terms_set query: per-document minimum_should_match from a field
+    (required_matches = 1 + n_chars % 3) — docs containing >= m(d) of
+    the query terms keep their OR-mode BM25 scores."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fv = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1) + F.col("n_chars") % 3).cast("long").alias("required_matches"),
+    )
+    out = Searcher(spark, idx, cache=False).terms_set_topk(
+        " ".join(QUERY_TERMS), fv, "required_matches", k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+CS_BOOST = 1.7
+
+
+def _q_constant_score(spark, sf_dir):
+    """ES constant_score over a conjunctive filter: every matching doc
+    scores exactly the boost; deterministic doc-id order."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).constant_score_topk(
+        " ".join(QUERY_TERMS), boost=CS_BOOST, k=TOPK, mode="and",
+        with_url=True,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+SAMPLER_SIZE = 50
+DIV_SIZE, DIV_PER_LANG = 20, 5
+
+
+def _q_agg_sampler(spark, sf_dir):
+    """ES sampler aggregation: n_chars stats over only the top-50
+    best-scoring hits (rounded score desc, url asc), not the full hit
+    set."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_sampler(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        shard_size=SAMPLER_SIZE,
+    )
+
+
+def _q_agg_div_sampler(spark, sf_dir):
+    """ES diversified_sampler: at most 5 docs per lang enter the top-20
+    sample (best-scoring win), de-biasing a dominant language before the
+    sub-agg."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_sampler(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        shard_size=DIV_SIZE, dedup_field="lang",
+        max_docs_per_value=DIV_PER_LANG,
+    )
+
+
 DBQ_TERMS = ["data", "hash"]  # conjunctive delete: docs with BOTH terms
 
 
@@ -1834,6 +1903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_terms_enum": _q_terms_enum,
         "x8_matrix_stats": _q_matrix_stats,
         "ev6_bucket_sort": _q_bucket_sort,
+        "x8_terms_set": _q_terms_set,
+        "x8_constant_score": _q_constant_score,
+        "x8_agg_sampler": _q_agg_sampler,
+        "x8_agg_div_sampler": _q_agg_div_sampler,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -2968,6 +3041,109 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # terms_set: per-doc minimum_should_match from a field
+        "x8_terms_set": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+m AS (SELECT doc_id, 1 + n_chars % 3 AS m FROM corpus),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score,
+         count(*) AS matched
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score FROM s JOIN m USING (doc_id)
+WHERE matched >= m.m
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # constant_score: filter-context conjunctive match, score = boost
+        "x8_constant_score": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+)
+SELECT doc_id, CAST({CS_BOOST} AS DOUBLE) AS score FROM hits
+ORDER BY 'doc://' || CAST(doc_id AS VARCHAR) LIMIT {TOPK}
+""",
+        # sampler: metric sub-agg over only the top shard_size hits,
+        # ordered (rounded score desc, url asc) — url, not internal id
+        "x8_agg_sampler": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+top AS (
+  SELECT doc_id FROM scored
+  ORDER BY round(score, 4) DESC, 'doc://' || CAST(doc_id AS VARCHAR)
+  LIMIT {SAMPLER_SIZE}
+)
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_value,
+       min(CAST(n_chars AS DOUBLE)) AS min_value,
+       max(CAST(n_chars AS DOUBLE)) AS max_value
+FROM documents JOIN top USING (doc_id)
+""",
+        # diversified_sampler: <=5 per lang first, then the top 20
+        "x8_agg_div_sampler": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+div AS (
+  SELECT s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY round(s.score, 4) DESC,
+                    'doc://' || CAST(s.doc_id AS VARCHAR)
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+top AS (
+  SELECT doc_id FROM div WHERE rn <= {DIV_PER_LANG}
+  ORDER BY round(score, 4) DESC, 'doc://' || CAST(doc_id AS VARCHAR)
+  LIMIT {DIV_SIZE}
+)
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_value,
+       min(CAST(n_chars AS DOUBLE)) AS min_value,
+       max(CAST(n_chars AS DOUBLE)) AS max_value
+FROM documents JOIN top USING (doc_id)
 """,
         # _terms_enum: prefix-matched dictionary terms with doc freqs
         "x8_terms_enum": f"""

@@ -2443,6 +2443,188 @@ class Searcher:
             "field_x", "field_y"
         )
 
+    def terms_set_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        m_field: str,
+        k: int = 10,
+        round_to: int | None = 4,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES terms_set query: bool.should over the query terms where the
+        minimum_should_match comes from a PER-DOCUMENT field
+        (``minimum_should_match_field``) — doc d matches iff it contains
+        >= m(d) of the terms; survivors keep their OR-mode BM25 scores
+        (global min_should_match is the constant-m special case, served
+        by ``topk(min_should_match=...)``).
+
+        Plan: pruned postings scan → per-doc (distinct-match count, BM25
+        score) in ONE hash aggregation → dense-id docmap join to the m
+        field → filter → TakeOrdered. The m relation joins url-keyed
+        like every field relation; no driver collect anywhere."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        empty = "doc_id long, url string, score double"
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], empty)
+        ts = self.term_stats.filter(F.col("term").isin(qterms)).collect()
+        weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
+        if not weights:
+            return spark.createDataFrame([], empty)
+        segs = self._query_segs(list(weights))
+        w_df = spark.createDataFrame(
+            [(t, float(w)) for t, w in sorted(weights.items())],
+            "term string, w double",
+        )
+        scored = (
+            self._postings_rows(segs)
+            .join(self._dl_rows(segs), "doc_id")
+            .join(F.broadcast(w_df), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(self._bm25_contrib_col()).alias("score"),
+                F.count_distinct("term").alias("_matched"),
+            )
+        )
+        if self.persistent_excluded:
+            scored = scored.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        dm = spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        out = (
+            scored.join(dm.select("doc_id", "url"), "doc_id")
+            .join(field_values.select("url", m_field), "url")
+            .filter(F.col("_matched") >= F.col(m_field))
+        )
+        score = (
+            F.round(F.col("score"), round_to) if round_to is not None
+            else F.col("score")
+        )
+        cols = ["doc_id", "url", score.alias("score")] if with_url else [
+            "doc_id", score.alias("score")
+        ]
+        return (
+            out.select(*cols)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k))
+        )
+
+    def constant_score_topk(
+        self, query: str, boost: float = 1.0, k: int = 10, mode: str = "or",
+        min_should_match: int | None = None, must_not: str | None = None,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES constant_score query: filter-context matching — every
+        matching live doc scores exactly ``boost`` (no BM25, no idf, so
+        the filter is cacheable in ES; here it is the no-decode
+        matching_doc_ids scan). Equal scores make ES's order arbitrary;
+        the deterministic choice at the k cut is doc id asc, or url asc
+        with ``with_url`` (url is stable across index builds, internal
+        ids are not)."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        if with_url:
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            )
+            return (
+                hits.join(dm.select("doc_id", "url"), "doc_id")
+                .select("doc_id", "url", F.lit(float(boost)).alias("score"))
+                .orderBy("url")
+                .limit(int(k))
+            )
+        return (
+            hits.select("doc_id", F.lit(float(boost)).alias("score"))
+            .orderBy("doc_id")
+            .limit(int(k))
+        )
+
+    def agg_sampler(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        field: str,
+        shard_size: int = 100,
+        dedup_field: str | None = None,
+        max_docs_per_value: int = 1,
+        fetch_k: int | None = None,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES sampler / diversified_sampler aggregation: run the metric
+        sub-agg (count/avg/min/max of ``field``) over only the
+        ``shard_size`` BEST-SCORING hits instead of the whole hit set —
+        the cheap-preview pattern for expensive sub-aggs. With
+        ``dedup_field`` it is the diversified_sampler: at most
+        ``max_docs_per_value`` docs per dedup value enter the sample
+        (best-scoring ones win), de-biasing a dominant key.
+
+        Determinism: candidates order by (rounded score desc, url asc) —
+        url, not internal doc id, so the choice is reproducible across
+        index builds. Plain sampler: WAND top-k candidates (``fetch_k``,
+        default 3×shard_size, must cover the tie group at the cut — the
+        topk contract). Diversified: a dominant value can fill ANY
+        truncated top, so candidates are ALL scored hits
+        (relational_scores — one pruned postings aggregation, the ES
+        shard-local streaming dedup equivalent; OR-mode only, like ES);
+        the per-value window partitions by the dedup value, so no
+        single-partition sort ever sees the full hit set. Either way the
+        sub-agg runs over <= shard_size rows."""
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        cols = [field] + ([dedup_field] if dedup_field else [])
+        if dedup_field:
+            if mode != "or":
+                raise ValueError(
+                    "diversified_sampler streams the OR-mode hit set "
+                    "(ES semantics); mode='and' is not supported"
+                )
+            top = (
+                self.relational_scores(query)
+                .withColumn("score", F.round("score", 4))
+                .join(dm.select("doc_id", "url"), "doc_id")
+            )
+        else:
+            top = self.topk(
+                query, k=fetch_k or 3 * int(shard_size), round_to=4,
+                with_url=True, fetch_k=fetch_k or 3 * int(shard_size),
+                mode=mode,
+            )
+        if field_values is None:
+            missing = [c for c in cols if c not in dm.columns]
+            if missing:
+                raise ValueError(
+                    f"fields {missing} not stored in this index's docmap; "
+                    "build with store_fields=(...) or pass field_values"
+                )
+            j = top.join(dm.select("url", *cols), "url")
+        else:
+            j = top.join(field_values.select("url", *cols), "url")
+        if dedup_field:
+            wd = Window.partitionBy(dedup_field).orderBy(
+                F.col("score").desc(), F.col("url").asc()
+            )
+            j = (
+                j.withColumn("_rn", F.row_number().over(wd))
+                .filter(F.col("_rn") <= int(max_docs_per_value))
+                .drop("_rn")
+            )
+        ws = Window.orderBy(F.col("score").desc(), F.col("url").asc())
+        sample = (
+            j.withColumn("_rk", F.row_number().over(ws))
+            .filter(F.col("_rk") <= int(shard_size))
+        )
+        x = F.col(field).cast("double")
+        return sample.agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.avg(x), 4).alias("avg_value"),
+            F.min(x).alias("min_value"),
+            F.max(x).alias("max_value"),
+        )
+
     def collapse_topk(
         self,
         query: str,

@@ -1983,3 +1983,84 @@ def test_bucket_selector_and_bucket_sort(spark):
     assert [(r["k"], r["doc_count"]) for r in out] == [("b", 30), ("c", 20)]
     out2 = bucket_sort(b, [("m", "asc")], size=2, from_=1).collect()
     assert [r["k"] for r in out2] == ["b", "c"]
+
+
+def test_terms_set_constant_score_sampler(spark, index_dir, pages, doc_terms):
+    """terms_set: per-doc m from a field gates the OR-mode scores;
+    constant_score: every filter-context match scores the boost;
+    sampler/diversified_sampler: sub-agg over only the top sample."""
+    from kafka_es_spark.operators.wand import (
+        Searcher, exhaustive_topk_numpy, round_half_up,
+    )
+    import numpy as np
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index search"
+    qset = set(q.split())
+    full = dict(exhaustive_topk_numpy(doc_terms, sorted(qset), k=10**9))
+
+    # terms_set: m(d) = 1 + (dl % 2) over a url-keyed field relation
+    dm = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    }
+    mfv = pages.select(
+        "url", (F.lit(1) + F.length("text") % 2).cast("long").alias("m")
+    )
+    mby = {r["url"]: r["m"] for r in mfv.collect()}
+    want = sorted(
+        (
+            (round(float(np.round(sc, 4)), 4), d)
+            for d, sc in full.items()
+            if len(qset & set(doc_terms.iloc[d]["terms"])) >= mby[dm[d]]
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [
+        (r["score"], r["doc_id"])
+        for r in s.terms_set_topk(q, mfv, "m", k=10).collect()
+    ]
+    assert [(d, sc) for sc, d in want] == [(d, sc) for sc, d in got]
+
+    # constant_score: AND filter, every row scores the boost
+    and_hits = {
+        d for d in full
+        if qset <= set(doc_terms.iloc[d]["terms"])
+    }
+    cs = s.constant_score_topk(q, boost=2.5, k=10**6, mode="and").collect()
+    assert {r["doc_id"] for r in cs} == and_hits
+    assert all(r["score"] == 2.5 for r in cs)
+
+    # sampler: stats over exactly the top-3 (rounded score, url) hits
+    fv = pages.select("url", F.length("text").cast("long").alias("f"))
+    fb = {r["url"]: r["f"] for r in fv.collect()}
+    cand = sorted(
+        ((round(float(np.round(sc, 4)), 4), dm[d], d) for d, sc in full.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    vals = [fb[u] for _, u, _ in cand]
+    row = s.agg_sampler(q, fv, "f", shard_size=3).collect()[0]
+    assert row["doc_count"] == 3
+    assert abs(row["avg_value"] - round(sum(vals) / 3, 4)) < 1e-9
+    assert row["min_value"] == min(vals) and row["max_value"] == max(vals)
+
+    # diversified: one doc per lang value, then top-2
+    lv = pages.select("url", "lang")
+    lb = {r["url"]: r["lang"] for r in lv.collect()}
+    fv2 = pages.select("url", "lang", F.length("text").cast("long").alias("f"))
+    seen, div = set(), []
+    for sc, u, d in sorted(
+        ((round(float(np.round(sc, 4)), 4), dm[d], d) for d, sc in full.items()),
+        key=lambda t: (-t[0], t[1]),
+    ):
+        if lb[u] in seen:
+            continue
+        seen.add(lb[u])
+        div.append((sc, u))
+    div = div[:2]
+    row2 = s.agg_sampler(
+        q, fv2, "f", shard_size=2, dedup_field="lang", max_docs_per_value=1
+    ).collect()[0]
+    vals2 = [fb[u] for _, u in div]
+    assert row2["doc_count"] == 2
+    assert abs(row2["avg_value"] - round(sum(vals2) / 2, 4)) < 1e-9
