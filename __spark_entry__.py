@@ -1108,6 +1108,50 @@ def _q_agg_div_sampler(spark, sf_dir):
     )
 
 
+HY_FETCH, HY_KRRF = 50, 60
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (the ES `rrf` retriever): BM25 top-50 over the
+    inverted index fused with the exact-cosine top-50 around query
+    vector 0 by reciprocal-rank fusion — Σ 1/(60+rank) over the lists a
+    doc appears in; rank relations are tiny, the fuse is reduce-phase."""
+    from pyspark.sql import Window
+
+    from kafka_es_spark.operators.similarity import cosine_topk, rrf_fuse
+    from kafka_es_spark.operators.wand import wand_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    lex = wand_topk(
+        spark, idx, " ".join(QUERY_TERMS), k=HY_FETCH * 3,
+        fetch_k=HY_FETCH * 3, with_url=True,
+    )
+    lexr = (
+        lex.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "score",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= HY_FETCH)
+        .select("doc_id", "rank")
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = cosine_topk(e, q, k=HY_FETCH).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lexr, vec], k=TOPK, k_rrf=HY_KRRF)
+
+
 DBQ_TERMS = ["data", "hash"]  # conjunctive delete: docs with BOTH terms
 
 
@@ -1907,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_constant_score": _q_constant_score,
         "x8_agg_sampler": _q_agg_sampler,
         "x8_agg_div_sampler": _q_agg_div_sampler,
+        "x11_hybrid_rrf": _q_hybrid_rrf,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3041,6 +3086,47 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # hybrid rrf: BM25 rank list ∪ cosine rank list, Σ 1/(60+rank)
+        "x11_hybrid_rrf": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM s
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+vecr AS (
+  SELECT e.vec_id AS doc_id, row_number() OVER (
+    ORDER BY round(list_cosine_similarity(e.v, qv.v), 4) DESC, e.vec_id)
+    AS rank
+  FROM e, qv WHERE e.vec_id <> 0
+),
+u AS (
+  SELECT doc_id, CAST(1 AS DOUBLE) / ({HY_KRRF} + rank) AS c
+  FROM lexr WHERE rank <= {HY_FETCH}
+  UNION ALL
+  SELECT doc_id, CAST(1 AS DOUBLE) / ({HY_KRRF} + rank)
+  FROM vecr WHERE rank <= {HY_FETCH}
+)
+SELECT doc_id, sum(c) AS rrf_score FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {TOPK}
 """,
         # terms_set: per-doc minimum_should_match from a field
         "x8_terms_set": f"""

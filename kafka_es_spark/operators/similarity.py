@@ -607,3 +607,39 @@ def cosine_near_pairs(
         .filter(F.col("cos") >= min_cos)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the ES ``rrf``
+    retriever that powers hybrid BM25 + kNN search: each input relation
+    is one retriever's top-N as (id, rank) rows; the fused score is
+    ``Σ 1/(k_rrf + rank)`` over the lists a doc appears in (a missing
+    list contributes nothing, exactly ES's convention).
+
+    Scale: rank relations are top-N by construction (tiny), so the
+    union + one id-keyed aggregate is reduce-phase work regardless of
+    corpus size; the contribution ``1.0/(k_rrf + rank)`` is an exact
+    function of the integer rank, so fused scores are bit-identical
+    across engines and partitionings. Ties break on id asc."""
+    from functools import reduce as _reduce
+
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col))).alias("c"),
+        )
+        for r in rankings
+    ]
+    return (
+        _reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

@@ -1157,3 +1157,28 @@ def test_pii_scrub_redactions(spark):
     assert out[2]["clean_text"] == "[EMAIL] has no phone"
     assert out[3]["clean_text"] == "perfectly clean text stays"
     assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_rrf_fuse_hybrid_fusion(spark):
+    """RRF: Σ 1/(k_rrf+rank) per list a doc appears in; docs in both
+    lists beat single-list docs at similar ranks; ties break on id."""
+    from kafka_es_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(3, 1), (4, 2), (5, 3)], "doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([lex, vec], k=10, k_rrf=60).collect()}
+    assert abs(got[3] - (1 / 63 + 1 / 61)) < 1e-12   # both lists
+    assert abs(got[1] - 1 / 61) < 1e-12
+    assert abs(got[5] - 1 / 63) < 1e-12
+    order = [r["doc_id"] for r in rrf_fuse([lex, vec], k=10, k_rrf=60).collect()]
+    assert order[0] == 3 and set(order) == {1, 2, 3, 4, 5}
+    # k truncation + id tiebreak on equal scores (doc 1 vs doc 4? no —
+    # construct a tie: two docs with identical single-list rank)
+    a = spark.createDataFrame([(7, 1), (9, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(8, 1), (6, 2)], "doc_id long, rank int")
+    t = [r["doc_id"] for r in rrf_fuse([a, b], k=3, k_rrf=60).collect()]
+    assert t == [7, 8, 6]
