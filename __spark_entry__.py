@@ -1108,6 +1108,24 @@ def _q_agg_div_sampler(spark, sf_dir):
     )
 
 
+MIX_BUDGET = 100_000
+
+
+def _q_mix_plan(spark, sf_dir):
+    """Training-mixture planning: per-source token totals × target
+    weights × a global token budget → per-source sampling rates
+    (rate > 1 ⇒ multi-epoch repetition of small sources). One hash
+    aggregation to #strata rows + a broadcast weight join."""
+    from kafka_es_spark.functions.tokenize import tokens
+    from kafka_es_spark.operators.traindata import mix_plan
+
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    weights = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+    return mix_plan(d, weights, MIX_BUDGET)
+
+
 HY_FETCH, HY_KRRF = 50, 60
 
 
@@ -1952,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_sampler": _q_agg_sampler,
         "x8_agg_div_sampler": _q_agg_div_sampler,
         "x11_hybrid_rrf": _q_hybrid_rrf,
+        "tr3_mix_plan": _q_mix_plan,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3086,6 +3105,23 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # mixture plan: per-source token totals × weights × budget
+        "tr3_mix_plan": f"""
+WITH t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source,
+         (CAST(substr(source, 4) AS INT) + 1) / CAST(210 AS DOUBLE) AS weight
+  FROM t
+)
+SELECT t.source, n_docs, tokens, w.weight,
+       round(w.weight * {MIX_BUDGET}, 4) AS target_tokens,
+       round(round(w.weight * {MIX_BUDGET}, 4) / tokens, 6) AS rate
+FROM t JOIN w USING (source) ORDER BY source
 """,
         # hybrid rrf: BM25 rank list ∪ cosine rank list, Σ 1/(60+rank)
         "x11_hybrid_rrf": f"""

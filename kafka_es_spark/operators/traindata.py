@@ -374,3 +374,44 @@ def cap_per_key(
         .drop("_rnk")
     )
     return light.unionByName(kept_over)
+
+
+def mix_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    key_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Training-mixture planning (the Pile / DoReMi recipe step): given
+    target mixture weights per stratum and a total token budget, derive
+    each stratum's sampling rate = target tokens / available tokens.
+    ``rate > 1`` means the stratum repeats for multiple epochs — the
+    standard treatment of small high-quality sources; feed the rates to
+    ``stratified_sample`` (rate % 1 for the fractional epoch) to
+    materialize the mixture reproducibly.
+
+    Plan: ONE hash aggregation over the corpus to #strata rows, then a
+    broadcast join against the (tiny) weight relation — no second pass,
+    no skew risk (strata counts are the aggregate). Strata absent from
+    ``weights`` are excluded (weight 0 by convention). The plan row is a
+    pure function of (weights, budget, per-stratum totals)."""
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        sorted(weights.items()), f"{key_col} string, weight double"
+    )
+    totals = docs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("tokens"),
+    )
+    return (
+        totals.join(F.broadcast(w), key_col)
+        .withColumn(
+            "target_tokens",
+            F.round(F.col("weight") * F.lit(float(budget_tokens)), 4),
+        )
+        .withColumn(
+            "rate", F.round(F.col("target_tokens") / F.col("tokens"), 6)
+        )
+        .orderBy(key_col)
+    )

@@ -1182,3 +1182,23 @@ def test_rrf_fuse_hybrid_fusion(spark):
     b = spark.createDataFrame([(8, 1), (6, 2)], "doc_id long, rank int")
     t = [r["doc_id"] for r in rrf_fuse([a, b], k=3, k_rrf=60).collect()]
     assert t == [7, 8, 6]
+
+
+def test_mix_plan_rates_and_epochs(spark):
+    """mix_plan: rate = weight·budget / stratum tokens; small strata get
+    rate > 1 (multi-epoch); strata missing from weights are excluded."""
+    from kafka_es_spark.operators.traindata import mix_plan
+
+    d = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 1000)],
+        "source string, n_tokens long",
+    )
+    got = {
+        r["source"]: r
+        for r in mix_plan(d, {"a": 0.5, "b": 0.5}, 1000).collect()
+    }
+    assert set(got) == {"a", "b"}          # c has no weight -> excluded
+    assert got["a"]["n_docs"] == 2 and got["a"]["tokens"] == 200
+    assert abs(got["a"]["rate"] - 2.5) < 1e-9      # 500/200 -> 2.5 epochs
+    assert abs(got["b"]["rate"] - 10.0) < 1e-9     # 500/50
+    assert got["a"]["target_tokens"] == 500.0
