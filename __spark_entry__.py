@@ -1108,6 +1108,52 @@ def _q_agg_div_sampler(spark, sf_dir):
     )
 
 
+HC_FILTER = "event_type = 'click' AND value >= 50"
+
+
+def _events_as_children(spark, sf_dir, n_docs: int):
+    """events as join-field children of documents: the parent routing key
+    is the parent's url, derived deterministically (user_id % n_docs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "parent_url",
+        F.concat(F.lit("doc://"), (F.col("user_id") % n_docs).cast("string")),
+    )
+
+
+def _q_has_child(spark, sf_dir):
+    """ES has_child (join field): parents ranked by count of children
+    matching the filter-context child predicate (score_mode over
+    constant-score children = the count)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    ch = _events_as_children(spark, sf_dir, s.n_docs)
+    out = s.has_child_topk(ch, HC_FILTER, k=TOPK)
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _q_has_parent(spark, sf_dir):
+    """ES has_parent (join field): child events whose parent doc matches
+    the conjunctive parent query — filter context, score=false."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    ch = _events_as_children(spark, sf_dir, s.n_docs)
+    out = s.has_parent_children(" ".join(QUERY_TERMS), ch, mode="and")
+    return out.select(
+        "event_id",
+        F.regexp_extract("parent_url", r"doc://(\d+)", 1)
+        .cast("long")
+        .alias("parent_doc_id"),
+    )
+
+
 MIX_BUDGET = 100_000
 
 
@@ -1971,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_div_sampler": _q_agg_div_sampler,
         "x11_hybrid_rrf": _q_hybrid_rrf,
         "tr3_mix_plan": _q_mix_plan,
+        "x12_has_child": _q_has_child,
+        "x12_has_parent": _q_has_parent,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3105,6 +3153,29 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # has_child: parents ranked by matching-child count
+        "x12_has_child": f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+ch AS (
+  SELECT user_id % (SELECT n_docs FROM n) AS doc_id
+  FROM events WHERE {HC_FILTER}
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS score FROM ch GROUP BY 1)
+SELECT doc_id, score FROM cnt
+ORDER BY score DESC, 'doc://' || CAST(doc_id AS VARCHAR) LIMIT {TOPK}
+""",
+        # has_parent: child events of conjunctive-query parents
+        "x12_has_parent": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT event_id, user_id % (SELECT n_docs FROM n) AS parent_doc_id
+FROM events
+WHERE user_id % (SELECT n_docs FROM n) IN (SELECT doc_id FROM hits)
 """,
         # mixture plan: per-source token totals × weights × budget
         "tr3_mix_plan": f"""

@@ -2625,6 +2625,73 @@ class Searcher:
             F.max(x).alias("max_value"),
         )
 
+    def has_child_topk(
+        self,
+        children: DataFrame,
+        child_filter: str,
+        parent_col: str = "parent_url",
+        k: int = 10,
+        min_children: int = 1,
+    ) -> DataFrame:
+        """ES has_child query (join field): live parent docs with >=
+        ``min_children`` children matching the filter-context child
+        predicate, scored by matching-child count — ES's score_mode over
+        constant-score children (sum of 1.0 per child) IS the count;
+        none/min/max/avg all collapse to it. ``children`` carries
+        ``parent_col`` (the join-field parent routing key = the parent's
+        url); ``child_filter`` is a SQL predicate over the child row.
+
+        Plan: child predicate pushes into the child scan → ONE
+        parent-keyed count aggregation (bounded by #parents with
+        matches, not #children) → dense-id docmap join → TakeOrdered.
+        No per-child shuffle beyond the one count agg; tombstoned
+        parents drop like every query path."""
+        matched = (
+            children.filter(child_filter)
+            .groupBy(F.col(parent_col).alias("url"))
+            .agg(F.count(F.lit(1)).cast("long").alias("score"))
+            .filter(F.col("score") >= int(min_children))
+        )
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        out = matched.join(dm.select("doc_id", "url"), "url")
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        # url tiebreak, not internal doc id: urls are stable across index
+        # builds, internal dense ids are not
+        return (
+            out.select("doc_id", "url", "score")
+            .orderBy(F.col("score").desc(), F.col("url").asc())
+            .limit(int(k))
+        )
+
+    def has_parent_children(
+        self,
+        parent_query: str,
+        children: DataFrame,
+        parent_col: str = "parent_url",
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES has_parent query (join field): child rows whose parent doc
+        matches the parent query — filter context, score=false (the ES
+        default), so the parent side is the no-decode matching_doc_ids
+        set. Plan: parent hit set → docmap urls (bounded by #hits) →
+        LEFT SEMI join into the child relation on the routing key; AQE
+        broadcasts the url set when small, and the child side never
+        shuffles more than that one join."""
+        hits = self.matching_doc_ids(
+            parent_query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        urls = hits.join(dm.select("doc_id", "url"), "doc_id").select(
+            F.col("url").alias(parent_col)
+        )
+        return children.join(urls, parent_col, "left_semi")
+
     def collapse_topk(
         self,
         query: str,

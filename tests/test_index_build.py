@@ -2064,3 +2064,56 @@ def test_terms_set_constant_score_sampler(spark, index_dir, pages, doc_terms):
     vals2 = [fb[u] for _, u in div]
     assert row2["doc_count"] == 2
     assert abs(row2["avg_value"] - round(sum(vals2) / 2, 4)) < 1e-9
+
+
+def test_has_child_and_has_parent(spark, index_dir, pages, doc_terms):
+    """Join-field queries: has_child ranks parents by matching-child
+    count (url tiebreak); has_parent semi-joins children of parent-query
+    hits; tombstoned parents drop from has_child."""
+    from kafka_es_spark.operators.deletes import add_tombstones
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    urls = sorted(r["url"] for r in dm)
+    by_url = {r["url"]: r["doc_id"] for r in dm}
+    # children: child i belongs to parent urls[i % 7]; "big" children
+    # have val >= 10
+    rows = [(i, urls[i % 7], float(i)) for i in range(40)]
+    ch = spark.createDataFrame(rows, "child_id long, parent_url string, val double")
+
+    got = s.has_child_topk(ch, "val >= 10", k=3)
+    want = {}
+    for i, u, v in rows:
+        if v >= 10:
+            want[u] = want.get(u, 0) + 1
+    exp = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r["url"], r["score"]) for r in got.collect()] == exp
+
+    # has_parent: children of docs containing both 'data' and 'index'
+    hit_ids = {
+        row["doc_id"]
+        for _, row in doc_terms.iterrows()
+        if {"data", "index"} <= set(row["terms"])
+    }
+    id_by_url = by_url
+    exp_children = {
+        i for i, u, v in rows if id_by_url[u] in hit_ids
+    }
+    gp = s.has_parent_children("data index", ch, mode="and")
+    assert {r["child_id"] for r in gp.collect()} == exp_children
+
+    # tombstone the top has_child parent -> it vanishes from the ranking
+    top_url = exp[0][0]
+    add_tombstones(spark, index_dir, [by_url[top_url]])
+    try:
+        s2 = Searcher(spark, index_dir, cache=False)
+        got2 = [
+            r["url"] for r in s2.has_child_topk(ch, "val >= 10", k=3).collect()
+        ]
+        assert top_url not in got2
+    finally:
+        # index_dir is module-scoped — don't leak the tombstone
+        from kafka_es_spark.operators.deletes import clear_tombstones
+
+        clear_tombstones(index_dir)
