@@ -1154,6 +1154,22 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+SYNONYMS = {"join": ["merge"], "query": ["scan"]}
+
+
+def _q_synonym_topk(spark, sf_dir):
+    """ES query-time synonyms (Lucene SynonymQuery): join≡merge and
+    query≡scan score as single pseudo-terms — tf sums over the group,
+    idf from the group's max member df."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).synonym_topk(
+        " ".join(QUERY_TERMS), SYNONYMS, k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 MIX_BUDGET = 100_000
 
 
@@ -2019,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr3_mix_plan": _q_mix_plan,
         "x12_has_child": _q_has_child,
         "x12_has_parent": _q_has_parent,
+        "x8_synonym_topk": _q_synonym_topk,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3153,6 +3170,34 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # synonyms: (join≡merge, query≡scan) as single pseudo-terms —
+        # tf sums over the group, idf from the group's max member df
+        "x8_synonym_topk": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+gm (term, grp) AS (
+  VALUES ('join', 'join'), ('merge', 'join'),
+         ('query', 'query'), ('scan', 'query'),
+         ('spark', 'spark')
+),
+tf AS (SELECT doc_id, grp, count(*) AS tf FROM toks JOIN gm USING (term)
+       GROUP BY 1, 2),
+dfm AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        JOIN gm USING (term) GROUP BY 1),
+gdf AS (SELECT grp, max(df) AS df FROM dfm JOIN gm USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN gdf USING (grp) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
 """,
         # has_child: parents ranked by matching-child count
         "x12_has_child": f"""

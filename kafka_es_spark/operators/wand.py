@@ -2625,6 +2625,95 @@ class Searcher:
             F.max(x).alias("max_value"),
         )
 
+    def synonym_topk(
+        self,
+        query: str,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+        round_to: int | None = 4,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES query-time synonyms (match through a synonym_graph filter →
+        Lucene SynonymQuery): each query term and its synonyms score as
+        ONE pseudo-term — tf = Σ tf over the group's members present in
+        the doc, idf from the group's MAX member df (the SynonymQuery /
+        BlendedTermQuery convention: a group is one concept, the
+        commonest member sets its rarity). Scores therefore never exceed
+        a single-term match's saturation — synonyms widen recall without
+        double-counting the concept.
+
+        Plan: one pruned postings scan over all member terms →
+        (doc, group) tf roll-up and the BM25 sum in two hash
+        aggregations; group map and idf weights broadcast (queries are
+        small). Pending tombstones excluded as everywhere."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        qterms = sorted(set(tokenize_py(query)))
+        empty = "doc_id long, url string, score double" if with_url else (
+            "doc_id long, score double"
+        )
+        if not qterms or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], empty)
+        groups = {t: sorted({t} | set(synonyms.get(t, ()))) for t in qterms}
+        all_terms = sorted({m for ms in groups.values() for m in ms})
+        ts = {
+            r["term"]: int(r["df"])
+            for r in self.term_stats.filter(
+                F.col("term").isin(all_terms)
+            ).collect()
+        }
+        weights = {}
+        for g, ms in groups.items():
+            dfs = [ts[m] for m in ms if m in ts]
+            if dfs:
+                weights[g] = idf(self.n_docs, max(dfs))
+        if not weights:
+            return spark.createDataFrame([], empty)
+        member_rows = sorted(
+            (m, g)
+            for g, ms in groups.items()
+            if g in weights
+            for m in ms
+            if m in ts
+        )
+        segs = self._query_segs(sorted({m for m, _ in member_rows}))
+        gmap = spark.createDataFrame(member_rows, "term string, grp string")
+        w_df = spark.createDataFrame(
+            sorted(weights.items()), "grp string, w double"
+        )
+        out = (
+            self._postings_rows(segs)
+            .join(F.broadcast(gmap), "term")
+            .groupBy("doc_id", "grp")
+            .agg(F.sum("tf").alias("tf"))
+            .join(self._dl_rows(segs), "doc_id")
+            .join(F.broadcast(w_df), "grp")
+            .groupBy("doc_id")
+            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
+        )
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        score = (
+            F.round(F.col("score"), round_to) if round_to is not None
+            else F.col("score")
+        )
+        if with_url:
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            )
+            out = out.join(dm.select("doc_id", "url"), "doc_id")
+            cols = ["doc_id", "url", score.alias("score")]
+        else:
+            cols = ["doc_id", score.alias("score")]
+        return (
+            out.select(*cols)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k))
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,

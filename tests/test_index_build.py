@@ -2117,3 +2117,54 @@ def test_has_child_and_has_parent(spark, index_dir, pages, doc_terms):
         from kafka_es_spark.operators.deletes import clear_tombstones
 
         clear_tombstones(index_dir)
+
+
+def test_synonym_topk_lucene_semantics(spark, index_dir, doc_terms):
+    """SynonymQuery: tf sums over the group, idf from the group's MAX
+    member df; no synonyms == plain OR scores; a doc matching only the
+    synonym still scores under the group concept."""
+    import math
+
+    import numpy as np
+
+    from kafka_es_spark.operators.wand import (
+        Searcher, exhaustive_topk_numpy, round_half_up,
+    )
+
+    s = Searcher(spark, index_dir, cache=False)
+    # no-synonym degenerate case == plain OR topk
+    q = "data index"
+    plain = s.topk(q, k=10).collect()
+    syn0 = s.synonym_topk(q, {}, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in plain] == [
+        (r["doc_id"], r["score"]) for r in syn0
+    ]
+
+    # brute force: group g over members, tf sums, idf of max df
+    groups = {"data": ["big"], "index": []}
+    n = len(doc_terms)
+    dls = doc_terms["terms"].map(len)
+    avgdl = float(dls.mean())
+    df = {}
+    for t in ("data", "big", "index"):
+        df[t] = sum(1 for ts in doc_terms["terms"] if t in set(ts))
+    want = {}
+    for d in range(n):
+        ts = list(doc_terms.iloc[d]["terms"])
+        sc = 0.0
+        for g, ms in groups.items():
+            mem = [g] + ms
+            tf = sum(ts.count(m) for m in mem)
+            if tf == 0:
+                continue
+            gdf = max(df[m] for m in mem)
+            w = math.log(1 + (n - gdf + 0.5) / (gdf + 0.5))
+            sc += w * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+        if sc > 0:
+            want[d] = float(round_half_up(np.array([sc]), 4)[0])
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.synonym_topk(q, groups, k=10).collect()
+    ]
+    assert got == top
