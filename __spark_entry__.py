@@ -1154,6 +1154,38 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+RF_PIVOT, RF_BOOST = 250.0, 1.5
+DF_ORIGIN, DF_PIVOT, DF_BOOST = 300.0, 100.0, 2.0
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + 1.5·x/(x+250) over n_chars —
+    a bounded additive popularity-style signal."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).feature_boost_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        kind="saturation", pivot=RF_PIVOT, boost=RF_BOOST, k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_distance_feature(spark, sf_dir):
+    """ES distance_feature: BM25 + 2·100/(100+|n_chars−300|) — additive
+    proximity-to-origin boost (recency/geo-nearness shape)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).feature_boost_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        kind="distance", origin=DF_ORIGIN, pivot=DF_PIVOT, boost=DF_BOOST,
+        k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 SYNONYMS = {"join": ["merge"], "query": ["scan"]}
 
 
@@ -2036,6 +2068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_has_child": _q_has_child,
         "x12_has_parent": _q_has_parent,
         "x8_synonym_topk": _q_synonym_topk,
+        "x8_rank_feature": _q_rank_feature,
+        "x8_distance_feature": _q_distance_feature,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3170,6 +3204,57 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # rank_feature: BM25 + boost·x/(x+pivot) over n_chars
+        "x8_rank_feature": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       round(s.score + {RF_BOOST} * CAST(n_chars AS DOUBLE)
+             / (CAST(n_chars AS DOUBLE) + {RF_PIVOT}), 4) AS score
+FROM s JOIN corpus USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {TOPK}
+""",
+        # distance_feature: BM25 + boost·pivot/(pivot+|x−origin|)
+        "x8_distance_feature": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       round(s.score + {DF_BOOST} * {DF_PIVOT}
+             / ({DF_PIVOT} + abs(CAST(n_chars AS DOUBLE) - {DF_ORIGIN})), 4)
+         AS score
+FROM s JOIN corpus USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT {TOPK}
 """,
         # synonyms: (join≡merge, query≡scan) as single pseudo-terms —
         # tf sums over the group, idf from the group's max member df

@@ -2714,6 +2714,65 @@ class Searcher:
             .limit(int(k))
         )
 
+    def feature_boost_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        kind: str = "saturation",
+        pivot: float = 1.0,
+        boost: float = 1.0,
+        origin: float = 0.0,
+        k: int = 10,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES rank_feature / distance_feature queries: a bool.should
+        clause that ADDS a bounded feature-derived term to the BM25 sum —
+        ``kind='saturation'`` (rank_feature default) adds
+        ``boost · x/(x + pivot)``; ``kind='distance'`` (distance_feature)
+        adds ``boost · pivot/(pivot + |x − origin|)``. Both terms are
+        bounded by ``boost``, so they re-rank within relevance ties
+        rather than swamping text relevance — exactly why ES recommends
+        them over multiplicative function_score for popularity/recency/
+        proximity signals (function_score_topk covers the multiplicative
+        family).
+
+        Plan: relational BM25 scores (pruned postings scan, one hash
+        agg) → dense-id docmap join → url-keyed field join → one Column
+        expression → TakeOrdered. The feature join touches only hit
+        rows."""
+        scores = self.relational_scores(query)
+        if mode == "and":
+            need = self.matching_doc_ids(query, mode="and")
+            scores = scores.join(need, "doc_id", "left_semi")
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = scores.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", field), "url"
+        )
+        x = F.col(field).cast("double")
+        if kind == "saturation":
+            extra = F.lit(float(boost)) * x / (x + F.lit(float(pivot)))
+        elif kind == "distance":
+            extra = (
+                F.lit(float(boost))
+                * F.lit(float(pivot))
+                / (F.lit(float(pivot)) + F.abs(x - F.lit(float(origin))))
+            )
+        else:
+            raise ValueError(f"unknown feature kind {kind!r}")
+        total = F.col("score") + extra
+        score = F.round(total, round_to) if round_to is not None else total
+        cols = ["doc_id", "url", score.alias("score")] if with_url else [
+            "doc_id", score.alias("score")
+        ]
+        return (
+            j.select(*cols)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k))
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,

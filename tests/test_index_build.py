@@ -2168,3 +2168,57 @@ def test_synonym_topk_lucene_semantics(spark, index_dir, doc_terms):
         for r in s.synonym_topk(q, groups, k=10).collect()
     ]
     assert got == top
+
+
+def test_feature_boost_topk_bounded_additive(spark, index_dir, pages, doc_terms):
+    """rank_feature/distance_feature: additive term bounded by boost —
+    exact values vs brute force; extreme feature values cannot displace
+    strong text relevance by more than the boost."""
+    import math
+
+    import numpy as np
+
+    from kafka_es_spark.operators.wand import (
+        Searcher, exhaustive_topk_numpy, round_half_up,
+    )
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index"
+    full = dict(exhaustive_topk_numpy(doc_terms, sorted(set(q.split())), k=10**9))
+    dm = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    }
+    fv = pages.select("url", F.length("text").cast("long").alias("f"))
+    fb = {r["url"]: float(r["f"]) for r in fv.collect()}
+
+    def expect(kind, pivot, boost, origin=0.0):
+        want = {}
+        for d, sc in full.items():
+            x = fb[dm[d]]
+            extra = (
+                boost * x / (x + pivot) if kind == "saturation"
+                else boost * pivot / (pivot + abs(x - origin))
+            )
+            want[d] = float(round_half_up(np.array([sc + extra]), 4)[0])
+        return sorted(want.items(), key=lambda t: (-t[1], t[0]))[:5]
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.feature_boost_topk(q, fv, "f", kind="saturation",
+                                      pivot=100.0, boost=1.5, k=5).collect()
+    ]
+    assert got == expect("saturation", 100.0, 1.5)
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in s.feature_boost_topk(q, fv, "f", kind="distance",
+                                      origin=200.0, pivot=50.0, boost=2.0,
+                                      k=5).collect()
+    ]
+    assert got2 == expect("distance", 50.0, 2.0, origin=200.0)
+    # boundedness: extra <= boost for every returned score
+    base = {d: full[d] for d, _ in got}
+    for d, sc in got:
+        assert sc - base[d] <= 1.5 + 1e-9
+    with pytest.raises(ValueError, match="kind"):
+        s.feature_boost_topk(q, fv, "f", kind="nope")
