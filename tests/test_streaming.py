@@ -372,3 +372,67 @@ def test_append_epoch_store_fields_uniform_schema(spark, tmp_path):
         for r in s2.facet_terms("data", None, "lang", size=20).collect()
     }
     assert got2 == want
+
+
+def test_streaming_sessionize_stateful_carry(spark, tmp_path):
+    """applyInPandasWithState sessionization: open sessions persist in the
+    state store ACROSS micro-batches (and across a stream restart from
+    the checkpoint); a later event past the gap closes and emits the
+    session exactly once; still-open sessions emit nothing."""
+    import datetime as dt
+    import glob as _glob
+    import shutil
+
+    from kafka_es_spark.streaming.stateful import streaming_sessionize
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def sec(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    def add_file(name, rows):
+        stage = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        shutil.move(part, str(src / (name + ".parquet")))
+
+    got = []
+
+    def run_available():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(src)
+        )
+        sess = streaming_sessionize(stream, gap_seconds=30)
+        q = (
+            sess.writeStream.foreachBatch(
+                lambda df, eid: got.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: user 1 two close events; user 2 one event; user 3 one event
+    add_file("b1", [(1, sec(0)), (1, sec(10)), (2, sec(0)), (3, sec(0))])
+    run_available()
+    assert got == []  # everything still open
+
+    # batch 2 (fresh run, same checkpoint — state must survive):
+    # user 1 jumps past the gap (closes [0,10] n=2, opens a new one);
+    # user 3 extends within gap then jumps (closes [0,5] n=2); user 2 idle
+    add_file("b2", [(1, sec(100)), (1, sec(105)), (3, sec(5)), (3, sec(200))])
+    run_available()
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got
+    }
+    assert emitted == {
+        (1, sec(0), sec(10), 2),
+        (3, sec(0), sec(5), 2),
+    }
