@@ -1154,6 +1154,57 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+PINNED = ["doc://141", "doc://3"]
+
+
+def _q_pinned(spark, sf_dir):
+    """ES pinned query: curated docs rank first in list order (rank-
+    encoded constant scores), organic BM25 hits follow, no duplicates."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).pinned_topk(
+        " ".join(QUERY_TERMS), PINNED, k=TOPK
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+MS_QUERIES = ["spark query join", "data hash", "table scan"]
+
+
+def _q_msearch(spark, sf_dir):
+    """ES _msearch: the whole query batch scored in ONE Spark job
+    (per-range cursors decoded once, shared by every query); per-query
+    top-10, re-ranked on the corpus id like every serving entry."""
+    from pyspark.sql import Window
+
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    out = s.topk_many(MS_QUERIES, k=TOPK * 3)
+    dm = spark.read.parquet(f"{idx}/docmap").select("doc_id", "url")
+    j = out.join(dm, "doc_id").select(
+        "query_id",
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "doc_id",
+            "score",
+        )
+    )
+
+
 RF_PIVOT, RF_BOOST = 250.0, 1.5
 DF_ORIGIN, DF_PIVOT, DF_BOOST = 300.0, 100.0, 2.0
 
@@ -2070,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_synonym_topk": _q_synonym_topk,
         "x8_rank_feature": _q_rank_feature,
         "x8_distance_feature": _q_distance_feature,
+        "x8_pinned": _q_pinned,
+        "x8_msearch": _q_msearch,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3204,6 +3257,68 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # pinned: curated docs first (rank-encoded constants), organic after
+        "x8_pinned": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+pins (doc_id, score) AS (VALUES (141, CAST(1e9 AS DOUBLE)), (3, 1e9 - 1)),
+organic AS (
+  SELECT doc_id, round(score, 4) AS score FROM s
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+)
+SELECT doc_id, score FROM (
+  SELECT * FROM pins UNION ALL SELECT * FROM organic
+)
+ORDER BY score DESC, 'doc://' || CAST(doc_id AS VARCHAR) LIMIT {TOPK}
+""",
+        # _msearch: the 3-query batch, per-query top-10
+        "x8_msearch": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt (query_id, term) AS (
+  VALUES (0, 'join'), (0, 'query'), (0, 'spark'),
+         (1, 'data'), (1, 'hash'),
+         (2, 'scan'), (2, 'table')
+),
+tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+       FROM toks JOIN qt USING (term) GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+s AS (
+  SELECT tf.query_id, tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id
+         ) AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM r
+WHERE rank <= {TOPK}
 """,
         # rank_feature: BM25 + boost·x/(x+pivot) over n_chars
         "x8_rank_feature": f"""

@@ -2773,6 +2773,44 @@ class Searcher:
             .limit(int(k))
         )
 
+    def pinned_topk(
+        self,
+        query: str,
+        pinned_urls: list[str],
+        k: int = 10,
+        round_to: int | None = 4,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES pinned query: the given docs rank FIRST in the given order
+        (position i scores the Lucene pin constant 1.7e308/2 minus i in
+        spirit — here rank-encoded as ``1e9 − i``, far above any BM25
+        score), organic hits follow with their normal scores; a pinned
+        doc never appears twice. Pins are ids by definition (a curated
+        list), so the broadcast side is tiny.
+
+        Plan: the organic top-k path unchanged (WAND over the index) ⟕
+        an anti-join against the pin list + a tiny union. Cost = one
+        topk + |pins| lookups."""
+        pins = [(u, float(1e9 - i)) for i, u in enumerate(pinned_urls)]
+        spark = self.spark
+        pin_df = spark.createDataFrame(pins, "url string, score double")
+        dm = spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        pin_rows = pin_df.join(dm.select("doc_id", "url"), "url")
+        if self.persistent_excluded:
+            pin_rows = pin_rows.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        organic = self.topk(
+            query, k=int(k) + len(pins), round_to=round_to,
+            fetch_k=3 * (int(k) + len(pins)), with_url=True, mode=mode,
+        ).join(F.broadcast(pin_df.select("url")), "url", "left_anti")
+        return (
+            pin_rows.select("doc_id", "url", "score")
+            .unionByName(organic.select("doc_id", "url", "score"))
+            .orderBy(F.col("score").desc(), F.col("url").asc())
+            .limit(int(k))
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,

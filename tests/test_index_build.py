@@ -2222,3 +2222,29 @@ def test_feature_boost_topk_bounded_additive(spark, index_dir, pages, doc_terms)
         assert sc - base[d] <= 1.5 + 1e-9
     with pytest.raises(ValueError, match="kind"):
         s.feature_boost_topk(q, fv, "f", kind="nope")
+
+
+def test_pinned_topk_order_and_dedup(spark, index_dir, doc_terms):
+    """Pinned query: pins first in list order (even non-matching docs),
+    organic hits follow with BM25 scores, a pin that is also an organic
+    hit appears once."""
+    from kafka_es_spark.operators.wand import Searcher, exhaustive_topk_numpy
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index"
+    full = dict(exhaustive_topk_numpy(doc_terms, sorted(set(q.split())), k=10**9))
+    dm = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    }
+    # pin the organic #1 plus a doc that does NOT match the query
+    organic_sorted = sorted(full.items(), key=lambda t: (-round(t[1], 4), dm[t[0]]))
+    top_url = dm[organic_sorted[0][0]]
+    non_match = dm[next(d for d in dm if d not in full)]
+    out = s.pinned_topk(q, [non_match, top_url], k=6).collect()
+    urls = [r["url"] for r in out]
+    assert urls[0] == non_match and urls[1] == top_url
+    assert len(set(urls)) == len(urls) == 6
+    # organic tail = best remaining organic hits
+    rest = [dm[d] for d, _ in organic_sorted if dm[d] != top_url][:4]
+    assert urls[2:] == rest
