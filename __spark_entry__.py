@@ -1154,6 +1154,51 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+GEO_BOX = (45.0, 90.0, -45.0, -170.0)  # top, left, bottom, right (wrapped)
+
+
+def _geo_fields(spark, sf_dir):
+    """Synthesized geo_point relation: the driver corpus carries no
+    coordinates, so lat/lon derive from doc_id by integer modular
+    arithmetic (exact in any engine) — the geo operators themselves are
+    the real plumbing (two double columns, ES box/centroid semantics)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def _q_geo_box(spark, sf_dir):
+    """ES geo_bounding_box over the OR hit set — the box crosses the
+    antimeridian (left 90 > right -170), exercising the lon wrap."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    t, l, b, r = GEO_BOX
+    out = Searcher(spark, idx, cache=False).geo_bounding_box(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        t, l, b, r, k=50,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "lat", "lon",
+    )
+
+
+def _q_geo_centroid(spark, sf_dir):
+    """ES geo_centroid over the conjunctive hit set: flat-projection
+    mean of hit coordinates."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).geo_centroid(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        mode="and",
+    )
+
+
 PINNED = ["doc://141", "doc://3"]
 
 
@@ -2123,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_distance_feature": _q_distance_feature,
         "x8_pinned": _q_pinned,
         "x8_msearch": _q_msearch,
+        "x13_geo_box": _q_geo_box,
+        "x13_geo_centroid": _q_geo_centroid,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3257,6 +3304,38 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # geo_bounding_box: antimeridian-wrapped box over the OR hit set
+        "x13_geo_box": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+)
+SELECT doc_id, lat, lon FROM g JOIN hits USING (doc_id)
+WHERE lat <= {GEO_BOX[0]} AND lat >= {GEO_BOX[2]}
+  AND (lon >= {GEO_BOX[1]} OR lon <= {GEO_BOX[3]})
+ORDER BY 'doc://' || CAST(doc_id AS VARCHAR) LIMIT 50
+""",
+        # geo_centroid: flat-projection mean over the conjunctive hit set
+        "x13_geo_centroid": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(lat), 4) AS lat, round(avg(lon), 4) AS lon
+FROM g JOIN hits USING (doc_id)
 """,
         # pinned: curated docs first (rank-encoded constants), organic after
         "x8_pinned": f"""

@@ -2811,6 +2811,81 @@ class Searcher:
             .limit(int(k))
         )
 
+    def geo_bounding_box(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        top: float,
+        left: float,
+        bottom: float,
+        right: float,
+        k: int = 100,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES geo_bounding_box query (filter context over a geo_point):
+        hit docs whose (lat, lon) falls inside the box. A geo_point on
+        Spark is two double columns, so the box is four pushable
+        comparisons; a box crossing the ANTIMERIDIAN (left > right) is
+        the OR of the two lon half-ranges, exactly ES's wrap semantics.
+        Deterministic url-ordered k cut (equal membership has no
+        natural order)."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        lat, lon = F.col(lat_field), F.col(lon_field)
+        cond = (lat <= F.lit(float(top))) & (lat >= F.lit(float(bottom)))
+        if left <= right:
+            cond = cond & (lon >= F.lit(float(left))) & (
+                lon <= F.lit(float(right))
+            )
+        else:  # antimeridian crossing
+            cond = cond & (
+                (lon >= F.lit(float(left))) | (lon <= F.lit(float(right)))
+            )
+        return (
+            j.filter(cond)
+            .select(
+                "doc_id", "url",
+                lat.cast("double").alias("lat"),
+                lon.cast("double").alias("lon"),
+            )
+            .orderBy("url")
+            .limit(int(k))
+        )
+
+    def geo_centroid(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        mode: str = "or",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES geo_centroid aggregation: arithmetic mean of the hit set's
+        coordinates — one aggregate row (doc_count, lat, lon). ES
+        accumulates on the flat projection for geo_points (no spherical
+        weighting); identical here. One hash aggregation over the
+        hit-joined field relation."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.avg(F.col(lat_field).cast("double")), round_to).alias(
+                "lat"
+            ),
+            F.round(F.avg(F.col(lon_field).cast("double")), round_to).alias(
+                "lon"
+            ),
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,

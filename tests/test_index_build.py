@@ -2248,3 +2248,55 @@ def test_pinned_topk_order_and_dedup(spark, index_dir, doc_terms):
     # organic tail = best remaining organic hits
     rest = [dm[d] for d, _ in organic_sorted if dm[d] != top_url][:4]
     assert urls[2:] == rest
+
+
+def test_geo_box_wrap_and_centroid(spark, index_dir, pages, doc_terms):
+    """geo_bounding_box: plain and antimeridian-wrapped boxes vs brute
+    force; geo_centroid: flat-projection mean over the hit set."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    s = Searcher(spark, index_dir, cache=False)
+    q = "data index"
+    dm = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(index_dir, "docmap")).collect()
+    }
+    hits = {
+        d for d in dm
+        if {"data", "index"} & set(doc_terms.iloc[d]["terms"])
+    }
+    # coords keyed off the text length (any deterministic source works)
+    fv = pages.select(
+        "url",
+        ((F.length("text") * 37 % 180) - 90).cast("double").alias("lat"),
+        ((F.length("text") * 91 % 360) - 180).cast("double").alias("lon"),
+    )
+    fb = {r["url"]: (r["lat"], r["lon"]) for r in fv.collect()}
+
+    def brute(top, left, bottom, right):
+        out = set()
+        for d in hits:
+            la, lo = fb[dm[d]]
+            if not (bottom <= la <= top):
+                continue
+            ok = (left <= lo <= right) if left <= right else (
+                lo >= left or lo <= right
+            )
+            if ok:
+                out.add(d)
+        return out
+
+    got = {r["doc_id"] for r in s.geo_bounding_box(
+        q, fv, "lat", "lon", 60, -100, -60, 100, k=10**6).collect()}
+    assert got == brute(60, -100, -60, 100)
+    got_w = {r["doc_id"] for r in s.geo_bounding_box(
+        q, fv, "lat", "lon", 60, 150, -60, -150, k=10**6).collect()}
+    assert got_w == brute(60, 150, -60, -150)
+    assert got_w and got_w != got
+
+    c = s.geo_centroid(q, fv, "lat", "lon").collect()[0]
+    las = [fb[dm[d]][0] for d in hits]
+    los = [fb[dm[d]][1] for d in hits]
+    assert c["doc_count"] == len(hits)
+    assert abs(c["lat"] - round(sum(las) / len(las), 4)) < 1e-9
+    assert abs(c["lon"] - round(sum(los) / len(los), 4)) < 1e-9
