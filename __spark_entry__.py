@@ -1154,6 +1154,22 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+SF_TERM, SF_END = "data", 5  # span_first: 'data' in the first 5 positions
+
+
+def _q_span_first(spark, sf_dir):
+    """ES span_first: the term only counts at token positions < 5;
+    tf = qualifying occurrences, idf stays the term's index-level df."""
+    from kafka_es_spark.operators.positions import span_first_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
+    out = span_first_topk(
+        spark, idx, SF_TERM, SF_END, k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 GEO_BOX = (45.0, 90.0, -45.0, -170.0)  # top, left, bottom, right (wrapped)
 
 
@@ -2170,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_msearch": _q_msearch,
         "x13_geo_box": _q_geo_box,
         "x13_geo_centroid": _q_geo_centroid,
+        "x8_span_first": _q_span_first,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3304,6 +3321,29 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # span_first: 'data' at 0-based positions < 5, BM25 over the
+        # windowed tf with the term's index-level idf
+        "x8_span_first": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term,
+             generate_subscripts(arr, 1) - 1 AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM p WHERE term = '{SF_TERM}'),
+m AS (
+  SELECT doc_id, count(*) AS tf FROM p
+  WHERE term = '{SF_TERM}' AND pos < {SF_END} GROUP BY 1
+),
+s AS (
+  SELECT m.doc_id,
+         ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
 """,
         # geo_bounding_box: antimeridian-wrapped box over the OR hit set
         "x13_geo_box": f"""

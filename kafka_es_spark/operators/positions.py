@@ -676,3 +676,120 @@ def phrase_prefix_topk(
     return _phrase_topk_slots(
         spark, index_dir, slot_terms, k, 0, round_to, with_url, fetch_k,
     )
+
+
+def span_first_topk(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    end: int,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES span_first query (a span_term bounded to the first ``end``
+    token positions, 0-based): only occurrences at position < ``end``
+    match; scored as the term's BM25 with tf = qualifying occurrences
+    (Lucene's sloppy-freq over matching spans — gap-free for a single
+    span_term). The representative of the span family beyond span_near
+    (which ``phrase_topk(slop=...)`` already serves).
+
+    Plan: the term's position segments only (bucket-pruned scan), one
+    vectorized position filter per doc range, dl joined from the docmap
+    (the format-2 per-doc source of record), one TakeOrdered. The term's
+    df for idf comes from term_stats — index-level stats, unchanged by
+    the position window (exactly Lucene: SpanWeight uses the term's
+    docFreq)."""
+    import math
+
+    from kafka_es_spark.functions.tokenize import tokenize_py
+    from kafka_es_spark.operators.compaction import recover_swap_dirs
+    from kafka_es_spark.operators.deletes import read_tombstone_ids
+    from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
+
+    toks = tokenize_py(term)
+    if len(toks) != 1:
+        raise ValueError("span_first takes exactly one analyzed term")
+    t = toks[0]
+    recover_swap_dirs(index_dir)
+    excluded = read_tombstone_ids(spark, index_dir) or None
+    st = load_stats(index_dir)
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    empty = (
+        "doc_id long, url string, score double" if with_url
+        else "doc_id long, score double"
+    )
+    dfrow = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term") == t)
+        .agg(F.sum("df").alias("df"))
+        .collect()[0]
+    )
+    if dfrow["df"] is None or n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], empty)
+    w = math.log(1 + (n_docs - int(dfrow["df"]) + 0.5) / (int(dfrow["df"]) + 0.5))
+    pos_dir = os.path.join(index_dir, "positions")
+    if not os.path.isdir(pos_dir):
+        raise ValueError(
+            f"index at {index_dir} has no positions/ relation — span "
+            "queries need the positional index"
+        )
+    rel = spark.read.parquet(pos_dir).filter(F.col("term") == t)
+    if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
+        from kafka_es_spark.operators.dedup import hash32_py
+
+        rel = rel.filter(
+            F.col("bucket") == hash32_py(t) % int(st["n_term_buckets"])
+        )
+    end_i = int(end)
+
+    def count_window(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty_p = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "tf": pd.Series(dtype=np.int64)}
+        )
+        if len(pdf) == 0:
+            return empty_p
+        parts_id, parts_tf = [], []
+        for r in pdf.to_dict("records"):
+            ids, tfs, pos = decode_position_segment(r)
+            keep = pos < end_i
+            if not keep.any():
+                continue
+            did = np.repeat(ids, tfs)[keep]
+            uids, cnt = np.unique(did, return_counts=True)
+            parts_id.append(uids)
+            parts_tf.append(cnt)
+        if not parts_id:
+            return empty_p
+        # a doc's positions may span several unit rows (epochs) within
+        # the range — fold to one (doc, tf) row
+        allid = np.concatenate(parts_id)
+        alltf = np.concatenate(parts_tf)
+        uids, inv = np.unique(allid, return_inverse=True)
+        sums = np.bincount(inv, weights=alltf).astype(np.int64)
+        return pd.DataFrame({"doc_id": uids, "tf": sums})
+
+    tf_rel = rel.groupBy("seg").applyInPandas(
+        lambda _k, pdf: count_window(pdf), "doc_id long, tf long"
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    out = tf_rel.join(dm.select("doc_id", "url", "dl"), "doc_id")
+    if excluded is not None:
+        out = out.filter(~F.col("doc_id").isin(sorted(excluded)))
+    score = (
+        F.lit(w) * F.col("tf") * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    cols = ["doc_id", "url"] if with_url else ["doc_id"]
+    return (
+        out.select(*cols, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

@@ -304,3 +304,48 @@ def test_phrase_prefix_rank_identical_to_brute(spark, pages, pidx):
         assert gs == pytest.approx(ws, rel=1e-12), gd
     # a prefix matching no dictionary term yields empty
     assert phrase_prefix_topk(spark, pidx, "data zzzqq", k=10).collect() == []
+
+
+def test_span_first_window_semantics(spark, pages, tmp_path):
+    """span_first: only occurrences at position < end match; tf counts
+    qualifying occurrences only while idf keeps the term's index df."""
+    import math
+
+    import numpy as np
+
+    from kafka_es_spark.operators.positions import (
+        build_position_index, span_first_topk,
+    )
+    from kafka_es_spark.operators.wand import round_half_up
+    from kafka_es_spark.plans.build_index import build_index, prepare_docs
+
+    d = str(tmp_path / "idxsf")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=4)
+    build_position_index(spark, pages, d)
+    toks = {
+        r["doc_id"]: list(r["terms"])
+        for r in prepare_docs(pages).select("doc_id", "terms").collect()
+    }
+    term, end = "data", 3
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = sum(1 for t in toks.values() if term in t)
+    w = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    want = {}
+    for doc, ts in toks.items():
+        tf = sum(1 for p, t in enumerate(ts) if t == term and p < end)
+        if tf:
+            sc = w * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+            want[doc] = float(round_half_up(np.array([sc]), 4)[0])
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in span_first_topk(spark, d, term, end, k=10).collect()
+    ]
+    assert got == top
+    assert want, "premise: term occurs early in some doc"
+    # the window genuinely restricts: full-corpus tf must exceed windowed
+    assert sum(t.count(term) for t in toks.values()) > sum(
+        1 for ts in toks.values() for p, t in enumerate(ts)
+        if t == term and p < end
+    )
