@@ -1154,6 +1154,148 @@ def _q_has_parent(spark, sf_dir):
     )
 
 
+CF_TITLE_BOOST = 2.0
+
+
+def _q_combined_fields(spark, sf_dir):
+    """ES combined_fields (BM25F): body + title^2 merge BEFORE
+    saturation — weighted tf and weighted dl form one synthetic field,
+    df = docs matching in ANY field."""
+    from kafka_es_spark.operators.wand import combined_fields_topk
+
+    out = combined_fields_topk(
+        spark,
+        {
+            "body": (_ensure_index(spark, sf_dir), 1.0),
+            "title": (_ensure_title_index(spark, sf_dir), CF_TITLE_BOOST),
+        },
+        " ".join(QUERY_TERMS),
+        k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+GEO_ORIGIN = (40.0, -75.0)  # geo_distance origin (lat, lon)
+GEO_RADIUS_KM = 3000.0
+GEOTILE_ZOOM, GEOTILE_SIZE = 5, 15
+
+
+def _q_geo_distance(spark, sf_dir):
+    """ES geo_distance query + _geo_distance sort: hits within 3000 km of
+    the origin, nearest first (haversine arc, R=6371 km)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).geo_distance(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_KM, k=50,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "lat", "lon", "distance_km",
+    )
+
+
+def _q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid agg at zoom 5 over the OR hit set: Web-Mercator
+    tile keys "z/x/y", doc_count desc."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).geotile_grid(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        zoom=GEOTILE_ZOOM, size=GEOTILE_SIZE,
+    )
+
+
+HLL_P = 10
+
+
+def _q_cardinality_hll(spark, sf_dir):
+    """ES cardinality agg semantics (HLL sketch, NOT exact): estimate the
+    corpus's distinct-token count with portable md5-hash registers —
+    x8_agg_cardinality is the exact tier, this is the sketch ES actually
+    runs; the oracle replays the identical register math in SQL."""
+    from kafka_es_spark.functions.sketches import hll_cardinality
+    from kafka_es_spark.functions.tokenize import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return hll_cardinality(toks, "term", p=HLL_P)
+
+
+SN_INC, SN_EXC, SN_PRE, SN_POST = "data", "query", 2, 2
+
+
+def _q_span_not(spark, sf_dir):
+    """ES span_not: occurrences of 'data' vetoed when 'query' sits within
+    2 tokens either side; BM25 over surviving occurrences."""
+    from kafka_es_spark.operators.positions import span_not_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
+    out = span_not_topk(
+        spark, idx, SN_INC, SN_EXC, pre=SN_PRE, post=SN_POST,
+        k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+NESTED_PRED = "x.kind = 'a' AND x.size >= 70"
+
+
+def _nested_fields(spark, sf_dir):
+    """Synthesized array<struct> nested field (the driver corpus is flat):
+    4 items per doc, kind cycling a/b/c by (doc_id+i)%3, size by modular
+    arithmetic — exact in any engine, like _geo_fields above."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.expr(
+            "transform(sequence(0, 3), i -> named_struct("
+            "'kind', element_at(array('a','b','c'), "
+            "CAST((doc_id + i) % 3 AS INT) + 1), "
+            "'size', (doc_id * 31 + i * 17) % 100))"
+        ).alias("items"),
+    )
+
+
+def _q_nested(spark, sf_dir):
+    """ES nested query: one element must satisfy kind='a' AND size>=70
+    (per-element, not flattened); score = matching-element count."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).nested_topk(
+        " ".join(QUERY_TERMS), _nested_fields(spark, sf_dir), "items",
+        NESTED_PRED, k=TOPK,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+CS_PREFIX, CS_SIZE, CS_FUZZ = "da", 5, 1
+
+
+def _q_suggest_completion(spark, sf_dir):
+    """ES completion suggester: suggestion inputs = each doc's first 3
+    tokens weighted by token count; prefix 'da' with fuzziness 1 anchored
+    on 'd'; best weight per distinct suggestion, top 5."""
+    from kafka_es_spark.operators.wand import (
+        build_suggest_inputs, completion_suggest,
+    )
+    from kafka_es_spark.sources.pages import docs_as_pages
+
+    sug = build_suggest_inputs(docs_as_pages(spark, sf_dir), n_tokens=3)
+    return completion_suggest(
+        sug, CS_PREFIX, size=CS_SIZE, fuzziness=CS_FUZZ,
+        fuzzy_prefix_length=1,
+    )
+
+
 SF_TERM, SF_END = "data", 5  # span_first: 'data' in the first 5 positions
 
 
@@ -2187,6 +2329,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_geo_box": _q_geo_box,
         "x13_geo_centroid": _q_geo_centroid,
         "x8_span_first": _q_span_first,
+        "x8_combined_fields": _q_combined_fields,
+        "x8_span_not": _q_span_not,
+        "x13_geo_distance": _q_geo_distance,
+        "x13_geotile_grid": _q_geotile_grid,
+        "x8_agg_cardinality_hll": _q_cardinality_hll,
+        "x12_nested": _q_nested,
+        "x8_suggest_completion": _q_suggest_completion,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3321,6 +3470,199 @@ SELECT doc_id,
   (max(CASE WHEN n_chars IS NOT NULL THEN {'s': seq, 'v': n_chars} END)).v
     AS n_chars
 FROM b GROUP BY doc_id
+""",
+        # combined_fields (BM25F): body + title^2 merged pre-saturation
+        "x8_combined_fields": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+tt AS (SELECT doc_id, arr[1:{TITLE_TOKENS}] AS tarr FROM t),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tfb AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(arr) AS term FROM t) JOIN qt USING (term)
+  GROUP BY 1, 2
+),
+tft AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tarr) AS term FROM tt) JOIN qt USING (term)
+  GROUP BY 1, 2
+),
+tfc AS (
+  SELECT coalesce(tfb.doc_id, tft.doc_id) AS doc_id,
+         coalesce(tfb.term, tft.term) AS term,
+         coalesce(tfb.tf, 0) + {CF_TITLE_BOOST} * coalesce(tft.tf, 0) AS tfc
+  FROM tfb FULL OUTER JOIN tft
+    ON tfb.doc_id = tft.doc_id AND tfb.term = tft.term
+),
+dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, term FROM tfb UNION SELECT doc_id, term FROM tft
+  ) GROUP BY 1
+),
+dl AS (
+  SELECT doc_id,
+         len(arr) + {CF_TITLE_BOOST} * least(len(arr), {TITLE_TOKENS}) AS dlc
+  FROM t
+),
+stats AS (SELECT count(*) AS n, avg(dlc) AS avgdl FROM dl),
+s AS (
+  SELECT tfc.doc_id,
+         sum(ln(1 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5))
+             * tfc * 2.2 / (tfc + 1.2 * (0.25 + 0.75 * dl.dlc / stats.avgdl)))
+           AS score
+  FROM tfc JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # span_not: 'data' occurrences vetoed by 'query' within ±2 tokens
+        "x8_span_not": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term,
+             generate_subscripts(arr, 1) - 1 AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT count(DISTINCT doc_id) AS df FROM p WHERE term = '{SN_INC}'),
+m AS (
+  SELECT pi.doc_id, count(*) AS tf FROM p pi
+  WHERE pi.term = '{SN_INC}'
+    AND NOT EXISTS (
+      SELECT 1 FROM p px
+      WHERE px.doc_id = pi.doc_id AND px.term = '{SN_EXC}'
+        AND px.pos BETWEEN pi.pos - {SN_PRE} AND pi.pos + {SN_POST}
+    )
+  GROUP BY 1
+),
+s AS (
+  SELECT m.doc_id,
+         ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # geo_distance: haversine within radius, nearest first
+        "x13_geo_distance": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id, lat, lon,
+         round(2.0 * 6371.0 * asin(sqrt(
+           pow(sin((lat * (3.141592653589793 / 180.0)
+                    - {GEO_ORIGIN[0]!r} * (3.141592653589793 / 180.0)) / 2.0), 2)
+           + cos({GEO_ORIGIN[0]!r} * (3.141592653589793 / 180.0))
+             * cos(lat * (3.141592653589793 / 180.0))
+             * pow(sin((lon * (3.141592653589793 / 180.0)
+                        - {GEO_ORIGIN[1]!r} * (3.141592653589793 / 180.0)) / 2.0), 2)
+         )), 4) AS distance_km
+  FROM g JOIN hits USING (doc_id)
+)
+SELECT doc_id, lat, lon, distance_km FROM d
+WHERE distance_km <= {GEO_RADIUS_KM!r}
+ORDER BY distance_km, 'doc://' || CAST(doc_id AS VARCHAR) LIMIT 50
+""",
+        # geotile_grid: Web-Mercator tile buckets at zoom, count desc
+        "x13_geotile_grid": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+f AS (
+  SELECT round((lon + 180.0) / 360.0 * {float(1 << GEOTILE_ZOOM)!r}, 9) AS xf,
+         round((1.0 - ln(tan(least(85.05112878, greatest(-85.05112878, lat))
+                             * (3.141592653589793 / 180.0))
+                        + 1.0 / cos(least(85.05112878, greatest(-85.05112878, lat))
+                                    * (3.141592653589793 / 180.0)))
+                      / 3.141592653589793) / 2.0 * {float(1 << GEOTILE_ZOOM)!r},
+               9) AS yf
+  FROM g JOIN hits USING (doc_id)
+),
+k AS (
+  SELECT '{GEOTILE_ZOOM}' || '/'
+         || CAST(least({(1 << GEOTILE_ZOOM) - 1},
+                       greatest(0, CAST(floor(xf) AS BIGINT))) AS VARCHAR)
+         || '/'
+         || CAST(least({(1 << GEOTILE_ZOOM) - 1},
+                       greatest(0, CAST(floor(yf) AS BIGINT))) AS VARCHAR)
+           AS key
+  FROM f
+)
+SELECT key, count(*) AS doc_count FROM k GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT {GEOTILE_SIZE}
+""",
+        # HLL cardinality: identical portable register math in SQL
+        "x8_agg_cardinality_hll": f"""
+WITH v AS (SELECT DISTINCT unnest({_TOKS}) AS v FROM documents),
+h AS (SELECT CAST(('0x' || substr(md5(v), 1, 8)) AS BIGINT) AS h FROM v),
+r AS (
+  SELECT h % {1 << HLL_P} AS idx,
+         CASE WHEN h // {1 << HLL_P} = 0 THEN {33 - HLL_P}
+              ELSE {33 - HLL_P} - length(bin(h // {1 << HLL_P})) END AS rho
+  FROM h
+),
+regs AS (SELECT idx, max(rho) AS mr FROM r GROUP BY 1),
+agg AS (
+  SELECT sum(pow(2.0, -mr)) AS s_present,
+         CAST(count(*) AS DOUBLE) AS occupied
+  FROM regs
+),
+e AS (
+  SELECT {0.7213 / (1.0 + 1.079 / (1 << HLL_P)) * (1 << HLL_P) * (1 << HLL_P)!r}
+           / (s_present + ({float(1 << HLL_P)!r} - occupied)) AS raw,
+         {float(1 << HLL_P)!r} - occupied AS zeros
+  FROM agg
+)
+SELECT round(CASE WHEN raw <= {2.5 * (1 << HLL_P)!r} AND zeros > 0
+                  THEN {float(1 << HLL_P)!r} * ln({float(1 << HLL_P)!r} / zeros)
+                  ELSE raw END, 4) AS estimate
+FROM e
+""",
+        # nested: per-element kind/size predicate, score = matching count
+        "x12_nested": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+it AS (
+  SELECT doc_id, ['a','b','c'][CAST((doc_id + i) % 3 AS INT) + 1] AS kind,
+         (doc_id * 31 + i * 17) % 100 AS size
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+sc AS (
+  SELECT doc_id, count(*) AS score FROM it
+  WHERE kind = 'a' AND size >= 70 GROUP BY 1
+)
+SELECT doc_id, score FROM sc JOIN hits USING (doc_id)
+ORDER BY score DESC, 'doc://' || CAST(doc_id AS VARCHAR) LIMIT {TOPK}
+""",
+        # completion suggester: fuzzy-prefix over first-3-token inputs
+        "x8_suggest_completion": f"""
+WITH t AS (SELECT {_TOKS} AS arr FROM documents),
+sg AS (
+  SELECT array_to_string(arr[1:3], ' ') AS suggestion,
+         CAST(len(arr) AS BIGINT) AS weight
+  FROM t WHERE len(array_to_string(arr[1:3], ' ')) > 0
+),
+c AS (
+  SELECT suggestion, max(weight) AS weight FROM sg
+  WHERE suggestion LIKE '{CS_PREFIX}%'
+     OR (suggestion LIKE '{CS_PREFIX[0]}%'
+         AND levenshtein(substr(suggestion, 1, {len(CS_PREFIX)}),
+                         '{CS_PREFIX}') <= {CS_FUZZ})
+  GROUP BY 1
+)
+SELECT suggestion, weight FROM c
+ORDER BY weight DESC, suggestion ASC LIMIT {CS_SIZE}
 """,
         # span_first: 'data' at 0-based positions < 5, BM25 over the
         # windowed tf with the term's index-level idf

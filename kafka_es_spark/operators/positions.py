@@ -678,6 +678,133 @@ def phrase_prefix_topk(
     )
 
 
+def span_not_topk(
+    spark: SparkSession,
+    index_dir: str,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES span_not query: occurrences of ``include`` that are NOT within
+    ``pre`` tokens after / ``post`` tokens before an occurrence of
+    ``exclude`` — i.e. an include match at position p is removed when an
+    exclude match sits anywhere in [p - pre, p + post] (pre=post=0 kills
+    only exact overlap, impossible for distinct single terms, so callers
+    use a window; Lucene SpanNotQuery(pre, post)). Scored as the include
+    term's BM25 with tf = surviving occurrences and the term's INDEX-level
+    df for idf (Lucene SpanWeight semantics, like span_first above).
+
+    Plan: position segments of exactly two terms (bucket-pruned scan),
+    grouped per doc range; inside a range the window test is |pre|+|post|+1
+    vectorized sorted-array memberships over (doc<<POS_BITS)+pos keys —
+    shifted keys that cross a doc boundary are masked, so an exclude hit
+    at the end of one doc can never veto the start of the next. One
+    TakeOrdered; tombstones drop as everywhere."""
+    import math
+
+    from kafka_es_spark.functions.tokenize import tokenize_py
+    from kafka_es_spark.operators.compaction import recover_swap_dirs
+    from kafka_es_spark.operators.deletes import read_tombstone_ids
+    from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
+
+    ti, tx = tokenize_py(include), tokenize_py(exclude)
+    if len(ti) != 1 or len(tx) != 1 or ti == tx:
+        raise ValueError(
+            "span_not takes two distinct single analyzed terms "
+            f"(got include={ti}, exclude={tx})"
+        )
+    t, x = ti[0], tx[0]
+    recover_swap_dirs(index_dir)
+    excluded = read_tombstone_ids(spark, index_dir) or None
+    st = load_stats(index_dir)
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    empty = (
+        "doc_id long, url string, score double" if with_url
+        else "doc_id long, score double"
+    )
+    dfrow = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term") == t)
+        .agg(F.sum("df").alias("df"))
+        .collect()[0]
+    )
+    if dfrow["df"] is None or n_docs == 0 or avgdl == 0:
+        return spark.createDataFrame([], empty)
+    w = math.log(1 + (n_docs - int(dfrow["df"]) + 0.5) / (int(dfrow["df"]) + 0.5))
+    pos_dir = os.path.join(index_dir, "positions")
+    if not os.path.isdir(pos_dir):
+        raise ValueError(
+            f"index at {index_dir} has no positions/ relation — span "
+            "queries need the positional index"
+        )
+    rel = spark.read.parquet(pos_dir).filter(F.col("term").isin([t, x]))
+    if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
+        from kafka_es_spark.operators.dedup import hash32_py
+
+        nb = int(st["n_term_buckets"])
+        rel = rel.filter(
+            F.col("bucket").isin(
+                sorted({hash32_py(t) % nb, hash32_py(x) % nb})
+            )
+        )
+    pre_i, post_i = int(pre), int(post)
+    if pre_i < 0 or post_i < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+
+    def count_surviving(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty_p = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "tf": pd.Series(dtype=np.int64)}
+        )
+        recs = pdf.to_dict("records")
+        inc = _slot_keys([r for r in recs if r["term"] == t])
+        if inc.size == 0:
+            return empty_p
+        exc = _slot_keys([r for r in recs if r["term"] == x])
+        keep = np.ones(inc.size, dtype=bool)
+        if exc.size:
+            # veto include@p when exclude∈[p-pre, p+post] ⇔ for some
+            # offset d in [-pre, post], (p + d) is an exclude key
+            for d in range(-pre_i, post_i + 1):
+                shifted = inc + d
+                same_doc = (shifted >> POS_BITS) == (inc >> POS_BITS)
+                keep &= ~(same_doc & np.isin(shifted, exc, assume_unique=True))
+        if not keep.any():
+            return empty_p
+        uids, cnt = np.unique(inc[keep] >> POS_BITS, return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": uids, "tf": cnt.astype(np.int64)}
+        )
+
+    tf_rel = rel.groupBy("seg").applyInPandas(
+        lambda _k, pdf: count_surviving(pdf), "doc_id long, tf long"
+    )
+    dm = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    out = tf_rel.join(dm.select("doc_id", "url", "dl"), "doc_id")
+    if excluded is not None:
+        out = out.filter(~F.col("doc_id").isin(sorted(excluded)))
+    score = (
+        F.lit(w) * F.col("tf") * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    if round_to is not None:
+        score = F.round(score, round_to)
+    cols = ["doc_id", "url"] if with_url else ["doc_id"]
+    return (
+        out.select(*cols, score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )
+
+
 def span_first_topk(
     spark: SparkSession,
     index_dir: str,

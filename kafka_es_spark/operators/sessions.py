@@ -74,6 +74,56 @@ def date_histogram(
     )
 
 
+AUTO_DH_LADDER: list[tuple[str, float]] = [
+    ("minute", 60.0),
+    ("hour", 3600.0),
+    ("day", 86400.0),
+    ("month", 2629800.0),   # 30.4375 d — estimation only, truncation is calendar
+    ("year", 31557600.0),   # 365.25 d
+]
+
+
+def auto_date_histogram(
+    events: DataFrame,
+    target_buckets: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ES auto_date_histogram: the engine PICKS the calendar interval —
+    the smallest unit in the minute→year ladder whose estimated bucket
+    count fits ``target_buckets`` (est = floor(span_sec / unit_sec) + 1;
+    month/year estimate with their mean lengths, truncation itself stays
+    calendar). Output (bucket, doc_count) bucket-ordered plus the chosen
+    ``interval`` as a constant column, the way the ES response reports
+    which interval it settled on. The fixed-width estimator (not a
+    calendar walk) is stated so a SQL oracle can replay the choice with
+    the same CASE ladder.
+
+    Plan: one scalar min/max aggregate (a driver collect of exactly one
+    row at ANY corpus size) chooses the unit, then the same one-shuffle
+    hash aggregation as date_histogram. Two jobs total."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    lo, hi = events.agg(
+        F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+    ).collect()[0]
+    if lo is None:
+        return events.sparkSession.createDataFrame(
+            [], "bucket timestamp, doc_count long, interval string"
+        )
+    span = (hi - lo).total_seconds()
+    unit = AUTO_DH_LADDER[-1][0]
+    for u, sec in AUTO_DH_LADDER:
+        if int(span // sec) + 1 <= int(target_buckets):
+            unit = u
+            break
+    return (
+        events.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .withColumn("interval", F.lit(unit))
+        .orderBy("bucket")
+    )
+
+
 def date_range_agg(
     events: DataFrame,
     boundaries: list[str],

@@ -2003,6 +2003,184 @@ class Searcher:
             out = out.withColumn("value", F.round("value", round_to))
         return out.orderBy("pct")
 
+    def agg_percentile_ranks(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        field: str,
+        values: list[float],
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES percentile_ranks aggregation (the percentiles inverse): for
+        each requested value v, the percentage of matching docs whose
+        ``field`` <= v — one (value, pct) row per v, value-ordered. ES
+        computes this from the t-digest CDF; here the EXACT CDF (share of
+        values <= v), the same exact-tier choice agg_percentiles makes,
+        so the SQL oracle is a conditional count.
+
+        Plan: one aggregate row of |values| conditional sums + the total
+        (all map-side combinable over the hit-join scan), unpivoted with
+        ``stack`` — #values output rows, no second shuffle."""
+        j = self._hit_fields(
+            query, field_values, field, mode=mode,
+            min_should_match=min_should_match, must_not=must_not,
+        )
+        vals = [float(v) for v in values]
+        aggs = [
+            F.sum(F.when(F.col(field) <= F.lit(v), 1).otherwise(0))
+            .cast("double").alias(f"_le{i}")
+            for i, v in enumerate(vals)
+        ] + [F.count(F.lit(1)).cast("double").alias("_n")]
+        stack = ", ".join(
+            f"CAST({v!r} AS DOUBLE), _le{i}" for i, v in enumerate(vals)
+        )
+        out = (
+            j.agg(*aggs)
+            .selectExpr(
+                f"stack({len(vals)}, {stack}) AS (value, _le)", "_n"
+            )
+            .select(
+                "value",
+                (F.lit(100.0) * F.col("_le") / F.col("_n")).alias("pct"),
+            )
+        )
+        if round_to is not None:
+            out = out.withColumn("pct", F.round("pct", round_to))
+        return out.orderBy("value")
+
+    def scripted_metric(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        field: str,
+        map_script: str,
+        reduce: str = "sum",
+        mode: str = "or",
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES scripted_metric aggregation, the painless-arithmetic subset:
+        ``map_script`` is a SQL expression over the hit row (the map
+        phase), Spark's partial aggregation IS the combine phase (per-
+        partition partial ``reduce`` states, exactly the scripted_metric
+        combine contract), and the final merge is the reduce phase. One
+        (value) row out.
+
+        Reduce portability: the mapped value is rounded to 6 dp and cast
+        to DECIMAL(38,6) before a sum/avg reduce, so the result is EXACT
+        and independent of partitioning/summation order — a float64 sum
+        would drift with partition count and break both the two-
+        parallelism identity and the SQL oracle. min/max need no cast."""
+        j = self._hit_fields(query, field_values, field, mode=mode)
+        mapped = F.expr(map_script)
+        if reduce in ("sum", "avg"):
+            mapped = F.round(mapped, 6).cast("decimal(38,6)")
+            agg = F.sum(mapped) if reduce == "sum" else F.avg(mapped)
+        elif reduce == "min":
+            agg = F.min(mapped)
+        elif reduce == "max":
+            agg = F.max(mapped)
+        else:
+            raise ValueError(f"unknown scripted_metric reduce: {reduce!r}")
+        out = j.agg(agg.cast("double").alias("value"))
+        if round_to is not None:
+            out = out.withColumn("value", F.round("value", round_to))
+        return out
+
+    def random_score_topk(
+        self,
+        query: str,
+        seed: int,
+        k: int = 10,
+        mode: str = "or",
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES function_score random_score (seeded): a deterministic
+        uniform [0,1) score per (doc, seed) — ES hashes the seed with the
+        doc's field (default _seq_no; deployments pin ``field: _id`` for
+        stable sampling). Here hash32(url:seed)/2^32 — the repo's portable
+        md5 hash, so the same doc gets the same score on any engine, any
+        parallelism, any index rebuild (urls are stable; internal ids are
+        not). The standard use is a deterministic random sample of the
+        hit set; top-k by the random score IS that sample.
+
+        Plan: hit set → docmap join → pure-Column hash arithmetic →
+        TakeOrdered. No RNG state, no shuffle beyond the hit join."""
+        from kafka_es_spark.operators.dedup import hash32
+
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        score = hash32(
+            F.concat(F.col("url"), F.lit(f":{int(seed)}"))
+        ) / F.lit(float(2**32))
+        if round_to is not None:
+            score = F.round(score, round_to)
+        out = (
+            hits.join(dm.select("doc_id", "url"), "doc_id")
+            .select("doc_id", "url", score.alias("score"))
+        )
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        return out.orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        ).limit(int(k))
+
+    def runtime_field_topk(
+        self,
+        query: str,
+        field_values: DataFrame | None,
+        runtime_expr: str,
+        where: str | None = None,
+        k: int = 10,
+        mode: str = "or",
+        stored_cols: tuple[str, ...] = (),
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """ES runtime fields (runtime_mappings): a field computed at
+        QUERY time from other fields by a script — here ``runtime_expr``,
+        a SQL expression over the hit row — usable in filter context
+        (``where``, over the computed column ``rf``) and as the sort key,
+        exactly the search-request runtime_mappings contract (no index
+        change, no reindex). ``field_values=None`` reads ``stored_cols``
+        from the docmap's stored fields (the doc-values path).
+
+        Plan: the expression is a pure Column over the hit join —
+        Catalyst folds it into the scan projection; the filter on it runs
+        before the TakeOrdered. Nothing materializes corpus-wide."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        # dl (always stored) rides along — token-count-normalized runtime
+        # fields are the common case
+        if field_values is None:
+            missing = [c for c in stored_cols if c not in dm.columns]
+            if missing:
+                raise ValueError(
+                    f"runtime field needs stored columns {missing} "
+                    f"(stored: {sorted(set(dm.columns) - {'doc_id'})})"
+                )
+            j = hits.join(
+                dm.select("doc_id", "url", "dl", *stored_cols), "doc_id"
+            )
+        else:
+            j = hits.join(dm.select("doc_id", "url", "dl"), "doc_id").join(
+                field_values, "url"
+            )
+        rf = F.expr(runtime_expr).cast("double")
+        if round_to is not None:
+            rf = F.round(rf, round_to)
+        out = j.select("doc_id", "url", rf.alias("rf"))
+        if where is not None:
+            out = out.filter(where)
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        return out.orderBy(F.col("rf").desc(), F.col("url").asc()).limit(int(k))
+
     def agg_ranges(
         self,
         query: str,
@@ -2886,6 +3064,160 @@ class Searcher:
             ),
         )
 
+    def nested_topk(
+        self,
+        query: str,
+        field_values: DataFrame,
+        nested_col: str,
+        predicate: str,
+        k: int = 10,
+        mode: str = "or",
+        min_matches: int = 1,
+    ) -> DataFrame:
+        """ES nested query (score_mode=sum over constant-score inner hits):
+        hit docs where at least ``min_matches`` elements of the
+        ``array<struct>`` column satisfy ``predicate`` — a SQL boolean over
+        the element bound as ``x`` (e.g. ``"x.kind = 'a' AND x.size >=
+        70"``). The predicate applies PER ELEMENT, the nested-vs-flattened
+        distinction ES's nested type exists for: a doc whose one element
+        has kind='a' and another has size>=70 does NOT match. Score = the
+        matching-element count (sum of 1.0 per inner hit).
+
+        Plan: ``size(filter(arr, x -> pred))`` is a single in-row JVM
+        higher-order function — the nested evaluation adds NO shuffle and
+        no explode; only the hit-set join moves data. Contrast
+        has_child_topk, where children are separate rows and a count
+        aggregation is unavoidable."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        matched = F.expr(
+            f"size(filter({nested_col}, x -> ({predicate})))"
+        ).cast("long")
+        out = (
+            hits.join(dm.select("doc_id", "url"), "doc_id")
+            .join(field_values, "url")
+            .select("doc_id", "url", matched.alias("score"))
+            .filter(F.col("score") >= int(min_matches))
+        )
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        return out.orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        ).limit(int(k))
+
+    def geo_distance(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        origin_lat: float,
+        origin_lon: float,
+        radius_km: float,
+        k: int = 100,
+        mode: str = "or",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES geo_distance query + ``sort: _geo_distance``: hit docs whose
+        point lies within ``radius_km`` of the origin, nearest first.
+        Distance is the haversine arc (ES ``arc`` distance_type,
+        GeoUtils mean earth radius ~6371 km; here R = 6371.0 so the SQL
+        oracle states the identical closed form). The formula is pure
+        Column arithmetic — sin/cos/asin on two pushable double columns —
+        so the radius filter runs scan-side and the sort is a TakeOrdered
+        over the filtered set, never a global sort. Rounded to ``round_to``
+        so cross-engine libm ulps can't flip compares.
+
+        Reference parity: ES geo_distance query + geo sort; the query-hit
+        intersection mirrors geo_bounding_box above."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        rad = 3.141592653589793 / 180.0
+        la1 = F.lit(float(origin_lat) * rad)
+        lo1 = F.lit(float(origin_lon) * rad)
+        la2 = F.col(lat_field).cast("double") * F.lit(rad)
+        lo2 = F.col(lon_field).cast("double") * F.lit(rad)
+        h = (
+            F.pow(F.sin((la2 - la1) / F.lit(2.0)), 2)
+            + F.cos(la1) * F.cos(la2)
+            * F.pow(F.sin((lo2 - lo1) / F.lit(2.0)), 2)
+        )
+        dist = F.round(
+            F.lit(2.0 * 6371.0) * F.asin(F.sqrt(h)), round_to
+        ).alias("distance_km")
+        return (
+            j.select(
+                "doc_id", "url",
+                F.col(lat_field).cast("double").alias("lat"),
+                F.col(lon_field).cast("double").alias("lon"),
+                dist,
+            )
+            .filter(F.col("distance_km") <= F.lit(float(radius_km)))
+            .orderBy(F.col("distance_km").asc(), F.col("url").asc())
+            .limit(int(k))
+        )
+
+    def geotile_grid(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        zoom: int = 6,
+        size: int = 20,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES geotile_grid aggregation: bucket hit points into Web-Mercator
+        map tiles at ``zoom``; keys are "z/x/y" strings, buckets ordered by
+        doc_count desc then key asc, top ``size`` kept (ES's terms-like
+        ordering). x is linear in lon; y uses the Mercator projection with
+        ES's latitude clamp (±85.05112878). The tile fraction is rounded to
+        9 decimals BEFORE floor on both engines, so a libm ulp on
+        tan/ln can never flip a tile at a bucket boundary.
+
+        One hash aggregation over the hit-joined points (≤ 4^zoom groups,
+        partial map-side combine) → TakeOrdered(size). Scales as a plain
+        distributed count-by-key."""
+        n = float(1 << int(zoom))
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        rad = 3.141592653589793 / 180.0
+        lat = F.least(
+            F.lit(85.05112878),
+            F.greatest(F.lit(-85.05112878), F.col(lat_field).cast("double")),
+        )
+        lon = F.col(lon_field).cast("double")
+        xf = F.round((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n), 9)
+        latr = lat * F.lit(rad)
+        merc = F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+        yf = F.round(
+            (F.lit(1.0) - merc / F.lit(3.141592653589793))
+            / F.lit(2.0) * F.lit(n),
+            9,
+        )
+        clamp = lambda c: F.least(  # noqa: E731 — tile index ∈ [0, 2^z-1]
+            F.lit(int(n) - 1), F.greatest(F.lit(0), F.floor(c).cast("long"))
+        )
+        key = F.concat_ws(
+            "/", F.lit(str(int(zoom))),
+            clamp(xf).cast("string"), clamp(yf).cast("string"),
+        )
+        return (
+            j.select(key.alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,
@@ -3534,6 +3866,203 @@ def multi_match_topk(
             F.col("score").desc(), F.col("doc_id").asc()
         )
     return out
+
+
+def combined_fields_topk(
+    spark: SparkSession,
+    field_indexes: dict[str, tuple[str, float]],
+    query: str,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES combined_fields query — the BM25F side of multi-field search
+    (``multi_match_topk`` covers most_fields/best_fields, which combine
+    AFTER per-field saturation): here fields merge BEFORE saturation
+    into one synthetic field —
+
+        tf̃(t,d) = Σ_f boost_f · tf_f(t,d)
+        dl̃(d)   = Σ_f boost_f · dl_f(d);  avgdl̃ = corpus mean of dl̃
+        df(t)   = |{d : t appears in ANY field}|
+        score   = Σ_t idf(df) · tf̃·(k1+1) / (tf̃ + k1·(1−b + b·dl̃/avgdl̃))
+
+    (Robertson's BM25F with field weights as boosts; ES requires the
+    fields to share an analyzer — true by construction here.)
+
+    Plan: per-field pruned postings of the query terms → weighted
+    (doc, term) roll-up; combined per-doc length from the docmaps'
+    stored dl (equi-joins on the aligned dense ids — same guard as
+    multi_match); combined df from the distinct (doc, term) union.
+    Every aggregate runs over query-term postings, never the corpus;
+    avgdl̃ is one scalar aggregate over the docmaps."""
+    from functools import reduce as _reduce
+
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    fields = sorted(field_indexes)
+    searchers = {
+        f: Searcher(spark, field_indexes[f][0], cache=False) for f in fields
+    }
+    n_by_f = {f: searchers[f].n_docs for f in fields}
+    if len(set(n_by_f.values())) > 1:
+        raise ValueError(
+            f"field indexes disagree on corpus size ({n_by_f}); "
+            "combined_fields requires indexes built over the same corpus"
+        )
+    n = next(iter(n_by_f.values()))
+    qterms = sorted(set(tokenize_py(query)))
+    empty = (
+        "doc_id long, url string, score double" if with_url
+        else "doc_id long, score double"
+    )
+    if not qterms or n == 0:
+        return spark.createDataFrame([], empty)
+    per = []
+    for f in fields:
+        s = searchers[f]
+        present = sorted(
+            r["term"]
+            for r in s.term_stats.filter(F.col("term").isin(qterms)).collect()
+        )
+        if not present:
+            continue
+        boost = float(field_indexes[f][1])
+        per.append(
+            s._postings_rows(s._query_segs(present)).select(
+                "doc_id", "term",
+                (F.lit(boost) * F.col("tf")).alias("wtf"),
+            )
+        )
+    if not per:
+        return spark.createDataFrame([], empty)
+    u = _reduce(lambda a, b: a.unionByName(b), per)
+    tfc = u.groupBy("doc_id", "term").agg(F.sum("wtf").alias("tfc"))
+    dfc = (
+        u.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    dls = None
+    for f in fields:
+        boost = float(field_indexes[f][1])
+        dm = spark.read.parquet(
+            os.path.join(field_indexes[f][0], "docmap")
+        ).select("doc_id", (F.lit(boost) * F.col("dl")).alias(f"_dl_{f}"))
+        dls = dm if dls is None else dls.join(dm, "doc_id")
+    dlc = dls.select(
+        "doc_id",
+        sum((F.col(f"_dl_{f}") for f in fields[1:]),
+            F.col(f"_dl_{fields[0]}")).alias("dlc"),
+    )
+    avgdlc = float(dlc.agg(F.avg("dlc")).collect()[0][0] or 0.0)
+    if avgdlc == 0:
+        return spark.createDataFrame([], empty)
+    contrib = (
+        F.col("w") * F.col("tfc") * F.lit(K1 + 1.0)
+        / (
+            F.col("tfc")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dlc") / F.lit(avgdlc))
+        )
+    )
+    out = (
+        tfc.join(F.broadcast(dfc), "term")
+        .join(dlc, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    dead = frozenset().union(
+        *(searchers[f].persistent_excluded for f in fields)
+    )
+    if dead:
+        out = out.filter(~F.col("doc_id").isin(sorted(dead)))
+    score = (
+        F.round(F.col("score"), round_to) if round_to is not None
+        else F.col("score")
+    )
+    if with_url:
+        dm0 = spark.read.parquet(
+            os.path.join(field_indexes[fields[0]][0], "docmap")
+        ).select("doc_id", "url")
+        out = out.join(dm0, "doc_id")
+        cols = ["doc_id", "url", score.alias("score")]
+    else:
+        cols = ["doc_id", score.alias("score")]
+    return (
+        out.select(*cols)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )
+
+
+def build_suggest_inputs(
+    pages: DataFrame,
+    text_col: str = "text",
+    url_col: str = "url",
+    n_tokens: int = 3,
+) -> DataFrame:
+    """Completion-suggester input relation (suggestion, weight, url):
+    suggestion = the doc's first ``n_tokens`` analyzed tokens (the
+    title-ish prefix ES deployments typically feed the completion field),
+    weight = the doc's token count (any per-doc salience works; ES weights
+    are caller-chosen longs). Built once at index time, like ES's
+    completion field — write it sorted by ``suggestion`` so the prefix
+    filter prunes parquet row groups by min/max stats."""
+    from kafka_es_spark.functions.tokenize import tokens
+
+    toks = tokens(F.col(text_col))
+    return pages.select(
+        F.array_join(F.slice(toks, 1, int(n_tokens)), " ").alias("suggestion"),
+        F.size(toks).cast("long").alias("weight"),
+        F.col(url_col).alias("url"),
+    ).filter(F.length("suggestion") > 0)
+
+
+def completion_suggest(
+    suggestions: DataFrame,
+    prefix: str,
+    size: int = 5,
+    fuzziness: int = 0,
+    fuzzy_prefix_length: int = 1,
+) -> DataFrame:
+    """ES completion suggester: suggestions whose text starts with the
+    typed ``prefix`` (ES matches the raw input prefix, not analyzed
+    tokens), ranked weight desc with skip_duplicates=true (best weight
+    per distinct suggestion text), top ``size``. ``fuzziness=d`` also
+    admits suggestions whose same-length head is within ``d`` Levenshtein
+    edits of the prefix, anchored on ``fuzzy_prefix_length`` exact leading
+    chars (Lucene FuzzyCompletionQuery's unicode_aware pre-filter).
+
+    Plan: one pushable predicate over the suggestion relation (a
+    startswith prunes row groups when the relation is suggestion-sorted;
+    the fuzzy branch adds a head-Levenshtein on the survivors of the
+    anchor prefix), a best-weight-per-text aggregation, TakeOrdered. No
+    index or corpus access — the relation IS the FST analogue."""
+    p = prefix
+    if not p:
+        raise ValueError("completion_suggest needs a non-empty prefix")
+    cond = F.col("suggestion").startswith(p)
+    if int(fuzziness) > 0:
+        anchor = F.col("suggestion").startswith(p[: int(fuzzy_prefix_length)])
+        head = F.substring("suggestion", 1, len(p))
+        cond = cond | (
+            anchor & (F.levenshtein(head, F.lit(p)) <= int(fuzziness))
+        )
+    return (
+        suggestions.filter(cond)
+        .groupBy("suggestion")
+        .agg(F.max("weight").cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
+        .limit(int(size))
+    )
 
 
 def wand_topk(
