@@ -1176,6 +1176,101 @@ def _q_combined_fields(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+PR_VALUES = [100.0, 300.0, 600.0]
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks (the percentiles inverse): % of OR-mode hits
+    with n_chars <= each requested value — exact CDF tier."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_percentile_ranks(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        PR_VALUES,
+    )
+
+
+def _q_scripted_metric(spark, sf_dir):
+    """ES scripted_metric: map = n_chars², combine = Spark's partial
+    aggregation, reduce = sum (decimal-exact, partition-order-proof)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).scripted_metric(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), "n_chars",
+        "n_chars * n_chars", reduce="sum",
+    )
+
+
+RS_SEED = 42
+
+
+def _q_random_score(spark, sf_dir):
+    """ES function_score random_score with a pinned seed: deterministic
+    uniform scores from the portable md5 hash — a stable random sample
+    of the hit set, reproducible on any engine."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).random_score_topk(
+        " ".join(QUERY_TERMS), RS_SEED, k=TOPK
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+RF_EXPR = "n_chars / dl"  # runtime field: chars per token
+RF_WHERE = "rf >= 5.0"
+
+
+def _q_runtime_field(spark, sf_dir):
+    """ES runtime_mappings: chars-per-token computed at query time from
+    n_chars and the stored dl, filtered and sorted on — no reindex."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).runtime_field_topk(
+        " ".join(QUERY_TERMS), _docs_url_fields(spark, sf_dir), RF_EXPR,
+        where=RF_WHERE, k=TOPK,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "rf",
+    )
+
+
+ADH_TARGET = 50
+
+
+def _q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: the engine picks the calendar interval
+    (smallest of minute..year fitting <= 50 buckets) — the events table
+    spans ~30 days, so 'day' wins over 'hour' (720 est. buckets)."""
+    from kafka_es_spark.operators.sessions import auto_date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return auto_date_histogram(ev, ADH_TARGET)
+
+
+KNN_LABELS = (1, 3, 5)
+
+
+def _q_knn_filtered(spark, sf_dir):
+    """ES knn with a filter: neighbors restricted to label ∈ {1,3,5}
+    BEFORE the top-k cut (pre-filter semantics — k survivors per query,
+    not post-filtered holes); exact cosine tier."""
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(e.filter(F.col("label").isin(list(KNN_LABELS))), q, k=5)
+
+
 GEO_ORIGIN = (40.0, -75.0)  # geo_distance origin (lat, lon)
 GEO_RADIUS_KM = 3000.0
 GEOTILE_ZOOM, GEOTILE_SIZE = 5, 15
@@ -2336,6 +2431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_cardinality_hll": _q_cardinality_hll,
         "x12_nested": _q_nested,
         "x8_suggest_completion": _q_suggest_completion,
+        "x8_agg_percentile_ranks": _q_percentile_ranks,
+        "x8_scripted_metric": _q_scripted_metric,
+        "x8_random_score": _q_random_score,
+        "x8_runtime_field": _q_runtime_field,
+        "ev7_auto_date_histogram": _q_auto_date_histogram,
+        "sim4_knn_filtered": _q_knn_filtered,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3663,6 +3764,101 @@ c AS (
 )
 SELECT suggestion, weight FROM c
 ORDER BY weight DESC, suggestion ASC LIMIT {CS_SIZE}
+""",
+        # percentile_ranks: exact CDF — % of hits with n_chars <= v
+        "x8_agg_percentile_ranks": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+j AS (SELECT d.doc_id, d.n_chars FROM documents d JOIN hits USING (doc_id))
+SELECT value, pct FROM (
+{" UNION ALL ".join(
+    f"SELECT CAST({v!r} AS DOUBLE) AS value, "
+    f"round(100.0 * CAST(sum(CASE WHEN n_chars <= {v!r} THEN 1 ELSE 0 END) "
+    f"AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS pct FROM j"
+    for v in PR_VALUES
+)}
+) ORDER BY value
+""",
+        # scripted_metric: sum of n_chars² over the hit set, decimal-exact
+        "x8_scripted_metric": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+j AS (SELECT d.n_chars FROM documents d JOIN hits USING (doc_id))
+SELECT round(CAST(sum(CAST(round(n_chars * n_chars, 6) AS DECIMAL(38,6)))
+             AS DOUBLE), 4) AS value
+FROM j
+""",
+        # random_score: portable md5 uniform per (url, seed), top-k
+        "x8_random_score": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+u AS (
+  SELECT doc_id, 'doc://' || CAST(doc_id AS VARCHAR) AS url FROM hits
+)
+SELECT doc_id,
+       round(CAST(('0x' || substr(md5(url || ':{RS_SEED}'), 1, 8)) AS BIGINT)
+             / 4294967296.0, 4) AS score
+FROM u
+ORDER BY score DESC, url ASC LIMIT {TOPK}
+""",
+        # runtime field: chars-per-token computed at query time
+        "x8_runtime_field": f"""
+WITH t AS (SELECT doc_id, n_chars, len({_TOKS}) AS dl FROM documents),
+p AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM p WHERE term IN ({_QT})),
+j AS (
+  SELECT t.doc_id, 'doc://' || CAST(t.doc_id AS VARCHAR) AS url,
+         round(n_chars / dl, 4) AS rf
+  FROM t JOIN hits USING (doc_id)
+)
+SELECT doc_id, rf FROM j WHERE rf >= 5.0
+ORDER BY rf DESC, url ASC LIMIT {TOPK}
+""",
+        # auto_date_histogram: replay the interval choice, then truncate
+        "ev7_auto_date_histogram": f"""
+WITH s AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+u AS (
+  SELECT CASE
+    WHEN floor((epoch_us(hi) - epoch_us(lo)) / 1000000.0 / 60.0) + 1
+         <= {ADH_TARGET} THEN 'minute'
+    WHEN floor((epoch_us(hi) - epoch_us(lo)) / 1000000.0 / 3600.0) + 1
+         <= {ADH_TARGET} THEN 'hour'
+    WHEN floor((epoch_us(hi) - epoch_us(lo)) / 1000000.0 / 86400.0) + 1
+         <= {ADH_TARGET} THEN 'day'
+    WHEN floor((epoch_us(hi) - epoch_us(lo)) / 1000000.0 / 2629800.0) + 1
+         <= {ADH_TARGET} THEN 'month'
+    ELSE 'year' END AS unit
+  FROM s
+)
+SELECT CAST(CASE u.unit
+         WHEN 'minute' THEN date_trunc('minute', ts)
+         WHEN 'hour' THEN date_trunc('hour', ts)
+         WHEN 'day' THEN date_trunc('day', ts)
+         WHEN 'month' THEN date_trunc('month', ts)
+         ELSE date_trunc('year', ts) END AS TIMESTAMP) AS bucket,
+       count(*) AS doc_count, u.unit AS interval
+FROM events CROSS JOIN u
+GROUP BY 1, 3 ORDER BY 1
+""",
+        # filtered knn: label pre-filter, then exact cosine top-k
+        "sim4_knn_filtered": f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id AND e.label IN {KNN_LABELS}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
+FROM ranked WHERE rank <= 5
 """,
         # span_first: 'data' at 0-based positions < 5, BM25 over the
         # windowed tf with the term's index-level idf

@@ -255,6 +255,125 @@ def test_hll_rejects_silly_precision(spark):
         hll_registers(spark.range(1).selectExpr("'a' AS v"), "v", p=25)
 
 
+# --- auto_date_histogram ----------------------------------------------------
+
+
+def test_auto_date_histogram_interval_choice(spark):
+    """The engine picks the smallest fitting calendar unit: a 3-hour
+    stream at target 200 → minute; same data at target 5 → hour; and
+    buckets are true calendar truncations."""
+    from kafka_es_spark.operators.sessions import auto_date_histogram
+
+    ev = spark.createDataFrame(
+        [(i, f"2025-03-01 00:{i % 60:02d}:{(7 * i) % 60:02d}") for i in range(180)],
+        "event_id long, s string",
+    ).select("event_id", F.to_timestamp("s").alias("ts"))
+    fine = auto_date_histogram(ev, 200)
+    assert fine.select("interval").first()["interval"] == "minute"
+    coarse = auto_date_histogram(ev, 5)
+    assert coarse.select("interval").first()["interval"] == "hour"
+    rows = coarse.collect()
+    assert sum(r["doc_count"] for r in rows) == 180
+    assert len(rows) == 1  # all events inside one hour
+    with pytest.raises(ValueError, match="target_buckets"):
+        auto_date_histogram(ev, 0)
+
+
+def test_auto_date_histogram_empty(spark):
+    from kafka_es_spark.operators.sessions import auto_date_histogram
+
+    ev = spark.createDataFrame([], "event_id long, ts timestamp")
+    assert auto_date_histogram(ev, 10).collect() == []
+
+
+# --- scripted_metric / random_score / percentile_ranks / runtime field -------
+
+
+def test_scripted_metric_partition_invariant(spark, tmp_path):
+    """The decimal-cast reduce makes the sum exact: identical at 1 and 13
+    partitions (a float64 sum would drift with combine order)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(
+        spark, [f"common word{i} filler" for i in range(40)]
+    )
+    d = str(tmp_path / "idxm")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [(f"u{i:03d}", 0.1 + i * 0.37) for i in range(40)],
+        "url string, x double",
+    )
+    s = Searcher(spark, d, cache=False)
+    a = s.scripted_metric("common", fv, "x", "x * x", reduce="sum").collect()
+    b = s.scripted_metric(
+        "common", fv.repartition(13), "x", "x * x", reduce="sum"
+    ).collect()
+    assert a == b
+    want = round(sum(round(0.1 + i * 0.37, 10) ** 2 for i in range(40)), 2)
+    assert a[0]["value"] == pytest.approx(want, abs=0.01)
+    with pytest.raises(ValueError, match="reduce"):
+        s.scripted_metric("common", fv, "x", "x", reduce="median")
+
+
+def test_random_score_deterministic_and_uniformish(spark, tmp_path):
+    """Same (doc, seed) → same score on any run; different seeds decouple;
+    scores live in [0, 1)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(spark, [f"common t{i}" for i in range(50)])
+    d = str(tmp_path / "idxr")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    s = Searcher(spark, d, cache=False)
+    a = [(r["url"], r["score"]) for r in s.random_score_topk("common", 7, k=50).collect()]
+    b = [(r["url"], r["score"]) for r in s.random_score_topk("common", 7, k=50).collect()]
+    assert a == b
+    c = [(r["url"], r["score"]) for r in s.random_score_topk("common", 8, k=50).collect()]
+    assert [u for u, _ in a] != [u for u, _ in c], "seed must reshuffle"
+    assert all(0.0 <= v < 1.0 for _, v in a)
+
+
+def test_percentile_ranks_exact_cdf(spark, tmp_path):
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(spark, [f"common t{i}" for i in range(10)])
+    d = str(tmp_path / "idxp")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [(f"u{i:03d}", float(10 * (i + 1))) for i in range(10)],
+        "url string, x double",
+    )
+    out = {
+        r["value"]: r["pct"]
+        for r in Searcher(spark, d, cache=False).agg_percentile_ranks(
+            "common", fv, "x", [5.0, 50.0, 100.0]
+        ).collect()
+    }
+    assert out == {5.0: 0.0, 50.0: 50.0, 100.0: 100.0}
+
+
+def test_runtime_field_filter_sort_and_stored_guard(spark, tmp_path):
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(
+        spark, ["common one two", "common one", "common one two three four"]
+    )
+    d = str(tmp_path / "idxrf")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [("u000", 30), ("u001", 10), ("u002", 100)], "url string, n long"
+    )
+    s = Searcher(spark, d, cache=False)
+    out = [(r["url"], r["rf"]) for r in s.runtime_field_topk(
+        "common", fv, "n / dl", where="rf >= 6.0", k=10
+    ).collect()]
+    # dl: 3, 2, 5 → rf: 10.0, 5.0, 20.0; the 5.0 row is filtered out
+    assert out == [("u002", 20.0), ("u000", 10.0)]
+    with pytest.raises(ValueError, match="not stored|stored"):
+        s.runtime_field_topk(
+            "common", None, "n / dl", stored_cols=("n",), k=10
+        )
+
+
 # --- completion suggester ---------------------------------------------------
 
 
