@@ -1176,6 +1176,80 @@ def _q_combined_fields(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+IV_ANCHOR, IV_OTHER, IV_GAPS = "table", "join", 3
+
+
+def _q_intervals(spark, sf_dir):
+    """ES intervals all_of {ordered:false, max_gaps:3}: 'table' with a
+    'join' within 3 intervening tokens either side; tf counts anchors."""
+    from kafka_es_spark.operators.positions import intervals_unordered_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_positions(spark, sf_dir, idx)
+    out = intervals_unordered_topk(
+        spark, idx, IV_ANCHOR, IV_OTHER, max_gaps=IV_GAPS,
+        k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_sibling_stats(spark, sf_dir):
+    """ES sibling pipeline aggs (avg/min/max/sum/stats_bucket) over the
+    daily date_histogram — one reduce-phase row, no second event scan."""
+    from kafka_es_spark.operators.sessions import (
+        date_histogram, sibling_bucket_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sibling_bucket_stats(date_histogram(ev, unit="day"))
+
+
+SD_LAG = 7
+
+
+def _q_serial_diff(spark, sf_dir):
+    """ES serial_diff (lag 7 on the daily histogram — weekly-cycle
+    differencing); null for the first 7 buckets like ES's derivative."""
+    from kafka_es_spark.operators.sessions import date_histogram, serial_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return serial_diff(date_histogram(ev, unit="day"), lag=SD_LAG)
+
+
+TR_SHARDS = 8
+
+
+def _q_shard_plan(spark, sf_dir):
+    """Deterministic training-shard plan: portable-hash shard assignment
+    + per-shard doc/char totals — the balance check before a 100 TB
+    export."""
+    from kafka_es_spark.operators.traindata import shard_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_plan(d, TR_SHARDS, token_col="n_chars")
+
+
+def _q_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the ES dense_vector int8
+    tier): per-vector scale + quantized checksums (sum/min/max/saturated
+    count) — scalar projections of the qvec so the hash check is
+    engine-stable."""
+    from kafka_es_spark.operators.similarity import quantize_embeddings_int8
+
+    q = quantize_embeddings_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 4).alias("scale"),
+        F.expr(
+            "aggregate(qvec, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("qsum"),
+        F.array_min("qvec").alias("qmin"),
+        F.array_max("qvec").alias("qmax"),
+        F.expr("size(filter(qvec, x -> abs(x) = 127))")
+        .cast("long").alias("n_sat"),
+    )
+
+
 PR_VALUES = [100.0, 300.0, 600.0]
 
 
@@ -2437,6 +2511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_runtime_field": _q_runtime_field,
         "ev7_auto_date_histogram": _q_auto_date_histogram,
         "sim4_knn_filtered": _q_knn_filtered,
+        "x8_intervals": _q_intervals,
+        "ev8_sibling_stats": _q_sibling_stats,
+        "ev9_serial_diff": _q_serial_diff,
+        "tr4_shard_plan": _q_shard_plan,
+        "sim5_quantize_int8": _q_quantize_int8,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -3859,6 +3938,98 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos
 FROM ranked WHERE rank <= 5
+""",
+        # intervals all_of unordered max_gaps=2: anchored counting, Σ idf
+        "x8_intervals": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term,
+             generate_subscripts(arr, 1) - 1 AS pos FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM p WHERE term = '{IV_ANCHOR}'),
+dfo AS (SELECT count(DISTINCT doc_id) AS df FROM p WHERE term = '{IV_OTHER}'),
+m AS (
+  SELECT pi.doc_id, count(*) AS tf FROM p pi
+  WHERE pi.term = '{IV_ANCHOR}'
+    AND EXISTS (
+      SELECT 1 FROM p px
+      WHERE px.doc_id = pi.doc_id AND px.term = '{IV_OTHER}'
+        AND abs(px.pos - pi.pos) BETWEEN 1 AND {IV_GAPS + 1}
+    )
+  GROUP BY 1
+),
+s AS (
+  SELECT m.doc_id,
+         (ln(1 + (stats.n - dfa.df + 0.5) / (dfa.df + 0.5))
+          + ln(1 + (stats.n - dfo.df + 0.5) / (dfo.df + 0.5)))
+           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS score
+  FROM m JOIN dl USING (doc_id)
+  CROSS JOIN stats CROSS JOIN dfa CROSS JOIN dfo
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # sibling pipeline aggs over the daily histogram, one reduce row
+        "ev8_sibling_stats": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT round(avg(CAST(doc_count AS DOUBLE)), 4) AS avg_bucket,
+       min(CAST(doc_count AS DOUBLE)) AS min_bucket,
+       max(CAST(doc_count AS DOUBLE)) AS max_bucket,
+       round(sum(CAST(doc_count AS DOUBLE)), 4) AS sum_bucket,
+       count(*) AS bucket_count
+FROM h
+""",
+        # serial_diff lag 7 over the daily histogram
+        "ev9_serial_diff": f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count,
+       doc_count - lag(doc_count, {SD_LAG}) OVER (ORDER BY bucket)
+         AS serial_diff
+FROM h ORDER BY bucket
+""",
+        # deterministic shard plan: portable-hash assignment + totals
+        "tr4_shard_plan": f"""
+WITH a AS (
+  SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {TR_SHARDS} AS INT) AS shard,
+         n_chars
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tokens
+FROM a GROUP BY 1 ORDER BY 1
+""",
+        # int8 quantization: identical scale/floor math, scalar checksums
+        "sim5_quantize_int8": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+s AS (
+  SELECT vec_id, dv,
+         list_max(list_transform(dv, x -> abs(x))) AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(dv, x -> CAST(0 AS INT))
+              ELSE list_transform(
+                     dv, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 4) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+       CAST(list_aggregate(qv, 'min') AS INT) AS qmin,
+       CAST(list_aggregate(qv, 'max') AS INT) AS qmax,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+FROM q
 """,
         # span_first: 'data' at 0-based positions < 5, BM25 over the
         # windowed tf with the term's index-level idf

@@ -678,46 +678,41 @@ def phrase_prefix_topk(
     )
 
 
-def span_not_topk(
+def _window_anchor_topk(
     spark: SparkSession,
     index_dir: str,
-    include: str,
-    exclude: str,
-    pre: int = 0,
-    post: int = 0,
-    k: int = 10,
-    round_to: int | None = 4,
-    with_url: bool = False,
+    anchor: str,
+    probe: str,
+    offsets: list[int],
+    require: bool,
+    idf_terms: list[str],
+    k: int,
+    round_to: int | None,
+    with_url: bool,
+    op_name: str,
 ) -> DataFrame:
-    """ES span_not query: occurrences of ``include`` that are NOT within
-    ``pre`` tokens after / ``post`` tokens before an occurrence of
-    ``exclude`` — i.e. an include match at position p is removed when an
-    exclude match sits anywhere in [p - pre, p + post] (pre=post=0 kills
-    only exact overlap, impossible for distinct single terms, so callers
-    use a window; Lucene SpanNotQuery(pre, post)). Scored as the include
-    term's BM25 with tf = surviving occurrences and the term's INDEX-level
-    df for idf (Lucene SpanWeight semantics, like span_first above).
+    """Shared engine for window-conditioned single-term matching: keep an
+    ``anchor``-term occurrence at position p iff a ``probe``-term
+    occurrence exists (``require=True``, intervals) / does not exist
+    (``require=False``, span_not) at any p+d for d in ``offsets``. tf =
+    surviving anchor occurrences; weight = Σ idf over ``idf_terms``
+    (index-level dfs — Lucene SpanWeight/IntervalQuery scoring); BM25
+    saturation vs doc length.
 
-    Plan: position segments of exactly two terms (bucket-pruned scan),
-    grouped per doc range; inside a range the window test is |pre|+|post|+1
-    vectorized sorted-array memberships over (doc<<POS_BITS)+pos keys —
-    shifted keys that cross a doc boundary are masked, so an exclude hit
-    at the end of one doc can never veto the start of the next. One
-    TakeOrdered; tombstones drop as everywhere."""
+    Plan: position segments of exactly two terms (term + bucket pruned
+    scan), grouped per doc range; inside a range the window test is
+    |offsets| vectorized sorted-array memberships over
+    (doc<<POS_BITS)+pos keys — shifted keys that cross a doc boundary
+    are masked, so a probe hit at the end of one doc can never affect
+    the start of the next. One TakeOrdered; tombstones drop as
+    everywhere."""
     import math
 
-    from kafka_es_spark.functions.tokenize import tokenize_py
     from kafka_es_spark.operators.compaction import recover_swap_dirs
     from kafka_es_spark.operators.deletes import read_tombstone_ids
     from kafka_es_spark.plans.build_index import BUCKET_SCHEME, load_stats
 
-    ti, tx = tokenize_py(include), tokenize_py(exclude)
-    if len(ti) != 1 or len(tx) != 1 or ti == tx:
-        raise ValueError(
-            "span_not takes two distinct single analyzed terms "
-            f"(got include={ti}, exclude={tx})"
-        )
-    t, x = ti[0], tx[0]
+    t, x = anchor, probe
     recover_swap_dirs(index_dir)
     excluded = read_tombstone_ids(spark, index_dir) or None
     st = load_stats(index_dir)
@@ -726,20 +721,25 @@ def span_not_topk(
         "doc_id long, url string, score double" if with_url
         else "doc_id long, score double"
     )
-    dfrow = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
-        .filter(F.col("term") == t)
-        .agg(F.sum("df").alias("df"))
-        .collect()[0]
-    )
-    if dfrow["df"] is None or n_docs == 0 or avgdl == 0:
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").isin(sorted(set(idf_terms) | {t})))
+        .groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    if t not in dfs or n_docs == 0 or avgdl == 0 or (
+        require and x not in dfs
+    ):
         return spark.createDataFrame([], empty)
-    w = math.log(1 + (n_docs - int(dfrow["df"]) + 0.5) / (int(dfrow["df"]) + 0.5))
+    w = sum(
+        math.log(1 + (n_docs - dfs[q] + 0.5) / (dfs[q] + 0.5))
+        for q in idf_terms if q in dfs
+    )
     pos_dir = os.path.join(index_dir, "positions")
     if not os.path.isdir(pos_dir):
         raise ValueError(
-            f"index at {index_dir} has no positions/ relation — span "
-            "queries need the positional index"
+            f"index at {index_dir} has no positions/ relation — "
+            f"{op_name} needs the positional index"
         )
     rel = spark.read.parquet(pos_dir).filter(F.col("term").isin([t, x]))
     if st.get("bucket_scheme") == BUCKET_SCHEME and st.get("n_term_buckets"):
@@ -751,9 +751,7 @@ def span_not_topk(
                 sorted({hash32_py(t) % nb, hash32_py(x) % nb})
             )
         )
-    pre_i, post_i = int(pre), int(post)
-    if pre_i < 0 or post_i < 0:
-        raise ValueError("span_not pre/post must be >= 0")
+    offs = list(offsets)
 
     def count_surviving(pdf: pd.DataFrame) -> pd.DataFrame:
         empty_p = pd.DataFrame(
@@ -761,21 +759,22 @@ def span_not_topk(
              "tf": pd.Series(dtype=np.int64)}
         )
         recs = pdf.to_dict("records")
-        inc = _slot_keys([r for r in recs if r["term"] == t])
-        if inc.size == 0:
+        anc = _slot_keys([r for r in recs if r["term"] == t])
+        if anc.size == 0:
             return empty_p
-        exc = _slot_keys([r for r in recs if r["term"] == x])
-        keep = np.ones(inc.size, dtype=bool)
-        if exc.size:
-            # veto include@p when exclude∈[p-pre, p+post] ⇔ for some
-            # offset d in [-pre, post], (p + d) is an exclude key
-            for d in range(-pre_i, post_i + 1):
-                shifted = inc + d
-                same_doc = (shifted >> POS_BITS) == (inc >> POS_BITS)
-                keep &= ~(same_doc & np.isin(shifted, exc, assume_unique=True))
+        prb = _slot_keys([r for r in recs if r["term"] == x])
+        hit = np.zeros(anc.size, dtype=bool)
+        if prb.size:
+            # probe∈{p+d : d ∈ offsets} — one membership test per offset,
+            # doc-boundary-masked
+            for d in offs:
+                shifted = anc + d
+                same_doc = (shifted >> POS_BITS) == (anc >> POS_BITS)
+                hit |= same_doc & np.isin(shifted, prb, assume_unique=True)
+        keep = hit if require else ~hit
         if not keep.any():
             return empty_p
-        uids, cnt = np.unique(inc[keep] >> POS_BITS, return_counts=True)
+        uids, cnt = np.unique(anc[keep] >> POS_BITS, return_counts=True)
         return pd.DataFrame(
             {"doc_id": uids, "tf": cnt.astype(np.int64)}
         )
@@ -802,6 +801,87 @@ def span_not_topk(
         out.select(*cols, score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(k))
+    )
+
+
+def span_not_topk(
+    spark: SparkSession,
+    index_dir: str,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES span_not query: occurrences of ``include`` that are NOT within
+    ``pre`` tokens after / ``post`` tokens before an occurrence of
+    ``exclude`` — i.e. an include match at position p is removed when an
+    exclude match sits anywhere in [p - pre, p + post] (pre=post=0 kills
+    only exact overlap, impossible for distinct single terms, so callers
+    use a window; Lucene SpanNotQuery(pre, post)). Scored as the include
+    term's BM25 with tf = surviving occurrences and the term's INDEX-level
+    df for idf (Lucene SpanWeight semantics, like span_first above).
+    Window engine + plan: ``_window_anchor_topk``."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    ti, tx = tokenize_py(include), tokenize_py(exclude)
+    if len(ti) != 1 or len(tx) != 1 or ti == tx:
+        raise ValueError(
+            "span_not takes two distinct single analyzed terms "
+            f"(got include={ti}, exclude={tx})"
+        )
+    pre_i, post_i = int(pre), int(post)
+    if pre_i < 0 or post_i < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    return _window_anchor_topk(
+        spark, index_dir, ti[0], tx[0],
+        offsets=list(range(-pre_i, post_i + 1)), require=False,
+        idf_terms=[ti[0]], k=k, round_to=round_to, with_url=with_url,
+        op_name="span_not",
+    )
+
+
+def intervals_unordered_topk(
+    spark: SparkSession,
+    index_dir: str,
+    anchor: str,
+    other: str,
+    max_gaps: int = 0,
+    k: int = 10,
+    round_to: int | None = 4,
+    with_url: bool = False,
+) -> DataFrame:
+    """ES intervals query, ``all_of {ordered: false, max_gaps}`` over two
+    terms: a match is an ``anchor`` occurrence with an ``other``
+    occurrence within ``max_gaps`` intervening tokens on EITHER side
+    (|p_a − p_o| − 1 <= max_gaps). The unordered half of the proximity
+    family — ordered span_near/sloppy-phrase is ``phrase_topk(slop=…)``.
+
+    Counting anchors (not pairs) mirrors Lucene's minimal-interval
+    semantics closely enough to state exactly: tf = anchor occurrences
+    with a qualifying partner — each minimal interval contains at least
+    one, and the anchored form is what a SQL oracle can replay (an
+    all-pairs count would double-count overlapping intervals). Weight =
+    Σ idf of BOTH terms (IntervalQuery scores like a conjunction).
+    Window engine + plan: ``_window_anchor_topk``."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    ta, to = tokenize_py(anchor), tokenize_py(other)
+    if len(ta) != 1 or len(to) != 1 or ta == to:
+        raise ValueError(
+            "intervals takes two distinct single analyzed terms "
+            f"(got anchor={ta}, other={to})"
+        )
+    g = int(max_gaps)
+    if g < 0:
+        raise ValueError("max_gaps must be >= 0")
+    offs = [d for d in range(-(g + 1), g + 2) if d != 0]
+    return _window_anchor_topk(
+        spark, index_dir, ta[0], to[0], offsets=offs, require=True,
+        idf_terms=[ta[0], to[0]], k=k, round_to=round_to,
+        with_url=with_url, op_name="intervals",
     )
 
 

@@ -164,6 +164,50 @@ def date_range_agg(
     )
 
 
+def sibling_bucket_stats(
+    buckets: DataFrame,
+    metric_col: str = "doc_count",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES sibling pipeline aggregations in one pass — avg_bucket,
+    min_bucket, max_bucket, sum_bucket, stats_bucket's count — computed
+    OVER a parent aggregation's buckets (one row out). Sibling pipelines
+    are reduce-phase aggregates of the bucket relation, never a second
+    event scan: #buckets input rows, one scalar aggregate row.
+
+    min/max_bucket in ES also report which bucket keys attained the
+    extremum; callers who need the keys join back on the value (ties =
+    all attaining buckets, the ES 'keys' array)."""
+    m = F.col(metric_col).cast("double")
+    return buckets.agg(
+        F.round(F.avg(m), round_to).alias("avg_bucket"),
+        F.min(m).alias("min_bucket"),
+        F.max(m).alias("max_bucket"),
+        F.round(F.sum(m), round_to).alias("sum_bucket"),
+        F.count(m).cast("long").alias("bucket_count"),
+    )
+
+
+def serial_diff(
+    buckets: DataFrame,
+    lag: int = 1,
+    order_col: str = "bucket",
+    metric_col: str = "doc_count",
+) -> DataFrame:
+    """ES serial_diff pipeline aggregation: value minus the value ``lag``
+    buckets earlier (null for the first ``lag`` buckets, like ES's
+    derivative) — the seasonal-differencing primitive (lag=7 on a daily
+    histogram removes the weekly cycle). A window lag over the #buckets
+    relation, reduce-phase placement like every pipeline agg here."""
+    if lag < 1:
+        raise ValueError("serial_diff lag must be >= 1")
+    w = Window.orderBy(order_col)
+    return buckets.withColumn(
+        "serial_diff",
+        F.col(metric_col) - F.lag(metric_col, int(lag)).over(w),
+    ).orderBy(order_col)
+
+
 def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     """ES bucket_selector pipeline aggregation: drop parent-agg buckets
     where the script predicate is false. The painless subset that covers

@@ -120,6 +120,76 @@ def pack_sequences(
     )
 
 
+def shard_assignments(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc gets a
+    ``shard`` (pmod of the portable md5 hash over ``salt:id``) and a
+    ``shard_key`` (the full hash) that orders docs pseudo-randomly WITHIN
+    the shard. Together they are the training data loader's contract —
+    shard files of near-equal size whose concatenation in (shard,
+    shard_key) order is a reproducible global permutation of the corpus:
+    no RNG state, no global sort, identical at any parallelism, and a
+    changed ``salt`` is a fresh epoch-level reshuffle.
+
+    Scale: the hash is pure Column arithmetic in the scan; the write is
+    ONE repartition(shard) + sortWithinPartitions(shard_key) — a single
+    shuffle whose reducers are balanced by the uniform hash (no Zipf key
+    risk: ids are unique)."""
+    from kafka_es_spark.operators.dedup import hash32
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = hash32(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    return docs.withColumn("shard_key", key).withColumn(
+        "shard", F.pmod(F.col("shard_key"), F.lit(int(n_shards))).cast("int")
+    )
+
+
+def shard_plan(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard summary of the deterministic shuffle — (shard, n_docs[,
+    tokens]): the balance check a 100 TB export runs BEFORE writing
+    (skewed shards starve data-parallel trainers). One hash aggregation
+    to n_shards rows."""
+    a = shard_assignments(docs, n_shards, id_col=id_col, salt=salt)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("tokens"))
+    return a.groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Materialize the deterministic shuffle: one shuffle
+    (repartition by shard) + in-partition sort by shard_key, written
+    partitioned by shard — each ``shard=K`` directory is one
+    pseudo-randomly-ordered training shard."""
+    a = shard_assignments(docs, n_shards, id_col=id_col, salt=salt)
+    (
+        a.repartition(int(n_shards), "shard")
+        .sortWithinPartitions("shard", "shard_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

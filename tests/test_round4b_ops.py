@@ -374,6 +374,128 @@ def test_runtime_field_filter_sort_and_stored_guard(spark, tmp_path):
         )
 
 
+# --- intervals (unordered, max_gaps) ----------------------------------------
+
+
+def test_intervals_unordered_gap_semantics(spark, tmp_path):
+    """max_gaps counts INTERVENING tokens, either order qualifies, and a
+    too-far partner does not match."""
+    from kafka_es_spark.operators.positions import (
+        build_position_index, intervals_unordered_topk,
+    )
+
+    pages = _mk_pages(spark, [
+        "zeta beta gamma delta",         # u000: no anchor occurrence
+        "beta alpha x y gamma z",        # u001: gap 2 (x y) — matches g>=2
+        "gamma alpha",                   # u002: other BEFORE anchor, gap 0
+        "alpha q w e r t gamma",         # u003: gap 5 — out at g=2
+    ])
+    d = str(tmp_path / "idxiv")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    build_position_index(spark, pages, d)
+    got = {
+        r["url"]
+        for r in intervals_unordered_topk(
+            spark, d, "alpha", "gamma", max_gaps=2, k=10, with_url=True
+        ).collect()
+    }
+    assert got == {"u001", "u002"}
+    # ordered-agnostic: u002 matched with the partner on the left
+    none = intervals_unordered_topk(
+        spark, d, "alpha", "gamma", max_gaps=0, k=10, with_url=True
+    ).collect()
+    assert {r["url"] for r in none} == {"u002"}  # only the adjacent pair
+
+
+# --- sibling pipeline aggs / serial_diff -------------------------------------
+
+
+def test_sibling_bucket_stats_and_serial_diff(spark):
+    from kafka_es_spark.operators.sessions import (
+        serial_diff, sibling_bucket_stats,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 60)], "bucket long, doc_count long"
+    )
+    s = sibling_bucket_stats(h).collect()[0]
+    assert (s["avg_bucket"], s["min_bucket"], s["max_bucket"],
+            s["sum_bucket"], s["bucket_count"]) == (30.0, 10.0, 60.0, 120.0, 4)
+    d = {r["bucket"]: r["serial_diff"] for r in serial_diff(h, lag=2).collect()}
+    assert d == {1: None, 2: None, 3: 10, 4: 30}
+    with pytest.raises(ValueError, match="lag"):
+        serial_diff(h, lag=0)
+
+
+# --- training shard export ----------------------------------------------
+
+
+def test_shard_export_deterministic_balanced_and_written(spark, tmp_path):
+    """Shard assignment is a pure function of (id, salt): parallelism-
+    invariant, near-balanced, salt-reshuffled; the written layout is one
+    file set per shard with the in-shard hash order."""
+    from kafka_es_spark.operators.traindata import (
+        shard_assignments, shard_plan, write_training_shards,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).alias("n_chars"),
+    )
+    a = sorted(
+        map(tuple, shard_assignments(docs, 16).select("doc_id", "shard").collect())
+    )
+    b = sorted(
+        map(tuple,
+            shard_assignments(docs.repartition(13), 16)
+            .select("doc_id", "shard").collect())
+    )
+    assert a == b
+    plan = shard_plan(docs, 16, token_col="n_chars").collect()
+    counts = [r["n_docs"] for r in plan]
+    assert len(plan) == 16 and sum(counts) == 2000
+    assert max(counts) < 2 * min(counts), f"unbalanced: {counts}"
+    resh = sorted(
+        map(tuple,
+            shard_assignments(docs, 16, salt="epoch2")
+            .select("doc_id", "shard").collect())
+    )
+    assert a != resh, "salt must reshuffle"
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, 4)
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    assert sorted(
+        r["shard"] for r in got.select("shard").distinct().collect()
+    ) == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_plan(docs, 0)
+
+
+# --- int8 embedding quantization ---------------------------------------------
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """q ∈ [-127,127], extremes hit ±127, dequantization error is bounded
+    by scale/254 per component, and the all-zero vector is handled."""
+    from kafka_es_spark.operators.similarity import quantize_embeddings_int8
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 1.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+         (2, [-2.0, 1.0, 0.1, -0.3])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings_int8(emb).collect()}
+    assert rows[0]["scale"] == 1.0
+    assert rows[0]["qvec"] == [64, -127, 32, 127]
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0, 0, 0]
+    v = [-2.0, 1.0, 0.1, -0.3]
+    q, sc = rows[2]["qvec"], rows[2]["scale"]
+    assert all(abs(qi * sc / 127.0 - vi) <= sc / 254.0 + 1e-12
+               for qi, vi in zip(q, v))
+    assert max(abs(x) for x in q) == 127
+
+
 # --- completion suggester ---------------------------------------------------
 
 
