@@ -1250,6 +1250,383 @@ def _q_quantize_int8(spark, sf_dir):
     )
 
 
+BP_QUERY = "spark query par"  # fixed terms + trailing prefix
+
+
+def _q_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix: 'spark query' as term clauses + 'par' as a
+    prefix clause, the union scored as one BM25 OR disjunction."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).bool_prefix_topk(
+        BP_QUERY, k=TOPK, max_expansions=50, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
+GH_PRECISION, GH_SIZE = 4, 15
+GH_LON_BITS = (5 * GH_PRECISION + 1) // 2
+GH_LAT_BITS = (5 * GH_PRECISION) // 2
+
+
+def _geohash_code_sql() -> str:
+    """SQL for the lon/lat bit interleave (geohash bit i, MSB-first,
+    even i ← lon) over integer columns lonq/latq — the identical sum of
+    (bit >> j) · 2^i terms the engine builds as Column arithmetic."""
+    nbits = GH_LON_BITS + GH_LAT_BITS
+    terms = []
+    for i in range(nbits):
+        src, blen = (
+            ("lonq", GH_LON_BITS) if i % 2 == 0 else ("latq", GH_LAT_BITS)
+        )
+        terms.append(
+            f"(({src} >> {blen - 1 - i // 2}) & 1) * {1 << (nbits - 1 - i)}"
+        )
+    return " + ".join(terms)
+
+
+def _geohash_key_sql() -> str:
+    """SQL rendering the interleaved code as base-32 chars."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = GH_LON_BITS + GH_LAT_BITS
+    return " || ".join(
+        f"substr('{alpha}', CAST(((code >> {nbits - 5 * (m + 1)}) & 31) + 1 "
+        "AS INT), 1)"
+        for m in range(GH_PRECISION)
+    )
+
+
+def _q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid agg at precision 4 over the OR hit set:
+    bit-interleaved base-32 cell keys, doc_count desc."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).geohash_grid(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        precision=GH_PRECISION, size=GH_SIZE,
+    )
+
+
+def _q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds agg over the OR hit set: the tightest envelope —
+    (doc_count, top, left, bottom, right)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).geo_bounds(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+    )
+
+
+def _q_normalize(spark, sf_dir):
+    """ES normalize pipeline agg (percent_of_sum) over the daily
+    histogram: each bucket's share of all events."""
+    from kafka_es_spark.operators.sessions import (
+        date_histogram, normalize_buckets,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_buckets(
+        date_histogram(ev, unit="day"), method="percent_of_sum"
+    )
+
+
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES cumulative_cardinality pipeline agg: distinct users seen to
+    date, per daily bucket (exact first-seen form)."""
+    from kafka_es_spark.operators.sessions import cumulative_cardinality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cumulative_cardinality(ev, entity_col="user_id", unit="day")
+
+
+def _q_mad(spark, sf_dir):
+    """ES median_absolute_deviation agg over event values (exact tier;
+    the TDigest sketch is the 10^12-row path)."""
+    from kafka_es_spark.operators.sessions import median_absolute_deviation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return median_absolute_deviation(ev, value_col="value")
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES boxplot agg over event values: min/q1/q2/q3/max, exact
+    linear-interpolation quantiles."""
+    from kafka_es_spark.operators.sessions import boxplot_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return boxplot_agg(ev, value_col="value")
+
+
+TT_PREDICATE = "event_type = 'error'"
+
+
+def _q_t_test(spark, sf_dir):
+    """ES t_test agg (heteroscedastic): Welch's t between error events'
+    values and the rest — one conditional aggregation."""
+    from kafka_es_spark.operators.sessions import t_test_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return t_test_agg(ev, TT_PREDICATE, value_col="value")
+
+
+def _q_string_stats(spark, sf_dir):
+    """ES string_stats agg (with show_distribution's entropy) over the
+    documents' text field: lengths + pooled character entropy."""
+    from kafka_es_spark.functions.textstats import string_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return string_stats(d, text_col="text")
+
+
+I8_COARSE, I8_K = 20, 5
+
+
+def _q_int8_rerank(spark, sf_dir):
+    """ES quantized dense_vector search: int8 coarse candidates (integer
+    dot products, engine-exact) → float re-rank of the top 20 → top-5,
+    for query vectors {0,1,2}."""
+    from kafka_es_spark.operators.similarity import int8_rerank_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return int8_rerank_topk(e, q, k=I8_K, coarse=I8_COARSE)
+
+
+HY_WL, HY_WV = 0.7, 0.3
+
+
+def _q_hybrid_linear(spark, sf_dir):
+    """ES linear retriever (normalizer: minmax): BM25 top-50 and cosine
+    top-50 each rescaled to [0,1] within its list, fused 0.7/0.3."""
+    from pyspark.sql import Window
+
+    from kafka_es_spark.operators.similarity import cosine_topk, linear_fuse
+    from kafka_es_spark.operators.wand import wand_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    lex = wand_topk(
+        spark, idx, " ".join(QUERY_TERMS), k=HY_FETCH * 3,
+        fetch_k=HY_FETCH * 3, with_url=True,
+    )
+    lexr = (
+        lex.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "score",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= HY_FETCH)
+        .select("doc_id", "score")
+    )
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = cosine_topk(e, q, k=HY_FETCH).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    return linear_fuse([(lexr, HY_WL), (vec, HY_WV)], k=TOPK)
+
+
+CLS_DIM = 2048
+
+
+def _q_classifier_score(spark, sf_dir):
+    """fastText-style linear quality-classifier inference: hashed
+    unigram+bigram features, integer fixed-point weights (exact,
+    partition-order-proof sums), sigmoid of the mean weight. The weight
+    table here is synthesized by arithmetic (a trained model is just a
+    different relation)."""
+    from kafka_es_spark.functions.textstats import classifier_score
+
+    w = spark.range(CLS_DIM).select(
+        F.col("id").alias("feature_id"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).cast("long").alias("w_int"),
+    )
+    return classifier_score(_docs(spark, sf_dir), w, CLS_DIM)
+
+
+GEO_POLY = [
+    (10.005, -120.005), (70.005, -20.005),
+    (-30.005, 40.005), (-60.005, -80.005),
+]
+
+
+def _polygon_sql(lat: str, lon: str) -> str:
+    """DuckDB mirror of Searcher.geo_polygon's ray cast: same
+    driver-computed slope literals, same multiply-add, even-odd sum."""
+    vs = [(float(a), float(b)) for a, b in GEO_POLY]
+    terms = []
+    for (y1, x1), (y2, x2) in zip(vs, vs[1:] + vs[:1]):
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat}) != ({y2!r} > {lat})) "
+            f"AND {lon} < {slope!r} * ({lat} - {y1!r}) + {x1!r} "
+            "THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def _q_geo_polygon(spark, sf_dir):
+    """ES geo_polygon over the OR hit set: even-odd ray cast against a
+    driver-literal quadrilateral."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).geo_polygon(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        GEO_POLY, k=50,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "lat", "lon",
+    )
+
+
+SAYT_QUERY = "data que"  # fixed term + typeahead gram
+
+
+def _ensure_edge_ngrams(spark, idx):
+    import os
+
+    from kafka_es_spark.operators.wand import build_edge_ngrams
+
+    if not os.path.exists(os.path.join(idx, "edge_ngrams_meta.json")):
+        build_edge_ngrams(spark, idx, min_gram=1, max_gram=10)
+
+
+def _q_sayt(spark, sf_dir):
+    """ES search_as_you_type: trailing gram resolves by EQUALITY against
+    the materialized edge-ngram relation (index-time expansion), then
+    the same deduplicated BM25 OR as match_bool_prefix."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_edge_ngrams(spark, idx)
+    out = Searcher(spark, idx, cache=False).sayt_topk(
+        SAYT_QUERY, k=TOPK, max_expansions=50, fetch_k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
+ING_PIPELINE = [
+    {"set": {"field": "agent", "value": "{{event_type}}/{{user_id}}"}},
+    {"dissect": {"field": "agent", "pattern": "%{browser}/%{uid}"}},
+    {"uppercase": {"field": "browser"}},
+    {"gsub": {"field": "browser", "pattern": "[AEIOU]", "replacement": "_"}},
+    {"json": {"field": "props", "path": "$.k", "target_field": "k_str"}},
+    {"convert": {"field": "k_str", "type": "long", "target_field": "k_val"}},
+    {"drop": {"if": "k_val IS NULL"}},
+]
+
+
+def _q_ingest_pipeline(spark, sf_dir):
+    """ES ingest pipeline (_ingest/pipeline simulate): set-template →
+    dissect → uppercase → gsub → json-extract → convert → conditional
+    drop, all compiled to one-scan Column ops."""
+    from kafka_es_spark.operators.ingest import apply_pipeline
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_pipeline(ev, ING_PIPELINE)
+    return out.select(
+        "event_id", "browser",
+        F.col("uid").cast("long").alias("uid"), "k_val",
+    )
+
+
+def _q_extended_stats_bucket(spark, sf_dir):
+    """ES extended_stats_bucket over the daily histogram: one row with
+    population variance/std like ES's extended_stats."""
+    from kafka_es_spark.operators.sessions import (
+        date_histogram, extended_stats_bucket,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return extended_stats_bucket(date_histogram(ev, unit="day"))
+
+
+PB_PERCENTS = [25.0, 50.0, 75.0]
+
+
+def _q_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket over the daily histogram: exact interpolated
+    quartiles of the per-day counts."""
+    from kafka_es_spark.operators.sessions import (
+        date_histogram, percentiles_bucket,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return percentiles_bucket(
+        date_histogram(ev, unit="day"), percents=PB_PERCENTS
+    )
+
+
+def _q_bucket_script(spark, sf_dir):
+    """ES bucket_script: per-day error rate (errors/total) computed from
+    the bucket's own aggregated metrics."""
+    from kafka_es_spark.operators.sessions import bucket_script
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long").alias("errors"),
+    )
+    return bucket_script(b, "errors / total", out_col="error_rate").orderBy(
+        "bucket"
+    )
+
+
+RE_K = 10
+
+
+def _q_rank_eval(spark, sf_dir):
+    """ES _rank_eval over the exact-cosine run for queries {0,1,2}:
+    precision@10 / recall@10 / MRR / DCG / nDCG against a deterministic
+    arithmetic judgment set (the metric math is the operator under
+    test; judgments at scale are an external, tiny relation)."""
+    from kafka_es_spark.operators.rankeval import rank_eval
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    run = cosine_topk(e, q, k=RE_K).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    qids = spark.createDataFrame([(0,), (1,), (2,)], "query_id long")
+    ratings = (
+        e.select("vec_id")
+        .crossJoin(F.broadcast(qids))
+        .filter(
+            ((F.col("vec_id") * 7 + F.col("query_id") * 13) % 17 == 0)
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (F.lit(1) + F.col("vec_id") % 2).cast("int").alias("rating"),
+        )
+    )
+    return rank_eval(run, ratings, k=RE_K)
+
+
 PR_VALUES = [100.0, 300.0, 600.0]
 
 
@@ -2516,6 +2893,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev9_serial_diff": _q_serial_diff,
         "tr4_shard_plan": _q_shard_plan,
         "sim5_quantize_int8": _q_quantize_int8,
+        "x8_bool_prefix": _q_bool_prefix,
+        "x13_geohash_grid": _q_geohash_grid,
+        "x13_geo_bounds": _q_geo_bounds,
+        "ev10_normalize": _q_normalize,
+        "ev11_cumulative_cardinality": _q_cumulative_cardinality,
+        "ev12_mad": _q_mad,
+        "ev13_boxplot": _q_boxplot,
+        "ev14_t_test": _q_t_test,
+        "ts6_string_stats": _q_string_stats,
+        "sim6_int8_rerank": _q_int8_rerank,
+        "x11_hybrid_linear": _q_hybrid_linear,
+        "x14_rank_eval": _q_rank_eval,
+        "ing1_pipeline": _q_ingest_pipeline,
+        "ev15_extended_stats_bucket": _q_extended_stats_bucket,
+        "ev16_percentiles_bucket": _q_percentiles_bucket,
+        "ev17_bucket_script": _q_bucket_script,
+        "ts7_classifier_score": _q_classifier_score,
+        "x13_geo_polygon": _q_geo_polygon,
+        "x8_sayt": _q_sayt,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -4031,6 +4427,397 @@ SELECT vec_id, round(scale, 4) AS scale,
        CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
 FROM q
 """,
+        # match_bool_prefix: fixed term clauses + alphabetic prefix
+        # expansion, deduplicated, scored as one BM25 OR
+        "x8_bool_prefix": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT term FROM (SELECT DISTINCT term FROM toks "
+                f"WHERE term LIKE '{PREFIX}%' ORDER BY term LIMIT 50) "
+                "UNION SELECT unnest(['spark', 'query']) AS term"
+            ),
+        ),
+        # geohash_grid: identical quantize → bit interleave → base-32
+        "x13_geohash_grid": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+q AS (
+  SELECT least({(1 << GH_LON_BITS) - 1}, greatest(0,
+           CAST(floor(round((lon + 180.0) / 360.0
+                            * {float(1 << GH_LON_BITS)!r}, 9)) AS BIGINT)))
+           AS lonq,
+         least({(1 << GH_LAT_BITS) - 1}, greatest(0,
+           CAST(floor(round((lat + 90.0) / 180.0
+                            * {float(1 << GH_LAT_BITS)!r}, 9)) AS BIGINT)))
+           AS latq
+  FROM g JOIN hits USING (doc_id)
+),
+c AS (SELECT {_geohash_code_sql()} AS code FROM q),
+k AS (SELECT {_geohash_key_sql()} AS key FROM c)
+SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM k GROUP BY 1
+ORDER BY doc_count DESC, key ASC LIMIT {GH_SIZE}
+""",
+        # geo_bounds: four extrema of the hit set's points
+        "x13_geo_bounds": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+j AS (SELECT lat, lon FROM g JOIN hits USING (doc_id))
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(max(lat), 4) AS top, round(min(lon), 4) AS "left",
+       round(min(lat), 4) AS bottom, round(max(lon), 4) AS "right"
+FROM j
+""",
+        # normalize (percent_of_sum) over the daily histogram
+        "ev10_normalize": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+)
+SELECT bucket, doc_count,
+       round(CASE WHEN CAST(sum(doc_count) OVER () AS DOUBLE) != 0
+             THEN CAST(doc_count AS DOUBLE)
+                  / CAST(sum(doc_count) OVER () AS DOUBLE) END, 4)
+         AS normalized
+FROM h ORDER BY bucket
+""",
+        # cumulative_cardinality: distinct users to date via first-seen
+        "ev11_cumulative_cardinality": """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, user_id
+  FROM events
+),
+dom AS (SELECT DISTINCT bucket FROM b),
+f AS (SELECT user_id, min(bucket) AS bucket FROM b GROUP BY 1),
+nw AS (SELECT bucket, count(*) AS n FROM f GROUP BY 1)
+SELECT dom.bucket,
+       CAST(sum(coalesce(nw.n, 0)) OVER (ORDER BY dom.bucket) AS BIGINT)
+         AS cumulative_cardinality
+FROM dom LEFT JOIN nw USING (bucket) ORDER BY dom.bucket
+""",
+        # median_absolute_deviation: median(|x - median|), interpolated
+        "ev12_mad": """
+WITH m AS (SELECT median(value) AS med FROM events)
+SELECT round(median(abs(value - med)), 4) AS mad FROM events, m
+""",
+        # boxplot: exact linear-interpolation quartiles + extrema
+        "ev13_boxplot": """
+SELECT min(value) AS min,
+       round(quantile_cont(value, 0.25), 4) AS q1,
+       round(quantile_cont(value, 0.5), 4) AS q2,
+       round(quantile_cont(value, 0.75), 4) AS q3,
+       max(value) AS max
+FROM events
+""",
+        # t_test (Welch): closed form from per-group count/mean/var_samp
+        "ev14_t_test": f"""
+WITH s AS (
+  SELECT CAST(count(value) FILTER (WHERE {TT_PREDICATE}) AS BIGINT) AS n_a,
+         CAST(count(value) FILTER (WHERE NOT ({TT_PREDICATE})) AS BIGINT)
+           AS n_b,
+         avg(value) FILTER (WHERE {TT_PREDICATE}) AS ma,
+         avg(value) FILTER (WHERE NOT ({TT_PREDICATE})) AS mb,
+         var_samp(value) FILTER (WHERE {TT_PREDICATE}) AS va,
+         var_samp(value) FILTER (WHERE NOT ({TT_PREDICATE})) AS vb
+  FROM events
+)
+SELECT n_a, n_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) AS t_stat
+FROM s
+""",
+        # string_stats: lengths + pooled character Shannon entropy
+        "ts6_string_stats": """
+WITH lens AS (
+  SELECT CAST(count(text) AS BIGINT) AS "count",
+         CAST(min(len(text)) AS BIGINT) AS min_length,
+         CAST(max(len(text)) AS BIGINT) AS max_length,
+         round(avg(len(text)), 4) AS avg_length
+  FROM documents
+),
+c AS (
+  SELECT substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, unnest(generate_series(1, len(text))) AS t(i)
+  WHERE text IS NOT NULL AND len(text) > 0
+),
+h AS (SELECT ch, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1),
+e AS (
+  SELECT round(CASE WHEN sum(n) > 0
+               THEN log2(sum(n)) - sum(n * log2(n)) / sum(n)
+               ELSE 0.0 END, 4) AS entropy
+  FROM h
+)
+SELECT * FROM lens, e
+""",
+        # int8 coarse (integer dot, rescaled) -> float re-rank top-k
+        "sim6_int8_rerank": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+z AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT))
+         END AS qv
+  FROM s
+),
+ve AS (SELECT vec_id, generate_subscripts(qv, 1) AS j, unnest(qv) AS x
+       FROM z),
+qe AS (SELECT vec_id AS query_id, j, x AS qx FROM ve
+       WHERE vec_id IN (0, 1, 2)),
+d AS (
+  SELECT qe.query_id, ve.vec_id, sum(ve.x * qe.qx) AS idot
+  FROM ve JOIN qe ON ve.j = qe.j AND ve.vec_id <> qe.query_id
+  GROUP BY 1, 2
+),
+ap AS (
+  SELECT d.query_id, d.vec_id,
+         round(CAST(idot AS DOUBLE) * zs.scale * zq.scale / 16129.0, 4)
+           AS approx
+  FROM d JOIN z zs ON zs.vec_id = d.vec_id
+         JOIN z zq ON zq.vec_id = d.query_id
+),
+cand AS (
+  SELECT query_id, vec_id, approx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx DESC, vec_id) AS crank
+  FROM ap
+),
+rr AS (
+  SELECT c.query_id, c.vec_id, c.approx,
+         round(list_cosine_similarity(ev.v, eq.v), 4) AS cos
+  FROM cand c JOIN e ev ON ev.vec_id = c.vec_id
+       JOIN e eq ON eq.vec_id = c.query_id
+  WHERE c.crank <= {I8_COARSE}
+),
+ranked AS (
+  SELECT query_id, vec_id, approx, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM rr
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos, approx
+FROM ranked WHERE rank <= {I8_K}
+""",
+        # linear retriever: per-list minmax rescale, weighted sum
+        "x11_hybrid_linear": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          JOIN qt USING (term) GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+),
+lexr AS (
+  SELECT doc_id, round(score, 4) AS s, row_number() OVER (
+    ORDER BY round(score, 4) DESC, doc_id) AS rank
+  FROM sc
+),
+lcut AS (SELECT doc_id, s FROM lexr WHERE rank <= {HY_FETCH}),
+lmm AS (SELECT min(s) AS mn, max(s) AS mx FROM lcut),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+vecr AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.v, qv.v), 4) AS s,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(e.v, qv.v), 4) DESC,
+                    e.vec_id) AS rank
+  FROM e, qv WHERE e.vec_id <> 0
+),
+vcut AS (SELECT doc_id, s FROM vecr WHERE rank <= {HY_FETCH}),
+vmm AS (SELECT min(s) AS mn, max(s) AS mx FROM vcut),
+u AS (
+  SELECT doc_id, {HY_WL} * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+                            ELSE 1.0 END) AS c
+  FROM lcut, lmm
+  UNION ALL
+  SELECT doc_id, {HY_WV} * (CASE WHEN mx > mn THEN (s - mn) / (mx - mn)
+                            ELSE 1.0 END)
+  FROM vcut, vmm
+)
+SELECT doc_id, round(sum(c), 4) AS linear_score FROM u GROUP BY doc_id
+ORDER BY linear_score DESC, doc_id LIMIT {TOPK}
+""",
+        # rank_eval: precision/recall@k, MRR, DCG, nDCG per query
+        "x14_rank_eval": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+run AS (
+  SELECT query_id, vec_id AS doc_id, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {RE_K}
+),
+ratings AS (
+  SELECT qs.query_id, e.vec_id AS doc_id,
+         CAST(1 + e.vec_id % 2 AS INT) AS rating
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS query_id) qs
+  WHERE (e.vec_id * 7 + qs.query_id * 13) % 17 = 0
+    AND e.vec_id <> qs.query_id
+),
+top AS (
+  SELECT r.query_id, r.doc_id, r.rank, coalesce(rt.rating, 0) AS rating
+  FROM run r LEFT JOIN ratings rt USING (query_id, doc_id)
+),
+per AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS prec,
+         sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS rel_ret,
+         max(CASE WHEN rating >= 1 THEN 1.0 / rank END) AS mrr,
+         sum((pow(2.0, rating) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM top GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         sum((pow(2.0, rating) - 1.0) / log2(ir + 1.0)) AS idcg
+  FROM (
+    SELECT query_id, rating,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rating DESC, doc_id ASC) AS ir
+    FROM ratings WHERE rating > 0
+  ) WHERE ir <= {RE_K} GROUP BY 1
+),
+tot AS (SELECT query_id, count(*) AS rel_tot FROM ratings
+        WHERE rating >= 1 GROUP BY 1)
+SELECT per.query_id,
+       round(prec, 4) AS precision_at_k,
+       round(CASE WHEN rel_tot IS NOT NULL
+             THEN CAST(rel_ret AS DOUBLE) / rel_tot ELSE 0.0 END, 4)
+         AS recall_at_k,
+       round(coalesce(mrr, 0.0), 4) AS mrr,
+       round(dcg, 4) AS dcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 4) AS ndcg
+FROM per LEFT JOIN ideal USING (query_id) LEFT JOIN tot USING (query_id)
+ORDER BY per.query_id
+""",
+        # ingest pipeline: the processor chain replayed as plain SQL
+        "ing1_pipeline": """
+SELECT event_id,
+       regexp_replace(upper(event_type), '[AEIOU]', '_', 'g') AS browser,
+       user_id AS uid,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+""",
+        # extended_stats_bucket: population variance/std over buckets
+        "ev15_extended_stats_bucket": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(count(*) AS DOUBLE) AS dc
+  FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS "count",
+       min(dc) AS min, max(dc) AS max,
+       round(avg(dc), 4) AS avg, round(sum(dc), 4) AS sum,
+       round(sum(dc * dc), 4) AS sum_of_squares,
+       round(var_pop(dc), 4) AS variance,
+       round(stddev_pop(dc), 4) AS std_deviation
+FROM h
+""",
+        # percentiles_bucket: exact interpolated quartiles of bucket counts
+        "ev16_percentiles_bucket": f"""
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(count(*) AS DOUBLE) AS dc
+  FROM events GROUP BY 1
+),
+q AS (SELECT quantile_cont(dc, [{', '.join(str(p / 100.0) for p in PB_PERCENTS)}]) AS a FROM h)
+{' UNION ALL '.join(
+    f"SELECT CAST({p!r} AS DOUBLE) AS percent, round(a[{i + 1}], 4) AS value FROM q"
+    for i, p in enumerate(PB_PERCENTS)
+)}
+ORDER BY percent
+""",
+        # bucket_script: per-day error rate from the bucket's own metrics
+        "ev17_bucket_script": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors
+  FROM events GROUP BY 1
+)
+SELECT bucket, total, errors,
+       round(CAST(errors AS DOUBLE) / total, 4) AS error_rate
+FROM h ORDER BY bucket
+""",
+        # linear classifier inference: hashed features, exact int sums
+        "ts7_classifier_score": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+f AS (
+  SELECT doc_id, unnest(arr) AS gram FROM t
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || ' ' || arr[i + 1]))
+  FROM t
+),
+w AS (SELECT doc_id, {_h32_sql("'qcls:' || gram")} % {CLS_DIM} AS fid FROM f),
+s AS (
+  SELECT doc_id, count(*) AS n,
+         sum(((fid * 2654435761) % 2001) - 1000) AS sw
+  FROM w GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+       round(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (1000.0 * n)))), 4)
+         AS score
+FROM s
+""",
+        # geo_polygon: identical ray-cast arithmetic, url-ordered cut
+        "x13_geo_polygon": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+j AS (SELECT doc_id, lat, lon FROM g JOIN hits USING (doc_id)
+      WHERE {_polygon_sql("lat", "lon")})
+SELECT doc_id, lat, lon FROM j
+ORDER BY 'doc://' || CAST(doc_id AS VARCHAR) LIMIT 50
+""",
+        # search_as_you_type: equality-gram expansion ≡ prefix semantics
+        "x8_sayt": _bm25_sql(
+            "documents",
+            qt_sql=(
+                "SELECT term FROM (SELECT DISTINCT term FROM toks "
+                "WHERE term LIKE 'que%' ORDER BY term LIMIT 50) "
+                "UNION SELECT unnest(['data']) AS term"
+            ),
+        ),
         # span_first: 'data' at 0-based positions < 5, BM25 over the
         # windowed tf with the term's index-level idf
         "x8_span_first": f"""

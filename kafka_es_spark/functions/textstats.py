@@ -259,3 +259,123 @@ def pii_scrub(
         counts["IP"].alias("n_ip"),
         counts["PHONE"].alias("n_phone"),
     )
+
+
+def string_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES string_stats aggregation (show_distribution's entropy included):
+    one row — count, min_length, max_length, avg_length, and the Shannon
+    entropy (bits/char) of the CHARACTER distribution pooled across every
+    value, exactly ES's definition (−Σ p_c·log₂ p_c over all chars of
+    all values).
+
+    Plan: lengths come from one hash aggregation over the scan (pruned
+    to the text column). Entropy needs the global char histogram: one
+    explode of Σ|text| single-char rows → groupBy(char) count — the
+    explode is the honest distributed plan (partial map-side combine
+    collapses it to ≤ |alphabet| rows per task; no per-row Python, no
+    driver pass) — then the #alphabet-row entropy reduce and a broadcast
+    join of the two 1-row frames. Null texts count 0 chars (ES ignores
+    missing)."""
+    t = F.col(text_col)
+    lens = docs.agg(
+        F.count(t).cast("long").alias("count"),
+        F.min(F.length(t)).cast("long").alias("min_length"),
+        F.max(F.length(t)).cast("long").alias("max_length"),
+        F.round(F.avg(F.length(t)), round_to).alias("avg_length"),
+    )
+    chars = (
+        docs.select(t.alias("_t"))
+        # length > 0, not just non-null: Spark sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty — an empty text would fabricate rows
+        .filter(F.length("_t") > 0)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.length("_t"))
+            ).alias("_i"),
+            "_t",
+        )
+        .select(F.expr("substring(_t, _i, 1)").alias("_ch"))
+        .groupBy("_ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    # entropy via the log identity: −Σ n_c/N·log2(n_c/N)
+    #   = log2(N) − (Σ n_c·log2 n_c)/N   (one pass over the histogram)
+    ent = chars.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.col("_n") * F.log2("_n")).alias("_nlogn"),
+    ).select(
+        F.round(
+            F.when(
+                F.col("_N") > 0,
+                F.log2("_N") - F.col("_nlogn") / F.col("_N"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("entropy")
+    )
+    return lens.crossJoin(F.broadcast(ent))
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qcls",
+    round_to: int = 4,
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE (Joulin et al.
+    2016) — the shape of every learned quality/toxicity/language filter
+    a pretraining pipeline runs at corpus scale: hashed unigram+bigram
+    features, mean feature weight, sigmoid. ``weights`` is the trained
+    model as a relation (feature_id ∈ [0, dim), w_int) with INTEGER
+    weights (fixed-point ×1000) — integer sums are exact and
+    partition-order-proof, so scores are bit-stable at any parallelism
+    (the scripted_metric lesson); score = σ(Σw_int / (1000·n_feats)).
+
+    Plan: one explode of doc features (tokens + adjacent bigrams as a
+    zip-free array concat, no Python), md5-hash → pmod(dim) feature ids,
+    broadcast join against the dim-row weight table, one hash
+    aggregation per doc. At 100 TB: features ≈ corpus tokens ×2 through
+    a map-side-combined agg keyed by dense doc id — the same volume the
+    tokenize stage already proves out. Docs with no tokens drop (a
+    trained filter has nothing to say about empty text)."""
+    from kafka_es_spark.functions.tokenize import tokens
+    from kafka_es_spark.operators.dedup import hash32
+
+    d = docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_t"))
+    bi = F.when(
+        F.size("_t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    feats = d.select(
+        "_id", F.explode(F.concat(F.col("_t"), bi)).alias("gram")
+    )
+    fid = F.pmod(
+        hash32(F.concat(F.lit(f"{salt}:"), F.col("gram"))), F.lit(int(dim))
+    ).alias("feature_id")
+    j = feats.select("_id", fid).join(
+        F.broadcast(weights.select("feature_id", "w_int")), "feature_id"
+    )
+    agg = j.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("w_int").cast("long").alias("_sw"),
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(F.col("_sw").cast("double") / (F.lit(1000.0) * F.col("n_feats")))
+        )
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_feats",
+        F.round(score, round_to).alias("score"),
+    )

@@ -472,3 +472,128 @@ def resend_with_backoff(
     if fatal is None:
         fatal = ok.limit(0)
     return ok, fatal, pending
+
+
+# --------------------------------------------------------------------------
+# ES ingest pipelines (the _ingest/pipeline API): a declarative processor
+# chain compiled to Column expressions. The reference's converter layer
+# (S2/S3, BaseConverter.kt) is the fixed-function ancestor of this — ES
+# moved per-document reshaping into these JSON-defined pipelines, so an
+# engine claiming the ingestion surface needs the interpreter. Every
+# processor is a pure projection/filter (whole-stage codegen, no UDF, no
+# shuffle): a pipeline of any length stays ONE scan at 100 TB.
+# --------------------------------------------------------------------------
+
+_CONVERT_TYPES = {
+    "integer": "int", "long": "long", "float": "float",
+    "double": "double", "string": "string", "boolean": "boolean",
+}
+
+
+def _render_template(value: str) -> Column:
+    """ES mustache value templates: '{{field}}' splices the field's
+    string value; everything else is literal."""
+    import re
+
+    parts = re.split(r"(\{\{[^}]+\}\})", str(value))
+    cols = []
+    for p in parts:
+        if not p:
+            continue
+        if p.startswith("{{") and p.endswith("}}"):
+            cols.append(F.col(p[2:-2].strip()).cast("string"))
+        else:
+            cols.append(F.lit(p))
+    return F.concat(*cols) if len(cols) > 1 else (
+        cols[0] if cols else F.lit("")
+    )
+
+
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile an ES dissect pattern ('%{a}/%{b} %{c}') to an anchored
+    regex with one lazy group per key (last greedy), literals escaped."""
+    import re
+
+    keys, regex, pos = [], "^", 0
+    tokens = list(re.finditer(r"%\{([^}]*)\}", pattern))
+    if not tokens:
+        raise ValueError(f"dissect pattern has no %{{key}}s: {pattern!r}")
+    for n, tk in enumerate(tokens):
+        regex += re.escape(pattern[pos:tk.start()])
+        keys.append(tk.group(1))
+        regex += "(.*)" if n == len(tokens) - 1 else "(.*?)"
+        pos = tk.end()
+    regex += re.escape(pattern[pos:]) + "$"
+    return regex, keys
+
+
+def apply_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Run an ES ingest pipeline (list of single-key processor dicts,
+    exactly the _ingest/pipeline JSON shape) over a relation.
+
+    Supported processors — each compiles to Column ops in one scan:
+    ``set`` (mustache value templates), ``rename``, ``remove`` (field or
+    list), ``lowercase``/``uppercase``/``trim`` (optional target_field),
+    ``gsub`` (regex replace-all), ``split``, ``join``, ``json`` (with a
+    ``path``: extracts one JSON value as string — the relational subset
+    of add_to_root), ``convert`` (integer/long/float/double/string/
+    boolean, optional target_field), ``date`` (parse with ``formats[0]``
+    into target_field), ``dissect`` (delimiter pattern → one column per
+    %{key}), ``drop`` (with ``if``: a SQL predicate — matching docs are
+    dropped). Unknown processors raise (ES's on_failure-by-default is
+    fail-fast too)."""
+    for proc in processors:
+        if len(proc) != 1:
+            raise ValueError(f"processor must have exactly one key: {proc}")
+        (name, cfg), = proc.items()
+        fld = cfg.get("field")
+        tgt = cfg.get("target_field", fld)
+        if name == "set":
+            df = df.withColumn(fld, _render_template(cfg["value"]))
+        elif name == "rename":
+            df = df.withColumnRenamed(fld, cfg["target_field"])
+        elif name == "remove":
+            fields = fld if isinstance(fld, (list, tuple)) else [fld]
+            df = df.drop(*fields)
+        elif name in ("lowercase", "uppercase", "trim"):
+            fn = {"lowercase": F.lower, "uppercase": F.upper,
+                  "trim": F.trim}[name]
+            df = df.withColumn(tgt, fn(F.col(fld)))
+        elif name == "gsub":
+            df = df.withColumn(
+                tgt, F.regexp_replace(
+                    F.col(fld), cfg["pattern"], cfg["replacement"]
+                )
+            )
+        elif name == "split":
+            df = df.withColumn(tgt, F.split(F.col(fld), cfg["separator"]))
+        elif name == "join":
+            df = df.withColumn(
+                tgt, F.array_join(F.col(fld), cfg["separator"])
+            )
+        elif name == "json":
+            df = df.withColumn(
+                tgt, F.get_json_object(F.col(fld), cfg.get("path", "$"))
+            )
+        elif name == "convert":
+            t = cfg["type"]
+            if t not in _CONVERT_TYPES:
+                raise ValueError(f"convert: unsupported type {t!r}")
+            df = df.withColumn(tgt, F.col(fld).cast(_CONVERT_TYPES[t]))
+        elif name == "date":
+            fmt = (cfg.get("formats") or ["yyyy-MM-dd'T'HH:mm:ss"])[0]
+            df = df.withColumn(
+                cfg.get("target_field", "@timestamp"),
+                F.to_timestamp(F.col(fld), fmt),
+            )
+        elif name == "dissect":
+            regex, keys = _dissect_regex(cfg["pattern"])
+            for i, k in enumerate(keys, start=1):
+                df = df.withColumn(
+                    k, F.regexp_extract(F.col(fld), regex, i)
+                )
+        elif name == "drop":
+            df = df.filter(~F.expr(cfg["if"]))
+        else:
+            raise ValueError(f"unsupported ingest processor: {name!r}")
+    return df

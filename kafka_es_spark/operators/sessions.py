@@ -286,3 +286,224 @@ def histogram_pipeline(
         )
         .orderBy("bucket")
     )
+
+
+def median_absolute_deviation(
+    events: DataFrame,
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES median_absolute_deviation aggregation: median(|x − median(x)|)
+    — the robust dispersion metric (one agg row). This is the EXACT
+    tier: two exact-percentile aggregations with a broadcast of the
+    scalar median between them (``percentile`` materializes the group's
+    values on one executor, so at 10¹² rows use the sketch tier —
+    ``percentile_approx``, ES's actual TDigest semantics — and give up
+    oracle equality, same exact/sketch split as agg_percentiles vs the
+    HLL cardinality pair).
+
+    Plan: agg #1 → 1-row median, crossJoin (broadcast by size) → agg #2.
+    No window, no per-row Python."""
+    med = events.agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    return (
+        events.select(F.col(value_col).cast("double").alias("_x"))
+        .crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.expr("percentile(abs(_x - _med), 0.5)"), round_to
+            ).alias("mad"),
+        )
+    )
+
+
+def boxplot_agg(
+    events: DataFrame,
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES boxplot aggregation: min / q1 / q2 (median) / q3 / max over a
+    numeric field, one row. Exact linear-interpolation quantiles (ES
+    documents boxplot on TDigest — the sketch tier swaps in
+    ``percentile_approx``; the exact tier is what an oracle can check).
+    One aggregation, partial combine map-side for min/max/count."""
+    q = F.expr(f"percentile({value_col}, array(0.25, 0.5, 0.75))")
+    return events.agg(
+        F.min(F.col(value_col).cast("double")).alias("min"),
+        F.round(q.getItem(0), round_to).alias("q1"),
+        F.round(q.getItem(1), round_to).alias("q2"),
+        F.round(q.getItem(2), round_to).alias("q3"),
+        F.max(F.col(value_col).cast("double")).alias("max"),
+    )
+
+
+def t_test_agg(
+    events: DataFrame,
+    group_predicate: str,
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES t_test aggregation (type=heteroscedastic, the default): Welch's
+    unpaired two-sample t-statistic between the rows where
+    ``group_predicate`` (a SQL boolean) holds and the rest. Closed form
+    from per-group (count, mean, var_samp):
+
+        t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+
+    ONE conditional aggregation — six partial-aggregable sums, no
+    second scan, no shuffle beyond the agg. Returns (n_a, n_b, t)."""
+    p = F.expr(group_predicate)
+    x = F.col(value_col).cast("double")
+    a, b = F.when(p, x), F.when(~p, x)
+    agg = events.agg(
+        F.count(a).cast("long").alias("n_a"),
+        F.count(b).cast("long").alias("n_b"),
+        F.avg(a).alias("_ma"),
+        F.avg(b).alias("_mb"),
+        F.var_samp(a).alias("_va"),
+        F.var_samp(b).alias("_vb"),
+    )
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return agg.select(
+        "n_a", "n_b", F.round(t, round_to).alias("t_stat")
+    )
+
+
+def normalize_buckets(
+    buckets: DataFrame,
+    method: str = "percent_of_sum",
+    order_col: str = "bucket",
+    metric_col: str = "doc_count",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES normalize pipeline aggregation: rescale each parent bucket's
+    metric — ``percent_of_sum`` (value/Σ), ``mean`` ((x−μ)/(max−min)),
+    or ``range`` ((x−min)/(max−min)). Reduce-phase math over the
+    #buckets relation (unpartitioned window is safe there — never over
+    raw events); ES emits null when the denominator is 0, as here."""
+    m = F.col(metric_col).cast("double")
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if method == "percent_of_sum":
+        den, num = F.sum(m).over(w), m
+    elif method == "mean":
+        den = F.max(m).over(w) - F.min(m).over(w)
+        num = m - F.avg(m).over(w)
+    elif method == "range":
+        den = F.max(m).over(w) - F.min(m).over(w)
+        num = m - F.min(m).over(w)
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.withColumn(
+        "normalized",
+        F.round(F.when(den != 0.0, num / den), round_to),
+    ).orderBy(order_col)
+
+
+def cumulative_cardinality(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "day",
+) -> DataFrame:
+    """ES cumulative_cardinality pipeline aggregation: per calendar
+    bucket, the number of DISTINCT entities seen in the stream so far —
+    the canonical "unique users to date" curve.
+
+    ES stacks it on per-bucket HLL sketches; the exact distributed form
+    is better than a running-union: an entity counts once at its FIRST
+    bucket, so one groupBy(entity)→min(bucket) (pre-aggregated
+    per-partition), one count per first-bucket, and a cumulative window
+    over #buckets rows. Buckets with arrivals but no NEW entities still
+    appear (joined against the full histogram domain); the running sum
+    carries through them."""
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    domain = events.select(bucket).distinct()
+    firsts = (
+        events.select(F.col(entity_col).alias("_e"), bucket)
+        .groupBy("_e")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        domain.join(firsts, "bucket", "left")
+        .withColumn(
+            "cumulative_cardinality",
+            F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w).cast("long"),
+        )
+        .select("bucket", "cumulative_cardinality")
+        .orderBy("bucket")
+    )
+
+
+def extended_stats_bucket(
+    buckets: DataFrame,
+    metric_col: str = "doc_count",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES extended_stats_bucket sibling pipeline agg: count / min / max /
+    avg / sum plus sum_of_squares and POPULATION variance / std_deviation
+    (ES's extended_stats definition: Σx²/n − μ²) over the parent agg's
+    buckets — one reduce-phase row from the #buckets relation, like
+    sibling_bucket_stats."""
+    m = F.col(metric_col).cast("double")
+    agg = buckets.agg(
+        F.count(m).cast("long").alias("count"),
+        F.min(m).alias("min"),
+        F.max(m).alias("max"),
+        F.round(F.avg(m), round_to).alias("avg"),
+        F.round(F.sum(m), round_to).alias("sum"),
+        F.round(F.sum(m * m), round_to).alias("sum_of_squares"),
+        F.round(F.var_pop(m), round_to).alias("variance"),
+        F.round(F.stddev_pop(m), round_to).alias("std_deviation"),
+    )
+    return agg
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    metric_col: str = "doc_count",
+    percents: list[float] = (25.0, 50.0, 75.0),
+    round_to: int = 4,
+) -> DataFrame:
+    """ES percentiles_bucket sibling pipeline agg: exact
+    linear-interpolation percentiles of the parent buckets' metric —
+    (percent, value) rows. The input is #buckets rows, so the exact
+    percentile (not TDigest) is the honest choice at ANY corpus size:
+    pipeline aggs never see raw events."""
+    ps = [float(p) for p in percents]
+    arr = F.expr(
+        f"percentile({metric_col}, array({', '.join(str(p / 100.0) for p in ps)}))"
+    )
+    one = buckets.agg(arr.alias("_q"))
+    stack = ", ".join(
+        f"CAST({p!r} AS DOUBLE), round(_q[{i}], {int(round_to)})"
+        for i, p in enumerate(ps)
+    )
+    return one.select(
+        F.expr(f"stack({len(ps)}, {stack}) AS (percent, value)")
+    ).orderBy("percent")
+
+
+def bucket_script(
+    buckets: DataFrame,
+    script: str,
+    out_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES bucket_script pipeline agg: a per-bucket computed metric from
+    the bucket's OWN aggregated values (the painless-subset here is any
+    SQL expression over the bucket row — ratios like errors/total are
+    the canonical use). Pure projection over the #buckets relation;
+    null propagates where the script divides by a null/zero bucket the
+    way SQL does (ES skips the bucket via gap_policy — filter nulls
+    downstream for gap_policy=skip)."""
+    return buckets.withColumn(
+        out_col, F.round(F.expr(script).cast("double"), round_to)
+    )

@@ -106,6 +106,137 @@ def quantize_embeddings_int8(
     )
 
 
+def int8_rerank_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES quantized dense_vector search, end to end: candidate generation
+    on int8-quantized vectors (``quantize_embeddings_int8``), float
+    re-rank of the top ``coarse`` survivors per query — exactly the
+    quantized-index + rescore_vector oversampling flow (num_candidates ≈
+    coarse, oversample ≈ coarse/k).
+
+    The coarse score is the INTEGER dot product of the two int8 vectors,
+    rescaled by both scales (q·q'·s·s'/127²) — integers make it exact on
+    any engine, and the rescale is three IEEE multiplies in a fixed
+    order, so candidate sets are deterministic across engines and
+    partitionings (rounded-score + id ordering at the cut, like every
+    serving boundary here). Re-rank joins the float vectors back for
+    only #queries·coarse rows.
+
+    Scale: the coarse pass reads 4×-smaller vectors (int8 SIMD dot
+    products on a real column store) — this operator IS the storage-tier
+    win; pair it with IVF lists (ivf_ann_topk) when a full scan per
+    query is too much. Returns (query_id, rank, vec_id, cos, approx)."""
+    qz = quantize_embeddings_int8(emb, id_col=id_col, vec_col=vec_col)
+    zq = quantize_embeddings_int8(
+        queries.select(
+            F.col("query_id").alias("vec_id"), F.col("qvec").alias("emb")
+        ),
+        id_col="vec_id",
+        vec_col="emb",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qscale"),
+        F.col("qvec").alias("qqvec"),
+    )
+    j = qz.crossJoin(F.broadcast(zq)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    idot = F.expr(
+        "aggregate(zip_with(qvec, qqvec, (a, b) -> CAST(a AS BIGINT) * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    approx = F.round(
+        idot.cast("double") * F.col("scale") * F.col("qscale")
+        / F.lit(16129.0),  # 127²
+        round_to,
+    )
+    cw = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("approx").desc(), F.col("vec_id").asc()
+        )
+    )
+    cand = (
+        j.select("query_id", "vec_id", approx.alias("approx"))
+        .withColumn("_cr", cw)
+        .filter(F.col("_cr") <= int(coarse))
+        .drop("_cr")
+    )
+    fl = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    qf = queries.select("query_id", F.col("qvec").alias("_qv"))
+    rr = (
+        cand.join(fl, "vec_id")
+        .join(F.broadcast(qf), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_v"), F.col("_qv")), round_to))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        rr.withColumn("rank", w)
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "vec_id", "cos", "approx")
+    )
+
+
+def linear_fuse(
+    rankings: list[tuple[DataFrame, float]],
+    k: int = 10,
+    round_to: int = 4,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """The ES ``linear`` retriever with the ``minmax`` normalizer: each
+    retriever's top-N scores rescale to [0, 1] within ITS OWN list —
+    (s − min)/(max − min) over the list actually passed in, i.e. after
+    the top-N cut — then fuse as Σ wᵢ·normᵢ (a doc missing from a list
+    contributes 0, ES's convention). A degenerate list (max = min) maps
+    to 1.0 for every member — it still attests membership. rrf_fuse is
+    the rank-based sibling; this one preserves score GAPS.
+
+    Scale: like rrf_fuse, inputs are top-N relations (tiny), min/max are
+    1-row broadcast aggregates, the fuse is one id-keyed reduce-phase
+    aggregation. Determinism: inputs carry rounded serving scores, the
+    rescale is fixed-order IEEE arithmetic over those, and the final
+    sum has ≤ #retrievers addends per doc."""
+    from functools import reduce as _reduce
+
+    parts = []
+    for r, w in rankings:
+        mm = r.agg(
+            F.min(F.col(score_col).cast("double")).alias("_mn"),
+            F.max(F.col(score_col).cast("double")).alias("_mx"),
+        )
+        parts.append(
+            r.crossJoin(F.broadcast(mm)).select(
+                F.col(id_col).alias("doc_id"),
+                (
+                    F.lit(float(w))
+                    * F.when(
+                        F.col("_mx") > F.col("_mn"),
+                        (F.col(score_col).cast("double") - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn")),
+                    ).otherwise(F.lit(1.0))
+                ).alias("c"),
+            )
+        )
+    return (
+        _reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), round_to).alias("linear_score"))
+        .orderBy(F.col("linear_score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -3218,6 +3218,275 @@ class Searcher:
             .limit(int(size))
         )
 
+    def geohash_grid(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        precision: int = 4,
+        size: int = 20,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES geohash_grid aggregation: bucket hit points into geohash
+        cells at ``precision`` chars (1–6 here); buckets ordered by
+        doc_count desc then key asc, top ``size`` (the terms-like cut,
+        like geotile_grid above).
+
+        A geohash is the base-32 rendering of bit-INTERLEAVED lon/lat
+        quantizations (lon takes the even bit positions from the MSB —
+        ceil(5p/2) lon bits, floor(5p/2) lat bits at precision p). The
+        interleave is a fixed sum of (bit >> j) · 2^i terms, generated
+        here as pure Column arithmetic — shiftright/&/× only, no UDF —
+        so it runs scan-side in whole-stage codegen and the aggregation
+        is a plain distributed count-by-key (≤ 32^p groups, map-side
+        combine). Cell fractions round to 9 dp before floor, the same
+        libm-ulp guard the Mercator tile math uses."""
+        p = int(precision)
+        if not 1 <= p <= 6:
+            raise ValueError("geohash precision must be in [1, 6]")
+        nbits = 5 * p
+        lon_bits = (nbits + 1) // 2
+        lat_bits = nbits // 2
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        clampc = lambda c, n: F.least(  # noqa: E731 — cell ∈ [0, 2^b-1]
+            F.lit((1 << n) - 1),
+            F.greatest(F.lit(0), F.floor(c).cast("long")),
+        )
+        lonq = clampc(
+            F.round(
+                (F.col(lon_field).cast("double") + F.lit(180.0))
+                / F.lit(360.0) * F.lit(float(1 << lon_bits)),
+                9,
+            ),
+            lon_bits,
+        )
+        latq = clampc(
+            F.round(
+                (F.col(lat_field).cast("double") + F.lit(90.0))
+                / F.lit(180.0) * F.lit(float(1 << lat_bits)),
+                9,
+            ),
+            lat_bits,
+        )
+        j = j.select(lonq.alias("_lon"), latq.alias("_lat"))
+        # interleaved code: geohash bit i (MSB-first, even i ← lon)
+        code = F.lit(0).cast("long")
+        for i in range(nbits):
+            src, blen, rank = (
+                ("_lon", lon_bits, i // 2) if i % 2 == 0
+                else ("_lat", lat_bits, i // 2)
+            )
+            bit = F.shiftright(F.col(src), blen - 1 - rank).bitwiseAND(
+                F.lit(1)
+            )
+            code = code + bit * F.lit(1 << (nbits - 1 - i))
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        key = F.concat(*[
+            F.substring(
+                F.lit(alpha),
+                (
+                    F.shiftright(
+                        F.col("_code"), nbits - 5 * (m + 1)
+                    ).bitwiseAND(F.lit(31)) + 1
+                ).cast("int"),
+                1,
+            )
+            for m in range(p)
+        ])
+        return (
+            j.select(code.alias("_code"))
+            .select(key.alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+        )
+
+    def geo_bounds(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        mode: str = "or",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES geo_bounds aggregation: the tightest non-wrapping envelope
+        of the hit set's points — one row (doc_count, top, left, bottom,
+        right) = (max lat, min lon, min lat, max lon). ES only emits a
+        dateline-wrapped box for geo_shape fields with wrap_longitude;
+        geo_point fields get exactly these four extrema. One hash
+        aggregation with full map-side combine — four comparisons per
+        row, no shuffle beyond the 1-row reduce."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        lat = F.col(lat_field).cast("double")
+        lon = F.col(lon_field).cast("double")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.round(F.max(lat), round_to).alias("top"),
+            F.round(F.min(lon), round_to).alias("left"),
+            F.round(F.min(lat), round_to).alias("bottom"),
+            F.round(F.max(lon), round_to).alias("right"),
+        )
+
+    def geo_polygon(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        vertices: list[tuple[float, float]],
+        k: int = 100,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES geo_polygon query (filter context): hit docs whose point
+        lies inside the closed polygon given as [(lat, lon), …] — the
+        classic even-odd ray cast (PNPOLY): cast a ray in +lon and count
+        edge crossings; odd ⇒ inside. Each edge test unrolls to one
+        boolean Column — edge slopes are DRIVER-computed literals, so
+        the per-row math is a compare + one multiply-add (horizontal
+        edges can never straddle the ray and are skipped), all
+        whole-stage codegen, pushable into the scan. Points exactly on
+        an edge follow the ray convention (same on every engine — the
+        arithmetic is identical IEEE ops). Deterministic url-ordered k
+        cut like geo_bounding_box."""
+        if len(vertices) < 3:
+            raise ValueError("geo_polygon needs >= 3 vertices")
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        y = F.col(lat_field).cast("double")
+        x = F.col(lon_field).cast("double")
+        cnt = F.lit(0)
+        vs = [(float(a), float(b)) for a, b in vertices]
+        for (y1, x1), (y2, x2) in zip(vs, vs[1:] + vs[:1]):
+            if y1 == y2:
+                continue  # horizontal edge: straddle is impossible
+            slope = (x2 - x1) / (y2 - y1)
+            straddle = (F.lit(y1) > y) != (F.lit(y2) > y)
+            xi = F.lit(slope) * (y - F.lit(y1)) + F.lit(x1)
+            cnt = cnt + (straddle & (x < xi)).cast("int")
+        return (
+            j.filter(cnt % 2 == 1)
+            .select(
+                "doc_id", "url",
+                y.alias("lat"), x.alias("lon"),
+            )
+            .orderBy("url")
+            .limit(int(k))
+        )
+
+    def sayt_topk(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES search_as_you_type: like match_bool_prefix, but the
+        trailing-prefix expansion resolves against the MATERIALIZED
+        edge-ngram relation (``build_edge_ngrams``) with an EQUALITY
+        lookup — the index-time form ES's search_as_you_type field
+        implements with its ``._index_prefix`` subfield. At a 10⁹-term
+        dictionary the difference is a pushed-down point predicate on a
+        gram-sorted relation vs a LIKE range scan; past max_gram it
+        falls back to the dictionary prefix scan, exactly ES's fallback
+        to a plain prefix query. Expansion stays alphabetic-capped and
+        deduplicated; scoring is the same BM25 OR as bool_prefix_topk."""
+        import json
+
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        toks = tokenize_py(query)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        fixed, pre = toks[:-1], toks[-1]
+        en_dir = os.path.join(self.index_dir, "edge_ngrams")
+        meta_p = os.path.join(self.index_dir, "edge_ngrams_meta.json")
+        if not (os.path.isdir(en_dir) and os.path.exists(meta_p)):
+            raise ValueError(
+                f"index at {self.index_dir} has no edge_ngrams/ relation — "
+                "run build_edge_ngrams first (search_as_you_type is an "
+                "index-time feature)"
+            )
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if meta["min_gram"] <= len(pre) <= meta["max_gram"]:
+            rel = (
+                self.spark.read.parquet(en_dir)
+                .filter(F.col("gram") == pre)
+                .select("term")
+            )
+        else:  # ES falls back to a prefix query outside the gram range
+            rel = self.term_stats.filter(
+                F.col("term").startswith(pre)
+            ).select("term")
+        rows = rel.orderBy("term").limit(int(max_expansions)).collect()
+        terms = sorted(set(fixed) | {r["term"] for r in rows})
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
+    def bool_prefix_topk(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        with_url: bool = False,
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """ES match_bool_prefix query: every analyzed term except the
+        last becomes a term ``should`` clause, and the LAST term matches
+        as a prefix — the type-ahead query over a standard index (vs
+        search_as_you_type's dedicated edge-ngram field, whose index-time
+        expansion this replaces at query time). The prefix expands
+        against the term dictionary to the first ``max_expansions``
+        terms in alphabetic order (same deterministic rewrite as
+        prefix_topk), the union is deduplicated, and the whole
+        disjunction scores as plain BM25 OR through the block-max path
+        (Lucene's scoring-boolean rewrite keeps it oracle-checkable).
+
+        The dictionary probe is one pushed-down prefix scan over
+        term_stats (term-sorted bucket files) collecting ≤ max_expansions
+        rows; everything after is the standard pruned top-k plan."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        toks = tokenize_py(query)
+        if not toks:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        fixed, pre = toks[:-1], toks[-1]
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(pre))
+            .select("term")
+            .orderBy("term")
+            .limit(int(max_expansions))
+            .collect()
+        )
+        terms = sorted(set(fixed) | {r["term"] for r in rows})
+        if not terms:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        return self.topk(
+            " ".join(terms), k=k, round_to=round_to, with_url=with_url,
+            fetch_k=fetch_k,
+        )
+
     def has_child_topk(
         self,
         children: DataFrame,
@@ -4063,6 +4332,54 @@ def completion_suggest(
         .orderBy(F.col("weight").desc(), F.col("suggestion").asc())
         .limit(int(size))
     )
+
+
+def build_edge_ngrams(
+    spark: SparkSession,
+    index_dir: str,
+    min_gram: int = 1,
+    max_gram: int = 10,
+    n_files: int = 8,
+) -> None:
+    """Materialize the search_as_you_type relation: every dictionary
+    term exploded into its leading edge n-grams of length
+    [min_gram, max_gram] — (gram, term) rows under ``edge_ngrams/``,
+    gram-sorted within files so a typeahead's gram-equality predicate
+    prunes row groups (ES's search_as_you_type field does this
+    expansion at index time into the ``._index_prefix`` subfield).
+
+    Size: ≤ max_gram × |dictionary| rows — derived from term_stats
+    (already tiny relative to postings), one explode + one shuffle to
+    gram order. Re-run after compaction folds new epochs (the
+    dictionary is append-mostly; a rebuild is one dictionary pass)."""
+    import json
+
+    if not 1 <= int(min_gram) <= int(max_gram):
+        raise ValueError("need 1 <= min_gram <= max_gram")
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .select("term")
+        .distinct()
+        .filter(F.length("term") >= int(min_gram))
+    )
+    grams = ts.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence({int(min_gram)}, "
+                f"least({int(max_gram)}, length(term))), "
+                "i -> substring(term, 1, i))"
+            )
+        ).alias("gram"),
+        "term",
+    )
+    (
+        grams.repartition(int(n_files), "gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "edge_ngrams"))
+    )
+    with open(os.path.join(index_dir, "edge_ngrams_meta.json"), "w") as fh:
+        json.dump({"min_gram": int(min_gram), "max_gram": int(max_gram)}, fh)
 
 
 def wand_topk(

@@ -519,3 +519,403 @@ def test_completion_prefix_fuzzy_and_dedup(spark):
     ]
     with pytest.raises(ValueError, match="non-empty prefix"):
         completion_suggest(sug, "", size=5)
+
+
+# --- batch C: geohash / geo_bounds / bool_prefix / metric+pipeline aggs ------
+
+
+def _ref_geohash(lat, lon, precision):
+    """Classic bisection geohash (public algorithm) as the test oracle."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, "", True
+    ch = 0
+    while len(out) < precision:
+        rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+        mid = (rng[0] + rng[1]) / 2
+        ch <<= 1
+        if v >= mid:
+            ch |= 1
+            rng[0] = mid
+        else:
+            rng[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += alpha[ch]
+            bits, ch = 0, 0
+    return out
+
+
+def test_geohash_grid_matches_reference_encoder(spark, tmp_path):
+    """The interleave/base-32 Column arithmetic reproduces the classic
+    bisection geohash for every point, and buckets count correctly."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    pts = [(40.69, -74.04), (40.71, -74.01), (51.50, -0.12), (-33.86, 151.20)]
+    pages = _mk_pages(spark, ["alpha beta"] * len(pts))
+    d = str(tmp_path / "idxgh")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [(f"u{i:03d}", la, lo) for i, (la, lo) in enumerate(pts)],
+        "url string, lat double, lon double",
+    )
+    got = {
+        r["key"]: r["doc_count"]
+        for r in Searcher(spark, d, cache=False).geohash_grid(
+            "alpha", fv, "lat", "lon", precision=4, size=10
+        ).collect()
+    }
+    from collections import Counter
+    want = Counter(_ref_geohash(la, lo, 4) for la, lo in pts)
+    assert got == dict(want)
+    # the two nearby NYC points share a cell at precision 4
+    assert got[_ref_geohash(40.69, -74.04, 4)] == 2
+    with pytest.raises(ValueError, match="precision"):
+        Searcher(spark, d, cache=False).geohash_grid(
+            "alpha", fv, "lat", "lon", precision=0
+        )
+
+
+def test_geo_bounds_envelope(spark, tmp_path):
+    from kafka_es_spark.operators.wand import Searcher
+
+    pts = [(10.0, -20.0), (-5.0, 170.0), (42.5, 3.25)]
+    pages = _mk_pages(spark, ["alpha"] * len(pts))
+    d = str(tmp_path / "idxgb")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [(f"u{i:03d}", la, lo) for i, (la, lo) in enumerate(pts)],
+        "url string, lat double, lon double",
+    )
+    r = Searcher(spark, d, cache=False).geo_bounds(
+        "alpha", fv, "lat", "lon"
+    ).collect()[0]
+    assert (r["doc_count"], r["top"], r["left"], r["bottom"], r["right"]) == (
+        3, 42.5, -20.0, -5.0, 170.0
+    )
+
+
+def test_bool_prefix_expansion_and_dedup(spark, tmp_path):
+    """match_bool_prefix: the last term matches as a prefix, fixed terms
+    as terms; an expansion equal to a fixed term scores ONCE (dedup)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(spark, [
+        "alpha particle decay",        # u000: fixed + expansion 'particle'
+        "alpha paradox",               # u001: fixed + expansion 'paradox'
+        "particle physics",            # u002: prefix match only
+        "gamma rays",                  # u003: no match
+        "alpha alpha energy",          # u004: fixed term only
+    ])
+    d = str(tmp_path / "idxbp")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    s = Searcher(spark, d, cache=False)
+    got = {r["url"]: r["score"] for r in s.bool_prefix_topk(
+        "alpha par", k=10, with_url=True
+    ).collect()}
+    assert set(got) == {"u000", "u001", "u002", "u004"}
+    # dedup: 'alpha al' — the expansion of 'al' re-finds the fixed term
+    # 'alpha'; u004 (tf=2, no other term) must score exactly the plain
+    # single-term BM25, not doubled
+    dd = {r["url"]: r["score"] for r in s.bool_prefix_topk(
+        "alpha al", k=10, with_url=True
+    ).collect()}
+    single = {r["url"]: r["score"] for r in s.topk(
+        "alpha", k=10, with_url=True
+    ).collect()}
+    assert dd == single
+
+
+def test_mad_boxplot_ttest_closed_forms(spark):
+    from kafka_es_spark.operators.sessions import (
+        boxplot_agg, median_absolute_deviation, t_test_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 14.0)],
+        "event_type string, value double",
+    )
+    # median = 3, |x-3| = [2,1,0,7,11] -> median 2
+    assert median_absolute_deviation(ev).collect()[0]["mad"] == 2.0
+    b = boxplot_agg(ev).collect()[0]
+    assert (b["min"], b["q2"], b["max"]) == (1.0, 3.0, 14.0)
+    assert b["q1"] == 2.0 and b["q3"] == 10.0  # linear interpolation
+    t = t_test_agg(ev, "event_type = 'b'").collect()[0]
+    # Welch: (12-2)/sqrt(8/2 + 1/3)
+    assert (t["n_a"], t["n_b"]) == (2, 3)
+    assert t["t_stat"] == round(10.0 / math.sqrt(8.0 / 2 + 1.0 / 3), 4)
+
+
+def test_normalize_and_cumulative_cardinality(spark):
+    from kafka_es_spark.operators.sessions import (
+        cumulative_cardinality, normalize_buckets,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 60)], "bucket long, doc_count long"
+    )
+    n = {r["bucket"]: r["normalized"]
+         for r in normalize_buckets(h).collect()}
+    assert n == {1: 0.1, 2: 0.3, 3: 0.6}
+    rng = {r["bucket"]: r["normalized"]
+           for r in normalize_buckets(h, method="range").collect()}
+    assert rng == {1: 0.0, 2: 0.4, 3: 1.0}
+    with pytest.raises(ValueError, match="normalize"):
+        normalize_buckets(h, method="zscore")
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00"), (1, "2024-01-02 05:00:00"),
+         (2, "2024-01-02 06:00:00"), (1, "2024-01-03 07:00:00"),
+         (3, "2024-01-03 08:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    cc = [r["cumulative_cardinality"]
+          for r in cumulative_cardinality(ev).collect()]
+    assert cc == [1, 2, 3]  # day 2 adds user 2; day 3 adds user 3 only
+
+
+def test_string_stats_entropy_and_lengths(spark):
+    from kafka_es_spark.functions.textstats import string_stats
+
+    d = spark.createDataFrame(
+        [("aa",), ("ab",), ("",)], "text string"
+    )
+    r = string_stats(d).collect()[0]
+    assert (r["count"], r["min_length"], r["max_length"]) == (3, 0, 2)
+    assert r["avg_length"] == round(4 / 3, 4)
+    # chars pooled: a=3, b=1 -> H = 2 - 3*log2(3)/4 = 0.8113
+    assert r["entropy"] == round(2 - 3 * math.log2(3) / 4, 4)
+
+
+# --- batch D: int8 rerank / linear fuse / rank_eval --------------------------
+
+
+def test_int8_rerank_recall_and_shape(spark):
+    """Coarse int8 candidates re-ranked by float cosine recover the exact
+    top-k on a planted-structure corpus; self is excluded; approx is the
+    rescaled integer dot."""
+    from kafka_es_spark.operators.similarity import (
+        cosine_topk, int8_rerank_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16))
+    # plant: vectors 1..4 are slightly perturbed copies of vector 0
+    for i in range(1, 5):
+        base[i] = base[0] + 0.01 * rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(len(base))],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = int8_rerank_topk(emb, q, k=4, coarse=12).collect()
+    assert [r["vec_id"] for r in got] != []
+    assert all(r["vec_id"] != 0 for r in got)  # self excluded
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=4).collect()}
+    assert {r["vec_id"] for r in got} == exact == {1, 2, 3, 4}
+    # re-ranked order is exact-cosine order
+    ranks = [r["rank"] for r in got]
+    assert ranks == sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_linear_fuse_minmax_weighted(spark):
+    from kafka_es_spark.operators.similarity import linear_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 0.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.4)], "doc_id long, score double"
+    )
+    got = {r["doc_id"]: r["linear_score"]
+           for r in linear_fuse([(a, 0.7), (b, 0.3)], k=10).collect()}
+    # a-normed: 1->1.0, 2->0.5, 3->0.0 ; b-normed: 2->1.0, 4->0.0
+    assert got == {1: 0.7, 2: 0.65, 3: 0.0, 4: 0.0}
+    # degenerate list (max == min): membership still attests 1.0
+    c = spark.createDataFrame([(9, 3.0)], "doc_id long, score double")
+    one = {r["doc_id"]: r["linear_score"]
+           for r in linear_fuse([(c, 0.5)], k=5).collect()}
+    assert one == {9: 0.5}
+
+
+def test_rank_eval_closed_form(spark):
+    """Hand-checked metrics: a 3-doc run against graded judgments."""
+    from kafka_es_spark.operators.rankeval import rank_eval
+
+    run = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    ratings = spark.createDataFrame(
+        [(0, 11, 2), (0, 12, 1), (0, 99, 3),
+         (2, 5, 1)],  # query 1 has NO judgments; query 2 not in run
+        "query_id long, doc_id long, rating int",
+    )
+    out = {r["query_id"]: r for r in rank_eval(run, ratings, k=3).collect()}
+    q0 = out[0]
+    assert q0["precision_at_k"] == round(2 / 3, 4)
+    assert q0["recall_at_k"] == round(2 / 3, 4)  # 2 of 3 relevant retrieved
+    assert q0["mrr"] == 0.5  # first relevant at rank 2
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert q0["dcg"] == round(dcg, 4)
+    assert q0["ndcg"] == round(round(dcg, 10) / idcg, 4) or \
+        q0["ndcg"] == round(dcg / idcg, 4)
+    q1 = out[1]
+    assert (q1["precision_at_k"], q1["recall_at_k"], q1["mrr"],
+            q1["dcg"], q1["ndcg"]) == (0.0, 0.0, 0.0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="k"):
+        rank_eval(run, ratings, k=0)
+
+
+# --- batch E: ingest pipeline / remaining pipeline aggs ----------------------
+
+
+def test_ingest_pipeline_processors(spark):
+    """Each processor's semantics on a hand row, plus the conditional
+    drop and fail-fast on unknown processors."""
+    from kafka_es_spark.operators.ingest import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "Foo", '{"k": 7}', "a-b"), (2, "Bar", "{}", "c-d")],
+        "id long, name string, props string, pair string",
+    )
+    out = apply_pipeline(df, [
+        {"set": {"field": "tagline", "value": "{{name}}#{{id}}"}},
+        {"lowercase": {"field": "name"}},
+        {"gsub": {"field": "tagline", "pattern": "[aeiou]",
+                  "replacement": "."}},
+        {"dissect": {"field": "pair", "pattern": "%{left}-%{right}"}},
+        {"json": {"field": "props", "path": "$.k", "target_field": "kk"}},
+        {"convert": {"field": "kk", "type": "long"}},
+        {"rename": {"field": "pair", "target_field": "pair2"}},
+        {"remove": {"field": ["props"]}},
+        {"drop": {"if": "kk IS NULL"}},
+    ])
+    rows = out.collect()
+    assert len(rows) == 1  # row 2 dropped (no $.k)
+    r = rows[0]
+    assert (r["name"], r["tagline"], r["left"], r["right"], r["kk"]) == (
+        "foo", "F..#1", "a", "b", 7
+    )
+    assert "props" not in out.columns and "pair2" in out.columns
+    with pytest.raises(ValueError, match="unsupported ingest processor"):
+        apply_pipeline(df, [{"nope": {}}])
+    with pytest.raises(ValueError, match="dissect"):
+        apply_pipeline(df, [{"dissect": {"field": "pair", "pattern": "x"}}])
+
+
+def test_remaining_pipeline_aggs(spark):
+    from kafka_es_spark.operators.sessions import (
+        bucket_script, extended_stats_bucket, percentiles_bucket,
+    )
+
+    h = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "bucket long, doc_count long"
+    )
+    s = extended_stats_bucket(h).collect()[0]
+    assert (s["count"], s["min"], s["max"], s["avg"], s["sum"]) == (
+        4, 10.0, 40.0, 25.0, 100.0
+    )
+    assert s["sum_of_squares"] == 3000.0
+    assert s["variance"] == 125.0  # population: 3000/4 - 625
+    assert s["std_deviation"] == round(math.sqrt(125.0), 4)
+    p = {r["percent"]: r["value"]
+         for r in percentiles_bucket(h, percents=[50.0, 100.0]).collect()}
+    assert p == {50.0: 25.0, 100.0: 40.0}
+    b = bucket_script(
+        h.withColumn("errors", F.col("doc_count") / 10),
+        "errors / doc_count", out_col="rate",
+    ).collect()
+    assert all(r["rate"] == 0.1 for r in b)
+
+
+# --- batch F: classifier inference / geo_polygon / search_as_you_type --------
+
+
+def test_classifier_score_closed_form(spark):
+    """Hand-replayed inference: hashed features -> integer weight sum ->
+    sigmoid; empty docs drop."""
+    from kafka_es_spark.functions.textstats import classifier_score
+    from kafka_es_spark.operators.dedup import hash32_py
+
+    dim = 64
+    docs = spark.createDataFrame(
+        [(1, "good solid text"), (2, "")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame(
+        [(i, (i * 7) % 21 - 10) for i in range(dim)],
+        "feature_id long, w_int long",
+    )
+    out = {r["doc_id"]: r for r in classifier_score(docs, w, dim).collect()}
+    assert set(out) == {1}  # empty doc dropped
+    grams = ["good", "solid", "text", "good solid", "solid text"]
+    sw = sum((hash32_py(f"qcls:{g}") % dim * 7) % 21 - 10 for g in grams)
+    want = 1.0 / (1.0 + math.exp(-(sw / (1000.0 * len(grams)))))
+    assert out[1]["n_feats"] == 5
+    assert out[1]["score"] == round(want, 4)
+
+
+def test_geo_polygon_ray_cast(spark, tmp_path):
+    """Points inside/outside a concave polygon classify correctly."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    # concave "arrow": (0,0) (4,4) (0,8) (2,4) closes the notch
+    poly = [(0.0, 0.0), (4.0, 4.0), (0.0, 8.0), (2.0, 4.0)]
+    pts = {
+        "u000": (2.5, 4.0),   # inside the arrow head
+        "u001": (1.0, 4.0),   # inside the notch -> OUTSIDE the polygon
+        "u002": (5.0, 4.0),   # above apex -> outside
+        "u003": (3.0, 3.5),   # inside left wing
+    }
+    pages = _mk_pages(spark, ["alpha"] * len(pts))
+    d = str(tmp_path / "idxpoly")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    fv = spark.createDataFrame(
+        [(u, la, lo) for u, (la, lo) in sorted(pts.items())],
+        "url string, lat double, lon double",
+    )
+    got = {r["url"] for r in Searcher(spark, d, cache=False).geo_polygon(
+        "alpha", fv, "lat", "lon", poly, k=10
+    ).collect()}
+    assert got == {"u000", "u003"}
+    with pytest.raises(ValueError, match="vertices"):
+        Searcher(spark, d, cache=False).geo_polygon(
+            "alpha", fv, "lat", "lon", poly[:2]
+        )
+
+
+def test_sayt_equality_expansion_matches_prefix(spark, tmp_path):
+    """The materialized edge-ngram lookup reproduces bool_prefix's
+    expansion exactly, and the past-max_gram fallback works."""
+    from kafka_es_spark.operators.wand import Searcher, build_edge_ngrams
+
+    pages = _mk_pages(spark, [
+        "alpha particle decay", "alpha paradox", "particle physics",
+        "gamma rays", "alpha alpha energy",
+    ])
+    d = str(tmp_path / "idxsayt")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    s = Searcher(spark, d, cache=False)
+    with pytest.raises(ValueError, match="edge_ngrams"):
+        s.sayt_topk("alpha par", k=10)
+    build_edge_ngrams(spark, d, min_gram=1, max_gram=4)
+    got = {(r["url"], r["score"]) for r in s.sayt_topk(
+        "alpha par", k=10, with_url=True
+    ).collect()}
+    want = {(r["url"], r["score"]) for r in s.bool_prefix_topk(
+        "alpha par", k=10, with_url=True
+    ).collect()}
+    assert got == want and got
+    # gram longer than max_gram (4) -> dictionary prefix fallback
+    fb = {(r["url"], r["score"]) for r in s.sayt_topk(
+        "alpha parti", k=10, with_url=True
+    ).collect()}
+    wfb = {(r["url"], r["score"]) for r in s.bool_prefix_topk(
+        "alpha parti", k=10, with_url=True
+    ).collect()}
+    assert fb == wfb and fb
