@@ -1439,6 +1439,98 @@ def _q_hybrid_linear(spark, sf_dir):
     return linear_fuse([(lexr, HY_WL), (vec, HY_WV)], k=TOPK)
 
 
+MS_TOKENS, MS_SUBDIM, MS_K = 4, 16, 5
+
+
+def _q_maxsim(spark, sf_dir):
+    """ColBERT MaxSim / ES rank_vectors: each embedding split into 4
+    16-dim token vectors; score(q,d) = Σ_i max_j (q_i · d_j); queries =
+    the bags of vec_ids {0,1,2} (self included — it ranks first by
+    construction, a useful sanity invariant)."""
+    from kafka_es_spark.operators.similarity import maxsim_topk
+
+    e = _emb(spark, sf_dir)
+    mv = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {MS_TOKENS - 1}), t -> "
+                f"named_struct('seq', t, 'vec', transform("
+                f"slice(embedding, t * {MS_SUBDIM} + 1, {MS_SUBDIM}), "
+                "x -> CAST(x AS DOUBLE))))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.seq").alias("seq"), F.col("s.vec").alias("vec"))
+    qv = mv.filter(F.col("doc_id").isin([0, 1, 2])).select(
+        F.col("doc_id").alias("query_id"), "seq", "vec"
+    )
+    return maxsim_topk(mv, qv, k=MS_K)
+
+
+TL_DOC, TL_NTERMS = 0, 5
+
+
+def _q_terms_lookup(spark, sf_dir):
+    """ES terms query with terms LOOKUP: the term list is doc 0's first
+    5 tokens, fetched at query time; constant-score filter-context
+    match, url-ordered cut."""
+    from kafka_es_spark.functions.tokenize import tokens
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    lk = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.slice(tokens("text"), 1, TL_NTERMS).alias("terms"),
+    )
+    out = Searcher(spark, idx, cache=False).terms_lookup(lk, TL_DOC, k=50)
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def _q_date_histogram_empty(spark, sf_dir):
+    """ES date_histogram with min_doc_count=0 + extended_bounds: every
+    calendar day between the stream's min and max, zero-count gaps
+    included."""
+    from kafka_es_spark.operators.sessions import date_histogram_empty
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram_empty(ev, unit="day")
+
+
+CH_WINDOW, CH_STRIDE = 32, 24
+
+
+def _q_chunking(spark, sf_dir):
+    """Token-window chunking (RAG/embedding ingestion; ES semantic_text
+    chunking shape): 32-token windows, stride 24, tail kept; chunk text
+    reported as md5 so the compare stays row-sized."""
+    from kafka_es_spark.operators.traindata import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(d, window=CH_WINDOW, stride=CH_STRIDE)
+    return out.select(
+        "doc_id", "chunk_id", "start", "n_tokens",
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+GEO_RINGS = [(None, 2000.0), (2000.0, 6000.0), (6000.0, None)]
+
+
+def _q_geo_rings(spark, sf_dir):
+    """ES geo_distance aggregation: concentric haversine rings around
+    the origin over the OR hit set, empty rings present."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).geo_distance_rings(
+        " ".join(QUERY_TERMS), _geo_fields(spark, sf_dir), "lat", "lon",
+        GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RINGS,
+    )
+
+
 CLS_DIM = 2048
 
 
@@ -2912,6 +3004,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts7_classifier_score": _q_classifier_score,
         "x13_geo_polygon": _q_geo_polygon,
         "x8_sayt": _q_sayt,
+        "ev18_date_histogram_empty": _q_date_histogram_empty,
+        "tr5_chunking": _q_chunking,
+        "x13_geo_rings": _q_geo_rings,
+        "sim7_maxsim": _q_maxsim,
+        "x8_terms_lookup": _q_terms_lookup,
         "tr1_importance_weights": _q_importance_weights,
         "x8_sig_terms": _q_sig_terms,
         "x8_highlight": _q_highlight,
@@ -4818,6 +4915,127 @@ ORDER BY 'doc://' || CAST(doc_id AS VARCHAR) LIMIT 50
                 "UNION SELECT unnest(['data']) AS term"
             ),
         ),
+        # date_histogram min_doc_count=0: generated day domain, gaps = 0
+        "ev18_date_histogram_empty": """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+d AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM b)
+SELECT d.bucket, CAST(coalesce(h.doc_count, 0) AS BIGINT) AS doc_count
+FROM d LEFT JOIN h USING (bucket) ORDER BY bucket
+""",
+        # chunking: same start grid, slice, md5 of the joined window
+        "tr5_chunking": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+n AS (SELECT doc_id, arr, len(arr) AS n FROM t WHERE len(arr) >= 1),
+ex AS (
+  SELECT doc_id, arr, n,
+         unnest(generate_series(0, n - 1, {CH_STRIDE})) AS start
+  FROM n
+)
+SELECT doc_id,
+       CAST(start / {CH_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least({CH_WINDOW}, n - start) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         list_transform(generate_series(1, least({CH_WINDOW}, n - start)),
+                        i -> arr[CAST(start + i AS INT)]), ' ')) AS chunk_hash
+FROM ex
+""",
+        # geo_distance rings: haversine + from-incl/to-excl ring buckets
+        "x13_geo_rings": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+g AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / CAST(100 AS DOUBLE) - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT round(2.0 * 6371.0 * asin(sqrt(
+           pow(sin((lat * (3.141592653589793 / 180.0)
+                    - {GEO_ORIGIN[0]!r} * (3.141592653589793 / 180.0)) / 2.0), 2)
+           + cos({GEO_ORIGIN[0]!r} * (3.141592653589793 / 180.0))
+             * cos(lat * (3.141592653589793 / 180.0))
+             * pow(sin((lon * (3.141592653589793 / 180.0)
+                        - {GEO_ORIGIN[1]!r} * (3.141592653589793 / 180.0)) / 2.0), 2)
+         )), 4) AS dist
+  FROM g JOIN hits USING (doc_id)
+),
+r AS (SELECT * FROM (VALUES
+  ('*-2000', NULL, 2000.0), ('2000-6000', 2000.0, 6000.0),
+  ('6000-*', 6000.0, NULL)) AS t(ring, km_from, km_to)),
+c AS (
+  SELECT r.ring, count(*) AS n
+  FROM d JOIN r ON (r.km_from IS NULL OR d.dist >= r.km_from)
+              AND (r.km_to IS NULL OR d.dist < r.km_to)
+  GROUP BY 1
+)
+SELECT r.ring, CAST(r.km_from AS DOUBLE) AS km_from,
+       CAST(r.km_to AS DOUBLE) AS km_to,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS doc_count
+FROM r LEFT JOIN c USING (ring)
+ORDER BY km_from NULLS FIRST
+""",
+        # MaxSim late interaction: left-fold dots, rounded before max
+        "sim7_maxsim": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+mv AS (
+  SELECT vec_id AS doc_id, s.t AS seq,
+         list_transform(generate_series(1, {MS_SUBDIM}),
+                        i -> v[s.t * {MS_SUBDIM} + i]) AS vec
+  FROM e, unnest([{', '.join(str(t) for t in range(MS_TOKENS))}]) AS s(t)
+),
+qv AS (SELECT doc_id AS query_id, seq, vec FROM mv WHERE doc_id IN (0, 1, 2)),
+dots AS (
+  SELECT mv.doc_id, qv.query_id, qv.seq AS qseq,
+         round(list_reduce(
+           list_transform(generate_series(1, {MS_SUBDIM}),
+                          i -> mv.vec[i] * qv.vec[i]),
+           (a, b) -> a + b), 4) AS dot
+  FROM mv CROSS JOIN qv
+),
+best AS (
+  SELECT doc_id, query_id, qseq, max(dot) AS b
+  FROM dots GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT doc_id, query_id, round(sum(b), 4) AS maxsim
+  FROM best GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, doc_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, maxsim
+FROM ranked WHERE rank <= {MS_K}
+""",
+        # terms lookup: term list from doc 0's field, constant score
+        "x8_terms_lookup": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+lk AS (
+  SELECT list_transform(generate_series(1, least({TL_NTERMS}, len(arr))),
+                        i -> arr[i]) AS terms
+  FROM t WHERE doc_id = {TL_DOC}
+),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (SELECT unnest(terms) FROM lk)
+)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM hits
+ORDER BY 'doc://' || CAST(doc_id AS VARCHAR) LIMIT 50
+""",
         # span_first: 'data' at 0-based positions < 5, BM25 over the
         # windowed tf with the term's index-level idf
         "x8_span_first": f"""

@@ -507,3 +507,39 @@ def bucket_script(
     return buckets.withColumn(
         out_col, F.round(F.expr(script).cast("double"), round_to)
     )
+
+
+def date_histogram_empty(
+    events: DataFrame,
+    ts_col: str = "ts",
+    unit: str = "day",
+) -> DataFrame:
+    """ES date_histogram with ``min_doc_count: 0`` + data-derived
+    ``extended_bounds``: every calendar bucket between the stream's min
+    and max appears, zero-count gaps included — the form every
+    monitoring UI requests (gaps render as holes otherwise).
+
+    Plan: the counted histogram is the usual one hash aggregation; the
+    bucket DOMAIN is a sequence() explode off a 1-row min/max aggregate
+    (#buckets rows — generated, never scanned), left-joined back. At
+    100 TB the domain stays calendar-sized while events stream through
+    one partial-aggregated count."""
+    hist = date_histogram(events, ts_col, unit)
+    bounds = events.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+    )
+    domain = bounds.filter(F.col("_lo").isNotNull()).select(
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, interval 1 {unit})")
+        ).alias("bucket")
+    )
+    return (
+        domain.join(hist, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long")
+            .alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )

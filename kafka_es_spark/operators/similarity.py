@@ -187,6 +187,55 @@ def int8_rerank_topk(
     )
 
 
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Late-interaction retrieval — ColBERT MaxSim (Khattab & Zaharia
+    2020), ES's ``rank_vectors`` field with ``maxSimDotProduct``: a doc
+    is a BAG of vectors (one per token/chunk), a query likewise, and
+    score(q, d) = Σᵢ maxⱼ (qᵢ · dⱼ) — every query vector claims its best
+    doc vector. The modern reranker tier between single-vector ANN and
+    full cross-encoders.
+
+    Inputs: doc_vecs (doc_id, seq, vec), query_vecs (query_id, seq,
+    vec). Plan: broadcast the query bag (|Q|·n_q rows), one JVM
+    zip_with/aggregate dot per (doc vector × query vector) — no Python,
+    no explosion beyond the |D|·n_q·n_d scored rows — then max per
+    (doc, query vector) and sum per doc: two hash aggregations, both
+    keyed by doc id (map-side combine). Dots round to ``round_to``
+    BEFORE the max so the argmax and the sum (≤ n_q rounded addends)
+    are engine-stable; ES's unrounded float would be, too, but not
+    reproducible across engines. Top-k ties break on doc_id."""
+    q = query_vecs.select(
+        F.col("query_id"),
+        F.col("seq").alias("_qseq"),
+        F.col("vec").alias("_qv"),
+    )
+    d = doc_vecs.select(
+        F.col("doc_id"), F.col("seq").alias("_dseq"), F.col("vec").alias("_dv")
+    )
+    dot = F.round(_dot(F.col("_dv"), F.col("_qv")), round_to)
+    per_qvec = (
+        d.crossJoin(F.broadcast(q))
+        .select("doc_id", "query_id", "_qseq", dot.alias("_dot"))
+        .groupBy("doc_id", "query_id", "_qseq")
+        .agg(F.max("_dot").alias("_best"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_qvec.groupBy("doc_id", "query_id")
+        .agg(F.round(F.sum("_best"), round_to).alias("maxsim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "doc_id", "maxsim")
+    )
+
+
 def linear_fuse(
     rankings: list[tuple[DataFrame, float]],
     k: int = 10,

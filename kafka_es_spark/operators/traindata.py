@@ -485,3 +485,52 @@ def mix_plan(
         )
         .orderBy(key_col)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window chunking — the RAG/embedding ingestion step (ES
+    semantic_text's chunking settings: max_chunk_size ≈ window,
+    overlap = window − stride) and the long-document splitter every
+    embedding pipeline runs before the encoder. Chunks start at token
+    offsets 0, stride, 2·stride, … (< n_tokens); each takes
+    min(window, n − start) tokens, so consecutive chunks overlap by
+    window − stride and the tail is kept (a truncated tail is lost
+    training signal).
+
+    Output: (id, chunk_id, start, n_tokens, chunk) with chunk_id dense
+    per doc. Pure Column ops — tokenize, one sequence() explode
+    (≈ n/stride rows per doc), slice + array_join; no shuffle at all
+    (the explode is in-partition), so it composes with the embedding
+    UDF in the same stage at any scale. Empty docs drop."""
+    from kafka_es_spark.functions.tokenize import tokens
+
+    w, s = int(window), int(stride)
+    if not 1 <= s <= w:
+        raise ValueError("need 1 <= stride <= window")
+    t = docs.select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") >= 1)
+    ex = t.select(
+        id_col, "_t", "_n",
+        F.explode(F.expr(f"sequence(0, _n - 1, {s})")).alias("start"),
+    )
+    return ex.select(
+        id_col,
+        (F.col("start") / s).cast("long").alias("chunk_id"),
+        F.col("start").cast("long"),
+        F.least(F.lit(w), F.col("_n") - F.col("start")).cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("_t"), F.col("start") + 1,
+                F.least(F.lit(w), F.col("_n") - F.col("start")),
+            ),
+            " ",
+        ).alias("chunk"),
+    )

@@ -3387,6 +3387,128 @@ class Searcher:
             .limit(int(k))
         )
 
+    def terms_lookup(
+        self,
+        lookup: DataFrame,
+        lookup_id,
+        k: int = 100,
+        id_col: str = "id",
+        terms_col: str = "terms",
+        max_terms: int = 1024,
+    ) -> DataFrame:
+        """ES terms query with TERMS LOOKUP: the term list is fetched
+        from another document's array field at query time (the
+        follow-list/blocklist pattern — "docs matching any term stored
+        on entity X"), then matched in filter context with constant
+        score 1.0 (the ES terms-query rewrite), deterministic url-
+        ordered cut.
+
+        The lookup fetch is a 1-row pushed-down id probe (ES GETs the
+        doc; 65,536-term cap — ``max_terms`` mirrors it and raises past
+        the cap, because a million-term closure belongs in a JOIN
+        against the lookup relation, not in a literal IN list)."""
+        rows = (
+            lookup.filter(F.col(id_col) == lookup_id)
+            .select(terms_col)
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, score double"
+            )
+        terms = sorted({t for t in (rows[0][terms_col] or []) if t})
+        if len(terms) > int(max_terms):
+            raise ValueError(
+                f"terms lookup fetched {len(terms)} terms > max_terms="
+                f"{max_terms}; join against the lookup relation instead"
+            )
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, score double"
+            )
+        hits = self.matching_doc_ids(" ".join(terms), mode="or")
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        return (
+            hits.join(dm.select("doc_id", "url"), "doc_id")
+            .select("doc_id", "url", F.lit(1.0).alias("score"))
+            .orderBy("url")
+            .limit(int(k))
+        )
+
+    def geo_distance_rings(
+        self,
+        query: str,
+        field_values: DataFrame,
+        lat_field: str,
+        lon_field: str,
+        origin_lat: float,
+        origin_lon: float,
+        rings: list[tuple[float | None, float | None]],
+        mode: str = "or",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES geo_distance AGGREGATION: bucket hit docs into concentric
+        distance rings around an origin — (ring_key, from inclusive, to
+        exclusive, doc_count), every requested ring present even at 0,
+        rings may overlap (each counts independently) — the range-agg
+        contract applied to the haversine distance (same closed form as
+        the geo_distance query; distance rounded to ``round_to`` before
+        the ring test so bucket edges are engine-stable).
+
+        Plan: the distance is scan-side Column arithmetic; bucketing is
+        a conditional join against the broadcast tiny rings relation +
+        one (n_rings)-row aggregate, then a left join back restores
+        empty rings — identical cost shape to agg_ranges."""
+
+        def _key(lo, hi):
+            f = lambda v: "*" if v is None else format(float(v), "g")  # noqa: E731
+            return f"{f(lo)}-{f(hi)}"
+
+        rdf = self.spark.createDataFrame(
+            [
+                (_key(lo, hi),
+                 None if lo is None else float(lo),
+                 None if hi is None else float(hi))
+                for lo, hi in rings
+            ],
+            "ring string, km_from double, km_to double",
+        )
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        j = hits.join(dm.select("doc_id", "url"), "doc_id").join(
+            field_values.select("url", lat_field, lon_field), "url"
+        )
+        rad = 3.141592653589793 / 180.0
+        la1 = F.lit(float(origin_lat) * rad)
+        lo1 = F.lit(float(origin_lon) * rad)
+        la2 = F.col(lat_field).cast("double") * F.lit(rad)
+        lo2 = F.col(lon_field).cast("double") * F.lit(rad)
+        h = (
+            F.pow(F.sin((la2 - la1) / F.lit(2.0)), 2)
+            + F.cos(la1) * F.cos(la2)
+            * F.pow(F.sin((lo2 - lo1) / F.lit(2.0)), 2)
+        )
+        dist = F.round(F.lit(2.0 * 6371.0) * F.asin(F.sqrt(h)), round_to)
+        d = j.select(dist.alias("_d"))
+        cond = (
+            (F.col("km_from").isNull() | (F.col("_d") >= F.col("km_from")))
+            & (F.col("km_to").isNull() | (F.col("_d") < F.col("km_to")))
+        )
+        counts = (
+            d.join(F.broadcast(rdf), cond)
+            .groupBy("ring")
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        )
+        return (
+            rdf.join(counts, "ring", "left")
+            .select(
+                "ring", "km_from", "km_to",
+                F.coalesce(F.col("doc_count"), F.lit(0)).cast("long")
+                .alias("doc_count"),
+            )
+            .orderBy(F.col("km_from").asc_nulls_first())
+        )
+
     def sayt_topk(
         self,
         query: str,

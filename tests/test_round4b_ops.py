@@ -919,3 +919,114 @@ def test_sayt_equality_expansion_matches_prefix(spark, tmp_path):
         "alpha parti", k=10, with_url=True
     ).collect()}
     assert fb == wfb and fb
+
+
+# --- batch G: empty-bucket histogram / chunking / distance rings -------------
+
+
+def test_date_histogram_empty_fills_gaps(spark):
+    from kafka_es_spark.operators.sessions import date_histogram_empty
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 11:00:00",),
+         ("2024-01-04 09:00:00",)],
+        "ts string",
+    ).select(F.to_timestamp("ts").alias("ts"))
+    got = [(str(r["bucket"])[:10], r["doc_count"])
+           for r in date_histogram_empty(ev).collect()]
+    assert got == [("2024-01-01", 2), ("2024-01-02", 0),
+                   ("2024-01-03", 0), ("2024-01-04", 1)]
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from kafka_es_spark.operators.traindata import chunk_documents
+
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6,9; tail lengths 4,4,4,1
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(docs, window=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]  # empty doc dropped
+    assert [(r["start"], r["n_tokens"]) for r in rows] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)
+    ]
+    assert rows[1]["chunk"] == "t3 t4 t5 t6"
+    assert rows[3]["chunk"] == "t9"
+    # overlap: consecutive chunks share window - stride = 1 token
+    assert rows[0]["chunk"].split()[-1] == rows[1]["chunk"].split()[0]
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, window=4, stride=5)
+
+
+def test_geo_distance_rings_buckets(spark, tmp_path):
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(spark, ["common a", "common b", "common c"])
+    d = str(tmp_path / "idxrings")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    # Paris origin: co-located (0 km), London (~344 km), New York (~5837 km)
+    fv = spark.createDataFrame(
+        [("u000", 48.8566, 2.3522), ("u001", 51.5074, -0.1278),
+         ("u002", 40.7128, -74.0060)],
+        "url string, lat double, lon double",
+    )
+    out = {r["ring"]: r["doc_count"]
+           for r in Searcher(spark, d, cache=False).geo_distance_rings(
+               "common", fv, "lat", "lon", 48.8566, 2.3522,
+               [(None, 100.0), (100.0, 1000.0), (1000.0, None)],
+           ).collect()}
+    assert out == {"*-100": 1, "100-1000": 1, "1000-*": 1}
+
+
+# --- batch H: MaxSim late interaction / terms lookup -------------------------
+
+
+def test_maxsim_hand_case_and_self_rank(spark):
+    """Score = Σ_i max_j (q_i · d_j) on a hand bag; a query's own bag
+    ranks first (self-similarity invariant)."""
+    from kafka_es_spark.operators.similarity import maxsim_topk
+
+    # doc 1: vectors (1,0) and (0,1); doc 2: (0.5,0.5) and (-1,0)
+    dv = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+         (2, 0, [0.5, 0.5]), (2, 1, [-1.0, 0.0])],
+        "doc_id long, seq int, vec array<double>",
+    )
+    qv = spark.createDataFrame(
+        [(9, 0, [1.0, 0.0]), (9, 1, [0.0, 2.0])],
+        "query_id long, seq int, vec array<double>",
+    )
+    got = {r["doc_id"]: r["maxsim"] for r in maxsim_topk(dv, qv, k=5).collect()}
+    # q0·best: doc1 max(1,0)=1, doc2 max(0.5,-1)=0.5
+    # q1·best: doc1 max(0,2)=2,  doc2 max(1,0)=1
+    assert got == {1: 3.0, 2: 1.5}
+    qself = dv.filter(F.col("doc_id") == 1).select(
+        F.lit(1).cast("long").alias("query_id"), "seq", "vec"
+    )
+    top = maxsim_topk(dv, qself, k=1).collect()[0]
+    assert top["doc_id"] == 1 and top["rank"] == 1
+
+
+def test_terms_lookup_constant_score_and_cap(spark, tmp_path):
+    from kafka_es_spark.operators.wand import Searcher
+
+    pages = _mk_pages(spark, [
+        "alpha beta", "beta gamma", "delta epsilon", "zeta alpha",
+    ])
+    d = str(tmp_path / "idxtl")
+    build_index(spark, pages, d, seg_bits=6, n_term_buckets=2)
+    lk = spark.createDataFrame(
+        [(7, ["alpha", "gamma"]), (8, [])],
+        "id long, terms array<string>",
+    )
+    s = Searcher(spark, d, cache=False)
+    got = {(r["url"], r["score"]) for r in s.terms_lookup(lk, 7, k=10).collect()}
+    assert got == {("u000", 1.0), ("u001", 1.0), ("u003", 1.0)}
+    assert s.terms_lookup(lk, 8, k=10).collect() == []   # empty term list
+    assert s.terms_lookup(lk, 99, k=10).collect() == []  # missing lookup doc
+    with pytest.raises(ValueError, match="max_terms"):
+        s.terms_lookup(lk, 7, k=10, max_terms=1)
