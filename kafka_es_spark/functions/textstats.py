@@ -379,3 +379,37 @@ def classifier_score(
         "n_feats",
         F.round(score, round_to).alias("score"),
     )
+
+
+def categorize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 6,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation, made deterministic: group
+    log-like messages by their token TEMPLATE — tokenize, replace pure-
+    number tokens with ``<num>`` (the drain/categorization move: the
+    variable parts of a log line are overwhelmingly numerals), keep the
+    first ``max_tokens`` template tokens (ES's similarity window is
+    likewise prefix-weighted), space-join as the category key. ES's own
+    agg is an online token-tree whose buckets can shift with shard
+    routing; the fixed-template rule is order- and partition-independent,
+    which is what an oracle can check. Output (category, doc_count),
+    ordered (doc_count desc, category asc).
+
+    Plan: pure Column template expression (codegen) + ONE hash
+    aggregation to #categories rows — the terms-agg cost shape."""
+    tmpl = F.array_join(
+        F.transform(
+            F.slice(tokens(text_col), 1, int(max_tokens)),
+            lambda t: F.when(t.rlike(r"^\p{N}+$"), F.lit("<num>")).otherwise(t),
+        ),
+        " ",
+    )
+    return (
+        docs.select(tmpl.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("category").asc())
+    )

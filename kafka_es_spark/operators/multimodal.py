@@ -103,14 +103,32 @@ def arith_audio_bytes(media_id: int) -> bytes:
     return _AUD_MAGIC + struct.pack(">IQ", sr, n) + s.tobytes()
 
 
+def arith_video_bytes(media_id: int) -> bytes:
+    """Deterministic KESVID01 payload: odd dims (w 5..11, h 3..7 — odd
+    npx keeps per-frame mean-luma rounding off exact halves, the
+    arith_image trick), 2..5 frames, pixel j = (id·29 + 11·j) mod 256
+    over the flattened frame sequence — so every sampled frame's mean is
+    a CLOSED-FORM series a SQL oracle can restate with generate_series."""
+    w = 5 + 2 * (media_id % 4)
+    h = 3 + 2 * (media_id % 3)
+    nf = 2 + (media_id % 4)
+    j = np.arange(nf * w * h, dtype=np.int64)
+    px = ((media_id * 29 + 11 * j) % 256).astype(np.uint8)
+    return _VID_MAGIC + struct.pack(">IIQ", w, h, nf) + px.tobytes()
+
+
 def synth_media(ids: DataFrame, kind: str, id_col: str = "doc_id") -> DataFrame:
     """(id) → MEDIA_SCHEMA rows with arithmetic payloads (kind ∈
-    image|audio). The deterministic stand-in for a real media table: the
-    driver corpus carries no binary columns, so entries synthesize one the
-    same way x1 synthesizes html from text."""
+    image|audio|video). The deterministic stand-in for a real media table:
+    the driver corpus carries no binary columns, so entries synthesize one
+    the same way x1 synthesizes html from text."""
     import pandas as pd  # noqa: F811
 
-    gen = arith_image_bytes if kind == "image" else arith_audio_bytes
+    gen = {
+        "image": arith_image_bytes,
+        "audio": arith_audio_bytes,
+        "video": arith_video_bytes,
+    }[kind]
     mime = f"{kind}/fake"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -405,4 +423,65 @@ def sample_frames(
 
     return media.filter(media.kind == "video").select("media_id", "payload").mapInPandas(
         run, FRAME_SAMPLE_SCHEMA
+    )
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_frame_features(frames: DataFrame, fake: bool = True) -> DataFrame:
+    """sample_frames output → per-FRAME (width, height, mean_luma), keyed
+    (media_id, frame_idx) — decode_image_features keys on media_id alone,
+    which collides across a video's frames, so the frame relation gets its
+    own decode with the identical vectorized body (offset gathers + one
+    float64 cumsum per Arrow batch, no per-row Python)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if not fake:
+                raise NotImplementedError(
+                    "real image codec not bundled in this container"
+                )
+            cat, starts, lens = _concat_payloads(pdf["payload"])
+            ok = _magic_ok(cat, starts, lens, _IMG_MAGIC, 16)
+            wh = (
+                np.ascontiguousarray(_gather_rows(cat, starts + 8, 8))
+                .view(">u4")
+                .reshape(n, 2)
+                .astype(np.int64)
+            )
+            w, h = wh[:, 0], wh[:, 1]
+            npx = w * h
+            ok &= lens >= 16 + npx
+            csum = np.concatenate([[0.0], np.cumsum(cat, dtype=np.float64)])
+            ps = np.clip(starts + 16, 0, cat.size)
+            pe = np.clip(starts + 16 + np.where(ok, npx, 0), 0, cat.size)
+            means = np.round((csum[pe] - csum[ps]) / np.maximum(npx, 1), 4)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(dtype=np.int64),
+                    "frame_idx": pdf["frame_idx"].to_numpy(dtype=np.int32),
+                    "width": pd.array(np.where(ok, w, 0), dtype="Int32"),
+                    "height": pd.array(np.where(ok, h, 0), dtype="Int32"),
+                    "mean_luma": means,
+                    "ok": ok,
+                }
+            )
+            out.loc[~ok, ["width", "height", "mean_luma"]] = None
+            yield out
+
+    return frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
     )

@@ -543,3 +543,228 @@ def date_histogram_empty(
         )
         .orderBy("bucket")
     )
+
+
+RATE_UNIT_SECONDS: dict[str, float] = {
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def rate_agg(
+    events: DataFrame,
+    unit: str = "day",
+    rate_unit: str = "hour",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a date_histogram: per calendar
+    bucket, the doc count (or sum of ``value_col``) RESCALED to a
+    per-``rate_unit`` rate — ``rate = sum · rate_unit_sec / bucket_sec``
+    (ES divides the bucket total by how many rate units fit in the
+    bucket interval). Fixed-width units only (second…week), exactly the
+    set ES accepts for rate's unit; calendar months are rejected by ES
+    too unless the histogram itself is monthly.
+
+    Plan: identical cost to date_histogram — ONE hash aggregation with
+    map-side combine to #buckets rows; the rescale is a constant
+    multiply. Output (bucket, rate), bucket-ordered."""
+    if unit not in RATE_UNIT_SECONDS or rate_unit not in RATE_UNIT_SECONDS:
+        raise ValueError(
+            f"rate_agg supports fixed-width units {sorted(RATE_UNIT_SECONDS)}"
+        )
+    total = (
+        F.sum(F.col(value_col)) if value_col else F.count("*").cast("double")
+    )
+    factor = RATE_UNIT_SECONDS[rate_unit] / RATE_UNIT_SECONDS[unit]
+    return (
+        events.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.round(total * F.lit(factor), round_to).alias("rate"))
+        .orderBy("bucket")
+    )
+
+
+def eql_sequence(
+    events: DataFrame,
+    first_type: str,
+    second_type: str,
+    by: str = "user_id",
+    within_s: float = 600.0,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """EQL ``sequence by <key> with maxspan=...`` for the two-step form —
+    the security/behavior query ES's EQL engine runs (``sequence by
+    user [error] [click]``): for every ``first_type`` event, the
+    EARLIEST ``second_type`` event of the SAME key STRICTLY AFTER it
+    within ``within_s`` seconds. Emits one row per matched head
+    (key, a_id, a_ts, b_id, b_ts, gap_s) ordered (key, a_id); heads with
+    no qualifying tail are dropped, one head never matches two tails
+    (EQL emits each sequence once per head).
+
+    Plan: filter to the two step types (scan-side predicate — at 100 TB
+    this prunes to the steps' selectivity before any shuffle), then ONE
+    key-partitioned window ordered by (ts, id): ``first(tail-ts/id
+    IGNORE NULLS)`` over the strictly-following frame finds each head's
+    earliest tail without a range self-join. Window partitions are
+    bounded per key — the sessionize cost shape — and tie order
+    (ts, id) makes the match deterministic at any parallelism."""
+    sub = events.filter(F.col(type_col).isin([first_type, second_type])).select(
+        F.col(by).alias("by_key"),
+        F.col(id_col).alias("eid"),
+        F.col(ts_col).alias("ets"),
+        F.col(type_col).alias("etype"),
+    )
+    w = (
+        Window.partitionBy("by_key")
+        .orderBy(F.col("ets").asc(), F.col("eid").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    tail_ts = F.first(
+        F.when(F.col("etype") == second_type, F.col("ets")), ignorenulls=True
+    ).over(w)
+    tail_id = F.first(
+        F.when(F.col("etype") == second_type, F.col("eid")), ignorenulls=True
+    ).over(w)
+    # gap in integer MICROSECONDS (exact on any engine; a double-seconds
+    # subtraction at epoch scale has ~0.24 µs ulp — enough to flip a
+    # round-to-µs boundary between engines), converted to seconds only
+    # for the output column
+    gap_us = F.unix_micros(F.col("b_ts").cast("timestamp")) - F.unix_micros(
+        F.col("a_ts").cast("timestamp")
+    )
+    return (
+        sub.withColumn("b_ts", tail_ts)
+        .withColumn("b_id", tail_id)
+        .filter(F.col("etype") == first_type)
+        .select(
+            F.col("by_key").alias(by),
+            F.col("eid").alias("a_id"),
+            F.col("ets").alias("a_ts"),
+            "b_id",
+            "b_ts",
+        )
+        .filter(
+            F.col("b_ts").isNotNull()
+            & (gap_us <= F.lit(int(round(within_s * 1_000_000))))
+            & (gap_us > 0)
+        )
+        .withColumn("gap_s", F.round(gap_us.cast("double") / 1_000_000.0, 6))
+        .orderBy(by, "a_id")
+    )
+
+
+def pivot_transform(
+    events: DataFrame,
+    group_col: str = "user_id",
+    pivot_col: str = "event_type",
+    value_col: str = "value",
+    pivot_values: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """The ES ``_transform`` pivot (entity-centric materialization): one
+    row per ``group_col`` entity, one (count, value-sum) column pair per
+    ``pivot_col`` value — the continuous-transform destination-index
+    shape that dashboards query instead of raw events.
+
+    ``pivot_values`` pins the output schema (the transform config lists
+    its group/agg spec explicitly; a schema inferred per-run would drift
+    between checkpoints). When None, distinct values are collected —
+    one tiny job, but the schema then depends on the data; pass the list
+    in production. Plan: Spark's groupBy().pivot() compiles to ONE hash
+    aggregation with the pivot columns as conditional partial aggs —
+    map-side combine, #entities rows out, no per-value scans."""
+    if pivot_values is None:
+        pivot_values = sorted(
+            r[0] for r in events.select(pivot_col).distinct().collect()
+        )
+    out = (
+        events.groupBy(F.col(group_col))
+        .pivot(pivot_col, pivot_values)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # exact decimal partial sums → combine-order-independent
+            F.sum(F.col(value_col).cast("decimal(38,9)")).alias("sum"),
+        )
+    )
+    # pivot+multi-agg names columns "<value>_cnt"/"<value>_sum"; coalesce
+    # absent combinations to 0 (the transform destination stores zeros)
+    sel = [F.col(group_col)]
+    for v in pivot_values:
+        sel.append(F.coalesce(F.col(f"{v}_cnt"), F.lit(0)).cast("long").alias(f"{v}_cnt"))
+        sel.append(
+            F.round(
+                F.coalesce(F.col(f"{v}_sum").cast("double"), F.lit(0.0)), round_to
+            ).alias(f"{v}_sum")
+        )
+    return out.select(*sel).orderBy(group_col)
+
+
+def variable_width_histogram(
+    events: DataFrame,
+    value_col: str = "value",
+    n_buckets: int = 8,
+    round_to: int = 4,
+    max_distinct: int | None = 1_000_000,
+) -> DataFrame:
+    """ES ``variable_width_histogram`` made DETERMINISTIC: ES clusters a
+    shard-local sample (results vary run to run — documented in its own
+    docs); here buckets split the sorted DISTINCT values at the
+    ``n_buckets−1`` LARGEST adjacent gaps (ties → the gap whose left
+    value is smaller wins), which is the 1-D optimal-cluster rule and
+    reproducible on any engine. Output per bucket: (bucket, min, max,
+    avg, doc_count) — the ES response fields — bucket-ordered.
+
+    Plan: distinct values → one lag window over the value order for
+    gaps → the top n−1 boundaries broadcast back as a conditional-sum
+    bucket id → one hash aggregation over the raw rows. The only
+    unpartitioned window runs over DISTINCT values; ``max_distinct``
+    guards it (one cheap count) — past the cap the right operator is a
+    fixed histogram or percentiles sketch, and the call says so."""
+    vals = events.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    dv = vals.distinct()
+    if max_distinct is not None:
+        nd = dv.count()
+        if nd > max_distinct:
+            raise ValueError(
+                f"{nd} distinct values > max_distinct={max_distinct}: use "
+                "agg_histogram / percentiles for high-cardinality fields"
+            )
+    wv = Window.orderBy(F.col("v").asc())
+    gaps = dv.withColumn("_gap", F.col("v") - F.lag("v").over(wv)).filter(
+        F.col("_gap").isNotNull()
+    )
+    wg = Window.orderBy(F.col("_gap").desc(), F.col("v").asc())
+    bounds = [
+        r["v"]
+        for r in gaps.withColumn("_r", F.row_number().over(wg))
+        .filter(F.col("_r") <= int(n_buckets) - 1)
+        .select("v")
+        .collect()
+    ]
+    bucket = F.lit(0)
+    for b in sorted(bounds):
+        bucket = bucket + F.when(F.col("v") >= F.lit(b), 1).otherwise(0)
+    return (
+        vals.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.min("v"), round_to).alias("min"),
+            F.round(F.max("v"), round_to).alias("max"),
+            # exact decimal sum → the mean is partition-order-independent
+            # (a double sum's last bits vary with combine order; decimal
+            # addition is associative, so Spark and any oracle agree)
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,9)")).cast("double")
+                / F.count("*"),
+                round_to,
+            ).alias("avg"),
+            F.count("*").alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
