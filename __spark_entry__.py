@@ -2880,6 +2880,168 @@ def _q_repetition(spark, sf_dir):
     return repetition_features(_docs(spark, sf_dir))
 
 
+SV_TOP_M = 8
+SV_QUERY = {"spark": 2.0, "query": 1.0, "join": 1.5}
+
+
+def _q_rank_features(spark, sf_dir):
+    """ELSER-slot learned-sparse field build: each doc's top-m terms by
+    tf·idf as a (doc_id, feature, weight) rank_features relation — the
+    ES sparse_vector/text_expansion storage shape."""
+    from kafka_es_spark.operators.sparse import build_rank_features
+
+    return build_rank_features(_docs(spark, sf_dir), top_m=SV_TOP_M)
+
+
+def _q_sparse_vector(spark, sf_dir):
+    """ES ``sparse_vector`` query: weighted-dot scoring over the learned
+    sparse features, top-k."""
+    from kafka_es_spark.operators.sparse import (
+        build_rank_features,
+        sparse_vector_topk,
+    )
+
+    feats = build_rank_features(_docs(spark, sf_dir), top_m=SV_TOP_M)
+    return sparse_vector_topk(feats, SV_QUERY, k=TOPK)
+
+
+def _q_rate(spark, sf_dir):
+    """ES ``rate`` agg inside a daily date_histogram: per-hour event rate
+    per calendar day."""
+    from kafka_es_spark.operators.sessions import rate_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rate_agg(ev, unit="day", rate_unit="hour")
+
+
+def _q_eql_sequence(spark, sf_dir):
+    """EQL ``sequence by user_id with maxspan=10m [error] [click]``: each
+    error's earliest same-user click strictly after it within 10 min."""
+    from kafka_es_spark.operators.sessions import eql_sequence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return eql_sequence(ev, "error", "click", by="user_id", within_s=600.0)
+
+
+EV_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_transform(spark, sf_dir):
+    """ES ``_transform`` pivot: entity-centric (count, sum) per event
+    type per user — the continuous-transform destination-index shape."""
+    from kafka_es_spark.operators.sessions import pivot_transform
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pivot_transform(ev, pivot_values=EV_TYPES)
+
+
+def _q_categorize(spark, sf_dir):
+    """ES categorize_text agg (deterministic token-template variant):
+    group docs by their numeral-masked first-6-token template."""
+    from kafka_es_spark.functions.textstats import categorize_text
+
+    return categorize_text(_docs(spark, sf_dir), max_tokens=6)
+
+
+def _q_item_sets(spark, sf_dir):
+    """ES frequent_item_sets agg (size-2): event-type pairs co-occurring
+    for ≥2 users, with support ratios."""
+    from kafka_es_spark.operators.cooccur import frequent_item_sets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return frequent_item_sets(ev, min_support=2)
+
+
+def _q_pmi_pairs(spark, sf_dir):
+    """PMI term-pair association over within-doc co-occurrence (df ≥ 5),
+    top-50 by pmi."""
+    from kafka_es_spark.operators.cooccur import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), min_df=5, top_k=50)
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training step 1: corpus counts of word-internal
+    adjacent char pairs, top-50."""
+    from kafka_es_spark.operators.cooccur import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+def _q_video_frames(spark, sf_dir):
+    """Video frame-sampling pipeline: synthetic KESVID01 payloads →
+    every-2nd-frame sample (re-packed KESIMG01) → per-frame mean luma."""
+    from kafka_es_spark.operators.multimodal import (
+        decode_frame_features, sample_frames, synth_media,
+    )
+
+    media = synth_media(_docs(spark, sf_dir).select("doc_id"), "video")
+    return decode_frame_features(sample_frames(media, every_k=2))
+
+
+def _q_vwh(spark, sf_dir):
+    """ES ``variable_width_histogram`` (deterministic largest-gap
+    variant): 8 data-adaptive buckets over the event value."""
+    from kafka_es_spark.operators.sessions import variable_width_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return variable_width_histogram(ev, "value", n_buckets=8)
+
+
+# --- ES|QL: the piped query language, compiled to DataFrames ---------------
+
+ESQL1 = (
+    'FROM documents | WHERE lang == "en" AND n_chars > 200 '
+    "| STATS cnt = count(*), avg_chars = round(avg(n_chars), 2), "
+    "max_chars = max(n_chars) BY source "
+    "| SORT cnt DESC, source ASC | LIMIT 10"
+)
+ESQL2 = (
+    "FROM customer | RENAME c_nationkey AS n_nationkey "
+    "| LOOKUP JOIN nation ON n_nationkey "
+    "| EVAL acct_cents = to_long(round(c_acctbal * 100, 0)) "
+    "| STATS customers = count(*), acct_cents_total = sum(acct_cents) BY n_name "
+    "| SORT customers DESC, n_name ASC | LIMIT 10"
+)
+ESQL3 = (
+    'FROM events | WHERE event_type IN ("click", "purchase") '
+    '| EVAL day = date_trunc("day", ts), '
+    'band = case(value >= 50.0, "high", value >= 10.0, "mid", "low") '
+    "| STATS n = count(*), users = count_distinct(user_id) BY day, band "
+    "| SORT day ASC, band ASC | LIMIT 200"
+)
+
+
+def _esql_tables(spark, sf_dir):
+    return lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_esql_stats(spark, sf_dir):
+    """ES|QL pipeline 1 (WHERE → STATS..BY → SORT → LIMIT) compiled to a
+    DataFrame: the filter reaches the parquet scan, STATS is one hash
+    aggregation with map-side combine."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL1, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_lookup(spark, sf_dir):
+    """ES|QL pipeline 2 (RENAME → LOOKUP JOIN → EVAL → STATS): the lookup
+    relation broadcasts (ES|QL lookup indices are bounded dimensions);
+    double money sums ride exact integer cents."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL2, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_case(spark, sf_dir):
+    """ES|QL pipeline 3 (IN filter → EVAL date_trunc/case bands → grouped
+    STATS with count_distinct)."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL3, _esql_tables(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -3043,6 +3205,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts3_token_counts": _q_token_counts,
         "ts4_fingerprint": _q_fingerprint,
         "ts5_repetition": _q_repetition,
+        "sv1_rank_features": _q_rank_features,
+        "sv2_sparse_vector": _q_sparse_vector,
+        "ev19_rate": _q_rate,
+        "ev20_eql_sequence": _q_eql_sequence,
+        "ev21_pivot_transform": _q_pivot_transform,
+        "ev22_vwh": _q_vwh,
+        "ts8_categorize": _q_categorize,
+        "fi1_item_sets": _q_item_sets,
+        "tr6_pmi_pairs": _q_pmi_pairs,
+        "tr7_bpe_pairs": _q_bpe_pairs,
+        "mm3_video_frames": _q_video_frames,
+        "esql1_stats": _q_esql_stats,
+        "esql2_lookup_join": _q_esql_lookup,
+        "esql3_case_bands": _q_esql_case,
     }
 
 
@@ -6054,4 +6230,198 @@ FROM s GROUP BY media_id, sr, n
         "ts3_token_counts": _TOKEN_COUNTS_SQL,
         "ts4_fingerprint": _FINGERPRINT_SQL,
         "ts5_repetition": _REPETITION_SQL,
+        # learned-sparse (ELSER-slot) rank_features: top-m terms per doc
+        # by tf·idf (ES-7 idf), rounded at the boundary; the window
+        # orders by the ROUNDED weight (both engines see the same ties)
+        "sv1_rank_features": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term AS feature,
+         round(tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 4) AS weight
+  FROM tf JOIN dfq USING (term) CROSS JOIN st
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY weight DESC, feature ASC) AS rn
+  FROM w
+)
+SELECT doc_id, feature, weight FROM r WHERE rn <= {SV_TOP_M}
+""",
+        "sv2_sparse_vector": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+st AS (SELECT count(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term AS feature,
+         round(tf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 4) AS weight
+  FROM tf JOIN dfq USING (term) CROSS JOIN st
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY weight DESC, feature ASC) AS rn
+  FROM w
+),
+q(feature, qw) AS (VALUES {", ".join(f"('{t}', {v})" for t, v in sorted(SV_QUERY.items()))})
+SELECT doc_id, round(sum(weight * qw), 4) AS score
+FROM r JOIN q USING (feature) WHERE rn <= {SV_TOP_M}
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {TOPK}
+""",
+        "ev19_rate": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       round(count(*) * (3600.0 / 86400.0), 4) AS rate
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        # EQL sequence: earliest same-user click strictly after each
+        # error within 10 min; gap in integer µs on both engines
+        "ev20_eql_sequence": """
+WITH sub AS (
+  SELECT user_id, event_id AS eid, ts AS ets, event_type AS etype,
+         epoch_us(ts) AS eus
+  FROM events WHERE event_type IN ('error', 'click')
+),
+m AS (
+  SELECT user_id, eid, ets, etype, eus,
+         first_value(CASE WHEN etype = 'click' THEN ets END IGNORE NULLS)
+           OVER w AS b_ts,
+         first_value(CASE WHEN etype = 'click' THEN eid END IGNORE NULLS)
+           OVER w AS b_id,
+         first_value(CASE WHEN etype = 'click' THEN eus END IGNORE NULLS)
+           OVER w AS b_us
+  FROM sub
+  WINDOW w AS (PARTITION BY user_id ORDER BY ets, eid
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, eid AS a_id, ets AS a_ts, b_id, b_ts,
+       round((b_us - eus) / 1000000.0, 6) AS gap_s
+FROM m
+WHERE etype = 'error' AND b_ts IS NOT NULL
+  AND b_us - eus > 0 AND b_us - eus <= 600000000
+ORDER BY user_id, a_id
+""",
+        "ev21_pivot_transform": """
+SELECT user_id,
+"""
+        + ",\n".join(
+            f"  coalesce(count(*) FILTER (WHERE event_type = '{v}'), 0) AS {v}_cnt,\n"
+            f"  round(coalesce(CAST(sum(CAST(value AS DECIMAL(38,9)))"
+            f" FILTER (WHERE event_type = '{v}') AS DOUBLE), 0.0), 4) AS {v}_sum"
+            for v in EV_TYPES
+        )
+        + """
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        # deterministic variable_width_histogram: split sorted DISTINCT
+        # values at the 7 largest adjacent gaps (tie → smaller left value)
+        "ev22_vwh": """
+WITH vals AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+dv AS (SELECT DISTINCT v FROM vals),
+g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gp FROM dv),
+bounds AS (SELECT v FROM g WHERE gp IS NOT NULL ORDER BY gp DESC, v ASC LIMIT 7),
+vb AS (
+  SELECT dv.v, count(bounds.v) AS bucket
+  FROM dv LEFT JOIN bounds ON bounds.v <= dv.v GROUP BY dv.v
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       round(min(v), 4) AS "min", round(max(v), 4) AS "max",
+       round(CAST(sum(CAST(v AS DECIMAL(38,9))) AS DOUBLE) / count(*), 4) AS avg,
+       count(*) AS doc_count
+FROM vals JOIN vb USING (v) GROUP BY 1 ORDER BY 1
+""",
+        # categorize_text: numeral-masked first-6-token template
+        "ts8_categorize": f"""
+WITH t AS (
+  SELECT array_to_string(
+    list_transform(list_slice({_TOKS}, 1, 6),
+      t -> CASE WHEN regexp_matches(t, '^\\p{{N}}+$') THEN '<num>' ELSE t END),
+    ' ') AS category
+  FROM documents
+)
+SELECT category, count(*) AS doc_count
+FROM t GROUP BY category ORDER BY doc_count DESC, category ASC
+""",
+        "fi1_item_sets": """
+WITH ti AS (SELECT DISTINCT user_id AS txn, event_type AS item FROM events),
+n AS (SELECT count(DISTINCT txn) AS n_txn FROM ti),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+  FROM ti a JOIN ti b USING (txn) WHERE a.item < b.item GROUP BY 1, 2
+)
+SELECT item_a, item_b, support,
+       round(support / CAST(n_txn AS DOUBLE), 4) AS support_ratio
+FROM p CROSS JOIN n WHERE support >= 2
+ORDER BY support DESC, item_a, item_b
+""",
+        "tr6_pmi_pairs": f"""
+WITH dt AS (SELECT DISTINCT doc_id AS d, unnest({_TOKS}) AS t FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT t, count(*) AS df FROM dt GROUP BY t HAVING count(*) >= 5),
+kept AS (SELECT d, dt.t, df FROM dt JOIN dfq USING (t)),
+p AS (
+  SELECT a.t AS term_a, b.t AS term_b, a.df AS df_a, b.df AS df_b,
+         count(*) AS n_ab
+  FROM kept a JOIN kept b USING (d) WHERE a.t < b.t GROUP BY 1, 2, 3, 4
+)
+SELECT term_a, term_b, n_ab,
+       round(ln(CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                / CAST(df_a * df_b AS DOUBLE)), 4) AS pmi
+FROM p CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b LIMIT 50
+""",
+        "tr7_bpe_pairs": f"""
+WITH w AS (SELECT unnest({_TOKS}) AS w FROM documents),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substring(w, CAST(i AS INT), 2))) AS pair
+  FROM w WHERE len(w) >= 2
+)
+SELECT pair, count(*) AS n FROM g GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+""",
+        # closed-form video-frame oracle: the arith_video_bytes series
+        # restated with generate_series (pixel j of frame f is
+        # (id·29 + 11·(f·w·h + j)) mod 256; every-2nd frame sampled)
+        "mm3_video_frames": """
+WITH v AS (
+  SELECT doc_id, 5 + 2 * (doc_id % 4) AS w, 3 + 2 * (doc_id % 3) AS h,
+         2 + (doc_id % 4) AS nf
+  FROM documents
+),
+f AS (SELECT doc_id, w, h, unnest(generate_series(0, nf - 1, 2)) AS fi FROM v),
+px AS (
+  SELECT doc_id, w, h, fi, unnest(generate_series(0, w * h - 1)) AS j FROM f
+)
+SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       round(sum(CAST((doc_id * 29 + 11 * (fi * w * h + j)) % 256 AS DOUBLE))
+             / (w * h), 4) AS mean_luma,
+       TRUE AS ok
+FROM px GROUP BY doc_id, fi, w, h
+""",
+        # ES|QL pipelines: the oracle is the hand-written SQL the pipe
+        # chain denotes
+        "esql1_stats": """
+SELECT source, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents WHERE lang = 'en' AND n_chars > 200
+GROUP BY source ORDER BY cnt DESC, source ASC LIMIT 10
+""",
+        "esql2_lookup_join": """
+SELECT n_name, count(*) AS customers,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS acct_cents_total
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY customers DESC, n_name ASC LIMIT 10
+""",
+        "esql3_case_bands": """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CASE WHEN value >= 50.0 THEN 'high'
+            WHEN value >= 10.0 THEN 'mid' ELSE 'low' END AS band,
+       count(*) AS n, count(DISTINCT user_id) AS users
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2 ORDER BY day ASC, band ASC LIMIT 200
+""",
     }

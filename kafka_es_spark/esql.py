@@ -1,0 +1,949 @@
+"""ES|QL — Elasticsearch's piped query language, compiled to DataFrames.
+
+ES 8.11+ ships ES|QL (`POST /_query {"query": "FROM idx | WHERE ... |
+STATS ... BY ..."}`) as the successor query surface to the JSON DSL; a
+user of the reference stack (kafka-es feeding an ES index) queries the
+indexed data with exactly this language. This module is a self-contained
+compiler from the public ES|QL grammar (https://www.elastic.co/docs/
+reference/query-languages/esql — syntax only; the implementation is
+original) onto the PySpark DataFrame API:
+
+    text  --lex-->  tokens  --parse-->  command AST  --compile-->  DataFrame
+
+Design: compile, don't interpret. Every command becomes the declarative
+DataFrame operator it denotes (`WHERE`→filter, `STATS..BY`→groupBy.agg,
+`SORT`→orderBy, `LOOKUP JOIN`→broadcast left join, `MV_EXPAND`→explode),
+and every expression becomes a `pyspark.sql.Column` tree — so Catalyst
+sees the same logical plan a hand-written DataFrame program would produce
+and all of its optimizations (predicate pushdown through the pipe chain,
+column pruning from KEEP/STATS, partial aggregation, broadcast planning)
+apply for free. There is no row-at-a-time evaluation anywhere: the
+compiler never touches data, only plans.
+
+Supported surface (the stable core of the public grammar):
+
+* source commands: ``FROM table`` (resolver-provided relation), ``ROW
+  name = literal, ...`` (inline one-row relation).
+* processing commands: ``WHERE``, ``EVAL`` (left-to-right, later
+  assignments may reference earlier ones), ``STATS aggs [BY keys]``
+  (keys may themselves be ``name = expr``), ``SORT expr [ASC|DESC]
+  [NULLS FIRST|LAST]`` (ES|QL default: nulls last), ``LIMIT``,
+  ``KEEP``/``DROP`` (with ``*`` wildcards, KEEP reorders like ES|QL),
+  ``RENAME old AS new``, ``MV_EXPAND col`` (explode, null-preserving),
+  ``LOOKUP JOIN table ON key`` (left equi-join against a broadcast
+  lookup relation — the ES|QL lookup-index join).
+* expressions: arithmetic ``+ - * / %``, comparisons ``== != < <= >
+  >=``, ``AND OR NOT``, ``IN (...)``, ``LIKE`` (``*``/``?`` wildcards),
+  ``RLIKE``, ``IS [NOT] NULL``, literals (int/float/string/bool/null),
+  parenthesised subexpressions, and the scalar/agg function library
+  below.
+
+* extraction commands: ``DISSECT col "%{a} - %{b}"`` (literal-separator
+  splitting, ``%{}`` skip keys, trailing key takes the rest) and ``GROK
+  col "%{WORD:etype} user=%{INT:uid:int}"`` (the classic logstash core
+  pattern set, ``:type`` casts) — both compile to JVM-side
+  ``regexp_extract`` columns; non-matching rows keep the row with null
+  fields (ES|QL semantics).
+
+Deviations (documented, deliberate): identifiers are bare or
+backquoted; ``DATE_TRUNC("day", ts)`` takes a string unit instead of
+ES|QL's ``1 day`` interval literal; the one unsupported command
+(ENRICH — needs an enrich-policy store) raises ``ESQLError`` at parse
+time with the offending token position rather than silently degrading.
+
+Scale (100 TB): the compiler emits only declarative plans, so the scale
+properties are those of the operators it emits — a WHERE ahead of a
+STATS reaches the parquet scan as a pushed filter, KEEP prunes the read
+schema, STATS is a hash aggregation with map-side combine, LOOKUP JOIN
+broadcasts the lookup side (dimension tables by contract, as in ES|QL
+where lookup indices are bounded), and SORT+LIMIT plans as TakeOrdered
+(no global sort materialization). Nothing in this module collects,
+loops, or shuffles on its own.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+class ESQLError(ValueError):
+    """Parse/compile error with the source position of the offence."""
+
+
+# --------------------------------------------------------------------------
+# Lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<bq>`[^`]+`)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>==|!=|<=|>=|->|\|\||&&|[|(),=<>+\-*/%])
+    """,
+    re.X,
+)
+
+_KEYWORDS = {
+    "from", "row", "where", "eval", "stats", "by", "sort", "limit",
+    "keep", "drop", "rename", "as", "asc", "desc", "nulls", "first",
+    "last", "and", "or", "not", "in", "like", "rlike", "is", "null",
+    "true", "false", "mv_expand", "lookup", "join", "on",
+    "dissect", "grok",
+    # recognised-but-unsupported (clean error instead of mystery parse)
+    "enrich",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str  # "str" | "num" | "ident" | "kw" | "op" | "eof"
+    value: str
+    pos: int
+
+
+def _lex(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise ESQLError(f"ES|QL: unexpected character {text[i]!r} at {i}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        v = m.group()
+        if m.lastgroup == "str":
+            body = v[1:-1]
+            body = re.sub(r"\\(.)", lambda g: {"n": "\n", "t": "\t"}.get(g.group(1), g.group(1)), body)
+            toks.append(_Tok("str", body, m.start()))
+        elif m.lastgroup == "num":
+            toks.append(_Tok("num", v, m.start()))
+        elif m.lastgroup == "bq":
+            toks.append(_Tok("ident", v[1:-1], m.start()))
+        elif m.lastgroup == "ident":
+            low = v.lower()
+            toks.append(_Tok("kw" if low in _KEYWORDS else "ident", v, m.start()))
+        else:
+            toks.append(_Tok("op", v, m.start()))
+    toks.append(_Tok("eof", "", len(text)))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# Expression AST → Column
+# --------------------------------------------------------------------------
+# Nodes are tuples: ("lit", v) ("col", name) ("call", fname, [args])
+# ("bin", op, l, r) ("not", x) ("neg", x) ("in", x, [items], negated)
+# ("like", x, pattern, negated, is_regex) ("isnull", x, negated)
+# ("star",) — only valid inside COUNT().
+
+
+# Grok pattern library (the classic logstash core set; fragments use only
+# non-capturing groups so field-group numbering stays positional).
+_GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"[A-Za-z0-9._-]+",
+    "USER": r"[A-Za-z0-9._-]+",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|NOTICE|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL)",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+}
+
+_GROK_TYPES = {"int": "int", "long": "long", "float": "double", "double": "double"}
+
+_DISSECT_KEY_RE = re.compile(r"%\{([^}]*)\}")
+
+
+def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """ES dissect pattern → (anchored regex, field names in group order).
+    ``%{name}`` keys separated by literal text; ``%{}`` skips. Every key
+    is non-greedy except a trailing one, which takes the rest."""
+    fields: list[str] = []
+    rx: list[str] = ["^"]
+    last = 0
+    matches = list(_DISSECT_KEY_RE.finditer(pattern))
+    if not matches:
+        raise ESQLError("ES|QL: DISSECT pattern has no %{...} keys")
+    for i, m in enumerate(matches):
+        rx.append(re.escape(pattern[last : m.start()]))
+        name = m.group(1)
+        trailing = i == len(matches) - 1 and m.end() == len(pattern)
+        body = ".*" if trailing else ".*?"
+        if name:
+            fields.append(name)
+            rx.append(f"({body})")
+        else:
+            rx.append(f"(?:{body})")
+        last = m.end()
+    rx.append(re.escape(pattern[last:]))
+    rx.append("$")
+    return "".join(rx), fields
+
+
+def _grok_to_regex(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """ES grok pattern → (anchored regex, [(field, cast_type|None)] in
+    group order). ``%{PATTERN:field}`` captures, ``%{PATTERN}`` matches
+    anonymously, ``%{PATTERN:field:int}`` casts."""
+    fields: list[tuple[str, str | None]] = []
+    rx: list[str] = ["^"]
+    last = 0
+    matches = list(_DISSECT_KEY_RE.finditer(pattern))
+    if not matches:
+        raise ESQLError("ES|QL: GROK pattern has no %{...} tokens")
+    for m in matches:
+        rx.append(re.escape(pattern[last : m.start()]))
+        parts = m.group(1).split(":")
+        pname = parts[0]
+        frag = _GROK_LIB.get(pname)
+        if frag is None:
+            raise ESQLError(
+                f"ES|QL: unknown grok pattern %{{{pname}}} "
+                f"(available: {', '.join(sorted(_GROK_LIB))})"
+            )
+        if len(parts) >= 2 and parts[1]:
+            cast = None
+            if len(parts) >= 3:
+                cast = _GROK_TYPES.get(parts[2].lower())
+                if cast is None:
+                    raise ESQLError(f"ES|QL: unknown grok cast type {parts[2]!r}")
+            fields.append((parts[1], cast))
+            rx.append(f"({frag})")
+        else:
+            rx.append(f"(?:{frag})")
+        last = m.end()
+    rx.append(re.escape(pattern[last:]))
+    rx.append("$")
+    return "".join(rx), fields
+
+
+def _like_to_sql(pattern: str) -> str:
+    """ES|QL LIKE wildcards (* any run, ? one char) → SQL LIKE (%, _)."""
+    out = []
+    for ch in pattern:
+        if ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        elif ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _fn_substring(s: Column, start: Column, length: Column | None = None) -> Column:
+    # ES|QL substring is 1-based; omitted length = to end of string.
+    if length is None:
+        return s.substr(start, F.length(s))
+    return s.substr(start, length)
+
+
+def _fn_case(*args: Column) -> Column:
+    # case(cond1, v1, cond2, v2, ..., [default])
+    if len(args) < 2:
+        raise ESQLError("ES|QL: case() needs at least a condition and a value")
+    pairs, default = (args[:-1], args[-1]) if len(args) % 2 == 1 else (args, None)
+    expr = F.when(pairs[0], pairs[1])
+    for i in range(2, len(pairs), 2):
+        expr = expr.when(pairs[i], pairs[i + 1])
+    return expr.otherwise(default) if default is not None else expr
+
+
+# name → (min_args, max_args, builder).  Builders receive compiled Columns.
+_SCALAR_FNS: dict = {
+    "abs": (1, 1, F.abs),
+    "ceil": (1, 1, F.ceil),
+    "floor": (1, 1, F.floor),
+    "sqrt": (1, 1, F.sqrt),
+    "exp": (1, 1, F.exp),
+    "log10": (1, 1, F.log10),
+    "log": (1, 2, lambda *a: F.log(a[0]) if len(a) == 1 else F.log(a[0], a[1])),
+    "pow": (2, 2, F.pow),
+    "length": (1, 1, F.length),
+    "to_lower": (1, 1, F.lower),
+    "to_upper": (1, 1, F.upper),
+    "trim": (1, 1, F.trim),
+    "ltrim": (1, 1, F.ltrim),
+    "rtrim": (1, 1, F.rtrim),
+    "concat": (2, 99, F.concat),
+    "coalesce": (1, 99, F.coalesce),
+    "greatest": (2, 99, F.greatest),
+    "least": (2, 99, F.least),
+    "substring": (2, 3, _fn_substring),
+    "starts_with": (2, 2, lambda s, p: s.startswith(p)),
+    "ends_with": (2, 2, lambda s, p: s.endswith(p)),
+    "locate": (2, 2, lambda s, sub: F.instr(s, sub)),
+    "left": (2, 2, lambda s, n: s.substr(F.lit(1), n)),
+    "right": (2, 2, lambda s, n: s.substr(F.length(s) - n + 1, n)),
+    "replace": (3, 3, lambda s, pat, rep: F.regexp_replace(s, pat, rep)),
+    "split": (2, 2, lambda s, d: F.split(s, d)),
+    "to_string": (1, 1, lambda x: x.cast("string")),
+    "to_long": (1, 1, lambda x: x.cast("long")),
+    "to_integer": (1, 1, lambda x: x.cast("int")),
+    "to_double": (1, 1, lambda x: x.cast("double")),
+    "to_boolean": (1, 1, lambda x: x.cast("boolean")),
+    # date_trunc / date_format / round are special-cased in _compile_expr
+    # (they need literal unit/format/digit arguments).
+    "mv_count": (1, 1, F.size),
+    "mv_min": (1, 1, F.array_min),
+    "mv_max": (1, 1, F.array_max),
+    "case": (2, 99, _fn_case),
+}
+
+_AGG_FNS: dict = {
+    "count": lambda a: F.count(a[0] if a else F.lit(1)),
+    "count_distinct": lambda a: F.count_distinct(a[0]),
+    "sum": lambda a: F.sum(a[0]),
+    "avg": lambda a: F.avg(a[0]),
+    "min": lambda a: F.min(a[0]),
+    "max": lambda a: F.max(a[0]),
+    "values": lambda a: F.sort_array(F.collect_set(a[0])),
+    "weighted_avg": lambda a: F.sum(a[0] * a[1]) / F.sum(a[1]),
+}
+
+
+def _compile_expr(node) -> Column:
+    kind = node[0]
+    if kind == "lit":
+        return F.lit(node[1])
+    if kind == "col":
+        return F.col("`" + node[1] + "`") if "." in node[1] else F.col(node[1])
+    if kind == "neg":
+        return -_compile_expr(node[1])
+    if kind == "not":
+        return ~_compile_expr(node[1])
+    if kind == "bin":
+        op, l, r = node[1], _compile_expr(node[2]), _compile_expr(node[3])
+        if op == "==":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        if op == "+":
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        raise ESQLError(f"ES|QL: unknown operator {op}")
+    if kind == "in":
+        expr = _compile_expr(node[1]).isin([n[1] for n in node[2]])
+        return ~expr if node[3] else expr
+    if kind == "like":
+        x = _compile_expr(node[1])
+        expr = x.rlike(node[2]) if node[4] else x.like(_like_to_sql(node[2]))
+        return ~expr if node[3] else expr
+    if kind == "isnull":
+        x = _compile_expr(node[1])
+        return x.isNotNull() if node[2] else x.isNull()
+    if kind == "call":
+        name, args = node[1], node[2]
+        if name == "date_trunc":
+            if args[0][0] != "lit" or not isinstance(args[0][1], str):
+                raise ESQLError("ES|QL: date_trunc needs a literal string unit")
+            return F.date_trunc(args[0][1], _compile_expr(args[1]))
+        if name == "date_format":
+            if args[0][0] != "lit" or not isinstance(args[0][1], str):
+                raise ESQLError("ES|QL: date_format needs a literal format string")
+            return F.date_format(_compile_expr(args[1]), args[0][1])
+        if name == "round":
+            # digits must stay a python int for Spark's round()
+            if len(args) == 2:
+                if args[1][0] != "lit":
+                    raise ESQLError("ES|QL: round() digits must be a literal")
+                return F.round(_compile_expr(args[0]), int(args[1][1]))
+            return F.round(_compile_expr(args[0]), 0)
+        spec = _SCALAR_FNS.get(name)
+        if spec is None:
+            raise ESQLError(f"ES|QL: unknown function {name}()")
+        lo, hi, builder = spec
+        if not (lo <= len(args) <= hi):
+            raise ESQLError(f"ES|QL: {name}() takes {lo}..{hi} args, got {len(args)}")
+        return builder(*[_compile_expr(a) for a in args])
+    if kind == "star":
+        raise ESQLError("ES|QL: * is only valid inside COUNT(*)")
+    raise ESQLError(f"ES|QL: cannot compile node {node!r}")
+
+
+def _expr_text(node) -> str:
+    """Canonical text of an expression — ES|QL's default output column name."""
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        return f'"{v}"' if isinstance(v, str) else ("null" if v is None else str(v))
+    if kind == "col":
+        return node[1]
+    if kind == "neg":
+        return "-" + _expr_text(node[1])
+    if kind == "not":
+        return "NOT " + _expr_text(node[1])
+    if kind == "bin":
+        return f"{_expr_text(node[2])} {node[1]} {_expr_text(node[3])}"
+    if kind == "call":
+        return f"{node[1]}({', '.join(_expr_text(a) for a in node[2])})"
+    if kind == "star":
+        return "*"
+    return "expr"
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Cmd:
+    name: str
+    payload: dict = field(default_factory=dict)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _lex(text)
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.value.lower() in words
+
+    def eat_kw(self, word: str) -> _Tok:
+        t = self.next()
+        if t.kind != "kw" or t.value.lower() != word:
+            raise ESQLError(f"ES|QL: expected {word.upper()} at {t.pos}, got {t.value!r}")
+        return t
+
+    def eat_op(self, op: str) -> _Tok:
+        t = self.next()
+        if t.kind != "op" or t.value != op:
+            raise ESQLError(f"ES|QL: expected {op!r} at {t.pos}, got {t.value!r}")
+        return t
+
+    def eat_ident(self) -> str:
+        t = self.next()
+        if t.kind == "ident":
+            return t.value
+        # keywords are legal field names in ES|QL when unambiguous
+        if t.kind == "kw" and t.value.lower() not in {"and", "or", "not", "null", "true", "false"}:
+            return t.value
+        raise ESQLError(f"ES|QL: expected identifier at {t.pos}, got {t.value!r}")
+
+    # -- pipeline ----------------------------------------------------------
+    def parse(self) -> list[_Cmd]:
+        cmds = [self.parse_source()]
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                break
+            if not (t.kind == "op" and t.value == "|"):
+                raise ESQLError(f"ES|QL: expected | at {t.pos}, got {t.value!r}")
+            self.next()
+            cmds.append(self.parse_command())
+        return cmds
+
+    def parse_source(self) -> _Cmd:
+        t = self.peek()
+        if self.at_kw("from"):
+            self.next()
+            return _Cmd("from", {"table": self.eat_ident()})
+        if self.at_kw("row"):
+            self.next()
+            assigns = self.parse_assign_list()
+            return _Cmd("row", {"assigns": assigns})
+        raise ESQLError(f"ES|QL: query must start with FROM or ROW (at {t.pos})")
+
+    def parse_command(self) -> _Cmd:
+        t = self.peek()
+        if t.kind != "kw":
+            raise ESQLError(f"ES|QL: expected a command at {t.pos}, got {t.value!r}")
+        word = t.value.lower()
+        self.next()
+        if word == "where":
+            return _Cmd("where", {"expr": self.parse_expr()})
+        if word == "eval":
+            return _Cmd("eval", {"assigns": self.parse_assign_list()})
+        if word == "stats":
+            aggs = self.parse_named_expr_list()
+            keys = []
+            if self.at_kw("by"):
+                self.next()
+                keys = self.parse_named_expr_list()
+            return _Cmd("stats", {"aggs": aggs, "keys": keys})
+        if word == "sort":
+            return _Cmd("sort", {"keys": self.parse_sort_keys()})
+        if word == "limit":
+            t = self.next()
+            if t.kind != "num":
+                raise ESQLError(f"ES|QL: LIMIT needs an integer at {t.pos}")
+            return _Cmd("limit", {"n": int(t.value)})
+        if word in ("keep", "drop"):
+            pats = [self.parse_name_pattern()]
+            while self.peek().kind == "op" and self.peek().value == ",":
+                self.next()
+                pats.append(self.parse_name_pattern())
+            return _Cmd(word, {"patterns": pats})
+        if word == "rename":
+            pairs = []
+            while True:
+                old = self.eat_ident()
+                self.eat_kw("as")
+                new = self.eat_ident()
+                pairs.append((old, new))
+                if self.peek().kind == "op" and self.peek().value == ",":
+                    self.next()
+                    continue
+                break
+            return _Cmd("rename", {"pairs": pairs})
+        if word == "mv_expand":
+            return _Cmd("mv_expand", {"col": self.eat_ident()})
+        if word == "lookup":
+            self.eat_kw("join")
+            table = self.eat_ident()
+            self.eat_kw("on")
+            key = self.eat_ident()
+            return _Cmd("lookup_join", {"table": table, "key": key})
+        if word in ("dissect", "grok"):
+            col = self.eat_ident()
+            t = self.next()
+            if t.kind != "str":
+                raise ESQLError(
+                    f"ES|QL: {word.upper()} needs a string pattern at {t.pos}"
+                )
+            return _Cmd(word, {"col": col, "pattern": t.value})
+        if word == "enrich":
+            raise ESQLError(f"ES|QL: ENRICH is not supported by this engine (at {t.pos})")
+        raise ESQLError(f"ES|QL: unknown command {word.upper()} at {t.pos}")
+
+    # -- pieces -------------------------------------------------------------
+    def parse_assign_list(self) -> list[tuple[str, tuple]]:
+        out = []
+        while True:
+            name = self.eat_ident()
+            self.eat_op("=")
+            out.append((name, self.parse_expr()))
+            if self.peek().kind == "op" and self.peek().value == ",":
+                self.next()
+                continue
+            break
+        return out
+
+    def parse_named_expr_list(self) -> list[tuple[str, tuple]]:
+        """`name = expr` or bare `expr` (named by its canonical text)."""
+        out = []
+        while True:
+            mark = self.i
+            name = None
+            t = self.peek()
+            if t.kind in ("ident", "kw") and t.value.lower() not in {"and", "or", "not"}:
+                nxt = self.toks[self.i + 1]
+                if nxt.kind == "op" and nxt.value == "=":
+                    name = self.eat_ident()
+                    self.next()  # '='
+            expr = self.parse_expr()
+            out.append((name or _expr_text(expr), expr))
+            del mark
+            if self.peek().kind == "op" and self.peek().value == ",":
+                self.next()
+                continue
+            break
+        return out
+
+    def parse_sort_keys(self) -> list[tuple[tuple, bool, str | None]]:
+        keys = []
+        while True:
+            expr = self.parse_expr()
+            asc = True
+            nulls = None
+            if self.at_kw("asc", "desc"):
+                asc = self.next().value.lower() == "asc"
+            if self.at_kw("nulls"):
+                self.next()
+                t = self.next()
+                if t.kind != "kw" or t.value.lower() not in ("first", "last"):
+                    raise ESQLError(f"ES|QL: expected FIRST or LAST at {t.pos}")
+                nulls = t.value.lower()
+            keys.append((expr, asc, nulls))
+            if self.peek().kind == "op" and self.peek().value == ",":
+                self.next()
+                continue
+            break
+        return keys
+
+    def parse_name_pattern(self) -> str:
+        """KEEP/DROP item: identifier possibly containing * wildcards."""
+        parts = []
+        if self.peek().kind == "op" and self.peek().value == "*":
+            parts.append(self.next().value)
+        while True:
+            t = self.peek()
+            if t.kind in ("ident", "kw") and t.value.lower() not in {"and", "or", "not"}:
+                parts.append(self.next().value)
+            elif t.kind == "op" and t.value == "*":
+                parts.append(self.next().value)
+            else:
+                break
+            # stop unless the next token glues directly (no space) — simpler:
+            nxt = self.peek()
+            if not (nxt.kind == "op" and nxt.value == "*") and not (
+                parts[-1] == "*" and nxt.kind in ("ident", "kw")
+            ):
+                break
+        if not parts:
+            raise ESQLError(f"ES|QL: expected a column pattern at {self.peek().pos}")
+        return "".join(parts)
+
+    # -- expressions (precedence climbing) -----------------------------------
+    def parse_expr(self) -> tuple:
+        return self.parse_or()
+
+    def parse_or(self) -> tuple:
+        left = self.parse_and()
+        while self.at_kw("or"):
+            self.next()
+            left = ("bin", "or", left, self.parse_and())
+        return left
+
+    def parse_and(self) -> tuple:
+        left = self.parse_not()
+        while self.at_kw("and"):
+            self.next()
+            left = ("bin", "and", left, self.parse_not())
+        return left
+
+    def parse_not(self) -> tuple:
+        if self.at_kw("not"):
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> tuple:
+        left = self.parse_additive()
+        t = self.peek()
+        if t.kind == "op" and t.value in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("bin", t.value, left, self.parse_additive())
+        negated = False
+        if self.at_kw("not"):
+            nxt = self.toks[self.i + 1]
+            if nxt.kind == "kw" and nxt.value.lower() in ("in", "like", "rlike"):
+                self.next()
+                negated = True
+        if self.at_kw("in"):
+            self.next()
+            self.eat_op("(")
+            items = []
+            while True:
+                items.append(self.parse_literal())
+                if self.peek().kind == "op" and self.peek().value == ",":
+                    self.next()
+                    continue
+                break
+            self.eat_op(")")
+            return ("in", left, items, negated)
+        if self.at_kw("like", "rlike"):
+            is_regex = self.next().value.lower() == "rlike"
+            t = self.next()
+            if t.kind != "str":
+                raise ESQLError(f"ES|QL: LIKE/RLIKE needs a string pattern at {t.pos}")
+            return ("like", left, t.value, negated, is_regex)
+        if self.at_kw("is"):
+            self.next()
+            neg = False
+            if self.at_kw("not"):
+                self.next()
+                neg = True
+            self.eat_kw("null")
+            return ("isnull", left, neg)
+        return left
+
+    def parse_additive(self) -> tuple:
+        left = self.parse_multiplicative()
+        while self.peek().kind == "op" and self.peek().value in ("+", "-"):
+            op = self.next().value
+            left = ("bin", op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self) -> tuple:
+        left = self.parse_unary()
+        while self.peek().kind == "op" and self.peek().value in ("*", "/", "%"):
+            op = self.next().value
+            left = ("bin", op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self) -> tuple:
+        t = self.peek()
+        if t.kind == "op" and t.value == "-":
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_literal(self) -> tuple:
+        t = self.next()
+        if t.kind == "num":
+            v = float(t.value) if ("." in t.value or "e" in t.value.lower()) else int(t.value)
+            return ("lit", v)
+        if t.kind == "str":
+            return ("lit", t.value)
+        if t.kind == "kw" and t.value.lower() in ("true", "false"):
+            return ("lit", t.value.lower() == "true")
+        if t.kind == "kw" and t.value.lower() == "null":
+            return ("lit", None)
+        if t.kind == "op" and t.value == "-":
+            inner = self.parse_literal()
+            return ("lit", -inner[1])
+        raise ESQLError(f"ES|QL: expected a literal at {t.pos}, got {t.value!r}")
+
+    def parse_primary(self) -> tuple:
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            expr = self.parse_expr()
+            self.eat_op(")")
+            return expr
+        if t.kind == "op" and t.value == "*":
+            self.next()
+            return ("star",)
+        if t.kind in ("num", "str"):
+            return self.parse_literal()
+        if t.kind == "kw" and t.value.lower() in ("true", "false", "null"):
+            return self.parse_literal()
+        if t.kind in ("ident", "kw"):
+            name = self.next().value
+            if self.peek().kind == "op" and self.peek().value == "(":
+                self.next()
+                args = []
+                if not (self.peek().kind == "op" and self.peek().value == ")"):
+                    while True:
+                        args.append(self.parse_expr())
+                        if self.peek().kind == "op" and self.peek().value == ",":
+                            self.next()
+                            continue
+                        break
+                self.eat_op(")")
+                return ("call", name.lower(), args)
+            return ("col", name)
+        raise ESQLError(f"ES|QL: unexpected token {t.value!r} at {t.pos}")
+
+
+# --------------------------------------------------------------------------
+# Compiler — command list → DataFrame
+# --------------------------------------------------------------------------
+
+
+def _is_agg_call(node) -> bool:
+    return node[0] == "call" and node[1] in _AGG_FNS
+
+
+def _contains_agg(node) -> bool:
+    if _is_agg_call(node):
+        return True
+    if node[0] in ("neg", "not", "isnull"):
+        return _contains_agg(node[1])
+    if node[0] == "bin":
+        return _contains_agg(node[2]) or _contains_agg(node[3])
+    if node[0] in ("in", "like"):
+        return _contains_agg(node[1])
+    if node[0] == "call":
+        return any(_contains_agg(a) for a in node[2])
+    return False
+
+
+def _compile_agg(node) -> Column:
+    """STATS expression: scalar functions/arithmetic over aggregate-call
+    leaves (ES|QL allows e.g. ``round(avg(x), 2)`` or ``sum(a)/sum(b)``)."""
+    if _is_agg_call(node):
+        name, args = node[1], node[2]
+        if name == "count" and (not args or args[0][0] == "star"):
+            return F.count(F.lit(1))
+        compiled = [_compile_expr(a) for a in args]
+        if name == "count":
+            return F.count(compiled[0])
+        return _AGG_FNS[name](compiled)
+    if not _contains_agg(node):
+        raise ESQLError(
+            f"ES|QL: STATS expects aggregate functions "
+            f"({', '.join(sorted(_AGG_FNS))}), got {_expr_text(node)}"
+        )
+    # Recurse: rebuild the scalar wrapper with agg leaves compiled.
+    if node[0] == "neg":
+        return -_compile_agg(node[1])
+    if node[0] == "bin":
+        op = node[1]
+        l = _compile_agg(node[2]) if _contains_agg(node[2]) else _compile_expr(node[2])
+        r = _compile_agg(node[3]) if _contains_agg(node[3]) else _compile_expr(node[3])
+        return {
+            "+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r,
+            "==": l == r, "!=": l != r, "<": l < r, "<=": l <= r,
+            ">": l > r, ">=": l >= r, "and": l & r, "or": l | r,
+        }[op]
+    if node[0] == "call":
+        name, args = node[1], node[2]
+        if name == "round":
+            if len(args) == 2:
+                if args[1][0] != "lit":
+                    raise ESQLError("ES|QL: round() digits must be a literal")
+                return F.round(_compile_agg(args[0]), int(args[1][1]))
+            return F.round(_compile_agg(args[0]), 0)
+        spec = _SCALAR_FNS.get(name)
+        if spec is None:
+            raise ESQLError(f"ES|QL: unknown function {name}()")
+        lo, hi, builder = spec
+        if not (lo <= len(args) <= hi):
+            raise ESQLError(f"ES|QL: {name}() takes {lo}..{hi} args, got {len(args)}")
+        return builder(*[
+            _compile_agg(a) if _contains_agg(a) else _compile_expr(a) for a in args
+        ])
+    raise ESQLError(f"ES|QL: cannot mix {node[0]} with aggregates in STATS")
+
+
+def _expand_patterns(patterns: list[str], columns: list[str], cmd: str) -> list[str]:
+    out: list[str] = []
+    for pat in patterns:
+        if "*" in pat:
+            rx = re.compile("^" + re.escape(pat).replace(r"\*", ".*") + "$")
+            matched = [c for c in columns if rx.match(c) and c not in out]
+            out.extend(matched)
+        else:
+            if pat not in columns:
+                raise ESQLError(f"ES|QL: {cmd.upper()} references unknown column {pat!r}")
+            if pat not in out:
+                out.append(pat)
+    return out
+
+
+def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
+    if cmd.name == "where":
+        return df.filter(_compile_expr(cmd.payload["expr"]))
+    if cmd.name == "eval":
+        for name, expr in cmd.payload["assigns"]:
+            df = df.withColumn(name, _compile_expr(expr))
+        return df
+    if cmd.name == "stats":
+        aggs = [
+            _compile_agg(expr).alias(name) for name, expr in cmd.payload["aggs"]
+        ]
+        keys = [
+            _compile_expr(expr).alias(name) for name, expr in cmd.payload["keys"]
+        ]
+        if keys:
+            return df.groupBy(*keys).agg(*aggs)
+        return df.agg(*aggs)
+    if cmd.name == "sort":
+        cols = []
+        for expr, asc, nulls in cmd.payload["keys"]:
+            c = _compile_expr(expr)
+            # ES|QL default: nulls sort LAST in both directions.
+            if asc:
+                c = c.asc_nulls_first() if nulls == "first" else c.asc_nulls_last()
+            else:
+                c = c.desc_nulls_first() if nulls == "first" else c.desc_nulls_last()
+            cols.append(c)
+        return df.orderBy(*cols)
+    if cmd.name == "limit":
+        return df.limit(cmd.payload["n"])
+    if cmd.name == "keep":
+        cols = _expand_patterns(cmd.payload["patterns"], df.columns, "keep")
+        return df.select(*cols)
+    if cmd.name == "drop":
+        dropped = set(_expand_patterns(cmd.payload["patterns"], df.columns, "drop"))
+        return df.select(*[c for c in df.columns if c not in dropped])
+    if cmd.name == "rename":
+        for old, new in cmd.payload["pairs"]:
+            if old not in df.columns:
+                raise ESQLError(f"ES|QL: RENAME references unknown column {old!r}")
+            df = df.withColumnRenamed(old, new)
+        return df
+    if cmd.name == "mv_expand":
+        col = cmd.payload["col"]
+        if col not in df.columns:
+            raise ESQLError(f"ES|QL: MV_EXPAND references unknown column {col!r}")
+        others = [c for c in df.columns if c != col]
+        return df.select(*others, F.explode_outer(col).alias(col)).select(*df.columns)
+    if cmd.name in ("dissect", "grok"):
+        src = cmd.payload["col"]
+        if src not in df.columns:
+            raise ESQLError(f"ES|QL: {cmd.name.upper()} references unknown column {src!r}")
+        if cmd.name == "dissect":
+            rx, names = _dissect_to_regex(cmd.payload["pattern"])
+            fields = [(n, None) for n in names]
+        else:
+            rx, fields = _grok_to_regex(cmd.payload["pattern"])
+        matched = F.col(src).rlike(rx)
+        for gi, (name, cast) in enumerate(fields, start=1):
+            val = F.regexp_extract(F.col(src), rx, gi)
+            if cast:
+                val = val.cast(cast)
+            # non-matching rows keep the row, fields null (ES|QL semantics)
+            df = df.withColumn(name, F.when(matched, val))
+        return df
+    if cmd.name == "lookup_join":
+        lookup = resolve(cmd.payload["table"])
+        key = cmd.payload["key"]
+        # ES|QL lookup indices are bounded dimension relations → broadcast.
+        return df.join(broadcast(lookup), on=key, how="left")
+    raise ESQLError(f"ES|QL: unhandled command {cmd.name}")
+
+
+def esql_query(spark, query: str, tables) -> DataFrame:
+    """Compile and run an ES|QL pipeline; returns the (lazy) DataFrame.
+
+    ``tables``: dict name→DataFrame, or callable name→DataFrame — the
+    relation resolver for FROM and LOOKUP JOIN (the ES|QL index
+    namespace).
+    """
+    resolve = tables if callable(tables) else (
+        lambda name: tables[name] if name in tables
+        else (_ for _ in ()).throw(ESQLError(f"ES|QL: unknown index {name!r}"))
+    )
+    cmds = _Parser(query).parse()
+    src = cmds[0]
+    if src.name == "from":
+        df = resolve(src.payload["table"])
+    else:  # ROW
+        exprs = [
+            _compile_expr(expr).alias(name) for name, expr in src.payload["assigns"]
+        ]
+        df = spark.range(1).select(*exprs)
+    for cmd in cmds[1:]:
+        df = _apply(df, cmd, resolve)
+    return df

@@ -1,0 +1,305 @@
+"""ES|QL compiler: lexer/parser/compiler semantics.
+
+Each test pins a grammar or semantics edge: pipe chaining, EVAL
+left-to-right visibility, STATS BY with computed keys and default
+(expression-text) names, ES|QL's nulls-last SORT default, KEEP wildcard
+expansion and reordering, MV_EXPAND null preservation, LOOKUP JOIN
+left-join semantics, LIKE wildcard translation (* ? vs literal % _),
+operator precedence, and clean parse errors for unsupported commands.
+The plan-shape test pins the scale contract: a WHERE behind two pipes
+still reaches the parquet scan as a pushed filter, and LOOKUP JOIN
+plans as a broadcast join.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.esql import ESQLError, esql_query
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "alpha beta", "en", "web", 10),
+            (1, "gamma delta", "en", "book", 25),
+            (2, "epsilon", "de", "web", 7),
+            (3, "zeta eta theta", "fr", "web", 40),
+            (4, "iota", "de", "book", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture(scope="module")
+def langs(spark):
+    return spark.createDataFrame(
+        [("en", "English"), ("de", "German")],
+        "lang string, lang_name string",
+    )
+
+
+def _run(spark, q, **tables):
+    return esql_query(spark, q, tables)
+
+
+def test_where_keep_sort_limit(spark, docs):
+    rows = _run(
+        spark,
+        'FROM docs | WHERE lang == "en" OR n_chars > 30 '
+        "| KEEP doc_id, n_chars | SORT n_chars DESC | LIMIT 2",
+        docs=docs,
+    ).collect()
+    assert [(r.doc_id, r.n_chars) for r in rows] == [(3, 40), (1, 25)]
+
+
+def test_eval_left_to_right_and_arithmetic(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | EVAL half = n_chars / 2, quarter = half / 2 "
+        "| WHERE quarter >= 5 | KEEP doc_id, quarter | SORT doc_id ASC",
+        docs=docs,
+    ).collect()
+    assert [(r.doc_id, r.quarter) for r in rows] == [(1, 6.25), (3, 10.0)]
+
+
+def test_stats_by_computed_key_and_default_names(spark, docs):
+    df = _run(
+        spark,
+        'FROM docs | STATS cnt = count(*), avg(n_chars) BY src = to_upper(source) '
+        "| SORT src ASC",
+        docs=docs,
+    )
+    assert df.columns == ["src", "cnt", "avg(n_chars)"]
+    rows = df.collect()
+    assert [(r.src, r.cnt) for r in rows] == [("BOOK", 2), ("WEB", 3)]
+    assert rows[0]["avg(n_chars)"] == pytest.approx(14.5)
+
+
+def test_stats_scalar_over_aggregates(spark, docs):
+    """ES|QL allows scalar wrappers and arithmetic over agg calls."""
+    rows = _run(
+        spark,
+        "FROM docs | STATS r = round(avg(n_chars), 1), "
+        "ratio = sum(n_chars) / count(*) BY lang | SORT lang ASC",
+        docs=docs,
+    ).collect()
+    assert [(r.lang, r.r, r.ratio) for r in rows] == [
+        ("de", 5.5, 5.5), ("en", 17.5, 17.5), ("fr", 40.0, 40.0),
+    ]
+
+
+def test_stats_global_no_by(spark, docs):
+    row = _run(
+        spark,
+        "FROM docs | STATS n = count(*), total = sum(n_chars), "
+        "nl = count_distinct(lang)",
+        docs=docs,
+    ).collect()[0]
+    assert (row.n, row.total, row.nl) == (5, 86, 3)
+
+
+def test_sort_nulls_last_default(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 1)], "id long, v int"
+    )
+    rows = esql_query(spark, "FROM t | SORT v ASC | KEEP id", {"t": df}).collect()
+    # ES|QL sorts nulls LAST by default (Spark's default would be first).
+    assert [r.id for r in rows] == [3, 1, 2]
+    rows = esql_query(
+        spark, "FROM t | SORT v ASC NULLS FIRST | KEEP id", {"t": df}
+    ).collect()
+    assert [r.id for r in rows] == [2, 3, 1]
+
+
+def test_keep_wildcard_expansion_and_reorder(spark, docs):
+    df = _run(spark, "FROM docs | KEEP n_chars, doc_*", docs=docs)
+    assert df.columns == ["n_chars", "doc_id"]
+    df = _run(spark, "FROM docs | DROP t*", docs=docs)
+    assert df.columns == ["doc_id", "lang", "source", "n_chars"]
+
+
+def test_rename_and_row_source(spark):
+    row = esql_query(
+        spark,
+        'ROW a = 1, b = "x" | RENAME a AS left_val | EVAL c = left_val + 1',
+        {},
+    ).collect()[0]
+    assert (row.left_val, row.b, row.c) == (1, "x", 2)
+
+
+def test_mv_expand_preserves_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, None)], "id long, tags array<string>"
+    )
+    rows = esql_query(
+        spark, "FROM t | MV_EXPAND tags | SORT id ASC, tags ASC NULLS FIRST", {"t": df}
+    ).collect()
+    assert [(r.id, r.tags) for r in rows] == [(1, "a"), (1, "b"), (2, None)]
+
+
+def test_lookup_join_is_left_and_broadcast(spark, docs, langs):
+    df = _run(
+        spark,
+        "FROM docs | LOOKUP JOIN langs ON lang "
+        "| KEEP doc_id, lang_name | SORT doc_id ASC",
+        docs=docs,
+        langs=langs,
+    )
+    rows = df.collect()
+    assert rows[3].lang_name is None  # fr has no lookup row → left join
+    assert rows[0].lang_name == "English"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_like_wildcards_and_literal_underscore(spark):
+    df = spark.createDataFrame(
+        [(1, "foo_bar"), (2, "fooXbar"), (3, "foo_baz")], "id long, s string"
+    )
+    # ES|QL ? = exactly one char; _ in the pattern is LITERAL.
+    rows = esql_query(
+        spark, 'FROM t | WHERE s LIKE "foo_ba?" | SORT id ASC', {"t": df}
+    ).collect()
+    assert [r.id for r in rows] == [1, 3]
+    rows = esql_query(spark, 'FROM t | WHERE s LIKE "foo*"', {"t": df}).collect()
+    assert len(rows) == 3
+    rows = esql_query(
+        spark, 'FROM t | WHERE s NOT LIKE "foo_*" | SORT id ASC', {"t": df}
+    ).collect()
+    assert [r.id for r in rows] == [2]
+
+
+def test_precedence_and_not_in_case(spark, docs):
+    rows = _run(
+        spark,
+        'FROM docs | WHERE n_chars > 5 AND NOT lang IN ("de", "fr") '
+        "OR doc_id == 4 "
+        '| EVAL tier = case(n_chars >= 25, "big", n_chars >= 10, "mid", "small") '
+        "| KEEP doc_id, tier | SORT doc_id ASC",
+        docs=docs,
+    ).collect()
+    # OR binds looser than AND: (en docs with n_chars>5) OR doc_id==4
+    assert [(r.doc_id, r.tier) for r in rows] == [
+        (0, "mid"), (1, "big"), (4, "small"),
+    ]
+
+
+def test_scalar_functions(spark):
+    row = esql_query(
+        spark,
+        'ROW s = "  Hello World  " '
+        "| EVAL t = trim(s), lo = to_lower(t), n = length(t), "
+        '  sub = substring(t, 7, 5), st = starts_with(t, "Hello"), '
+        '  rep = replace(t, "o", "0"), r = round(3.14159, 2), '
+        "  c = concat(lo, \"!\")",
+        {},
+    ).collect()[0]
+    assert row.t == "Hello World"
+    assert row.lo == "hello world"
+    assert row.n == 11
+    assert row.sub == "World"
+    assert row.st is True
+    assert row.rep == "Hell0 W0rld"
+    assert row.r == 3.14
+    assert row.c == "hello world!"
+
+
+def test_is_null_and_coalesce(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], "id long, v string")
+    rows = esql_query(
+        spark,
+        'FROM t | WHERE v IS NULL | EVAL w = coalesce(v, "missing") | KEEP id, w',
+        {"t": df},
+    ).collect()
+    assert [(r.id, r.w) for r in rows] == [(1, "missing")]
+    rows = esql_query(spark, "FROM t | WHERE v IS NOT NULL | KEEP id", {"t": df}).collect()
+    assert [r.id for r in rows] == [2]
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame(
+        [(1, "GET /index.html 200"), (2, "POST /api/x 503"), (3, "garbage")],
+        "id long, line string",
+    )
+    rows = esql_query(
+        spark,
+        'FROM t | DISSECT line "%{verb} %{path} %{status}" '
+        "| KEEP id, verb, status | SORT id ASC",
+        {"t": df},
+    ).collect()
+    assert [(r.id, r.verb, r.status) for r in rows] == [
+        (1, "GET", "200"), (2, "POST", "503"), (3, None, None),
+    ]
+
+
+def test_dissect_skip_key_and_trailing_rest(spark):
+    df = spark.createDataFrame([(1, "a - b - c d e")], "id long, s string")
+    row = esql_query(
+        spark, 'FROM t | DISSECT s "%{} - %{x} - %{rest}"', {"t": df}
+    ).collect()[0]
+    assert (row.x, row.rest) == ("b", "c d e")
+
+
+def test_grok_with_casts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "click user=42 v=3.5"),
+            (2, "error user=7 v=0.25"),
+            (3, "no match here!"),
+        ],
+        "id long, line string",
+    )
+    rows = esql_query(
+        spark,
+        'FROM t | GROK line "%{WORD:etype} user=%{INT:uid:int} v=%{NUMBER:val:float}" '
+        "| KEEP id, etype, uid, val | SORT id ASC",
+        {"t": df},
+    ).collect()
+    assert [(r.id, r.etype, r.uid, r.val) for r in rows] == [
+        (1, "click", 42, 3.5), (2, "error", 7, 0.25), (3, None, None, None),
+    ]
+    # anonymous pattern groups don't shift field numbering
+    row = esql_query(
+        spark,
+        'FROM t | GROK line "%{WORD} user=%{INT} v=%{NUMBER:val}" | SORT id ASC',
+        {"t": df},
+    ).collect()[0]
+    assert row.val == "3.5"
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("long").alias("n_chars"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(p)
+    df = esql_query(
+        spark,
+        'FROM docs | WHERE n_chars == 2 AND lang == "en" '
+        "| STATS c = count(*) BY n_chars | LIMIT 5",
+        {"docs": spark.read.parquet(p)},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "IsNotNull(n_chars)" in plan or "EqualTo(n_chars,2)" in plan
+    assert df.collect()[0].c == 33
+
+
+def test_parse_errors(spark, docs):
+    with pytest.raises(ESQLError, match="ENRICH"):
+        _run(spark, "FROM docs | ENRICH policy", docs=docs)
+    with pytest.raises(ESQLError, match="unknown grok pattern"):
+        _run(spark, 'FROM docs | GROK text "%{NOPE:x}"', docs=docs)
+    with pytest.raises(ESQLError, match="expected a command|unknown command"):
+        _run(spark, "FROM docs | FROBNICATE x", docs=docs)
+    with pytest.raises(ESQLError, match="must start with"):
+        _run(spark, "WHERE x == 1", docs=docs)
+    with pytest.raises(ESQLError, match="unknown function"):
+        _run(spark, "FROM docs | EVAL x = no_such_fn(1)", docs=docs)
+    with pytest.raises(ESQLError, match="unknown index"):
+        _run(spark, "FROM nope | LIMIT 1", docs=docs)
+    with pytest.raises(ESQLError, match="STATS expects aggregate"):
+        _run(spark, "FROM docs | STATS x = round(n_chars, 2)", docs=docs)
