@@ -3012,6 +3012,16 @@ ESQL3 = (
 )
 
 
+ESQL4 = (
+    "FROM events "
+    '| EVAL line = concat(event_type, " user=", to_string(user_id), '
+    '" ip=10.2.", to_string(user_id % 200), ".7") '
+    '| GROK line "%{WORD:etype} user=%{INT:uid:long} ip=%{IP:ip}" '
+    "| STATS n = count(*), users = count_distinct(uid) BY etype, ip "
+    "| SORT n DESC, etype ASC, ip ASC | LIMIT 25"
+)
+
+
 def _esql_tables(spark, sf_dir):
     return lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -3040,6 +3050,32 @@ def _q_esql_case(spark, sf_dir):
     from kafka_es_spark.esql import esql_query
 
     return esql_query(spark, ESQL3, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_grok(spark, sf_dir):
+    """ES|QL pipeline 4: GROK extraction (typed casts) feeding grouped
+    STATS — the log-parsing shape; regexp_extract stays JVM-side."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL4, _esql_tables(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction with a closed-form planted payload: every doc gets a
+    synthetic email + IPv4 + phone appended-free text, so the oracle can
+    restate the exact post-scrub string and counts."""
+    from kafka_es_spark.functions.textstats import pii_scrub
+
+    d = F.col("doc_id").cast("string")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("contact u"), d, F.lit("@ex.org from 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".9 tel +1 (555) 010-77"),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3219,6 +3255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql1_stats": _q_esql_stats,
         "esql2_lookup_join": _q_esql_lookup,
         "esql3_case_bands": _q_esql_case,
+        "esql4_grok": _q_esql_grok,
+        "ts9_pii_scrub": _q_pii_scrub,
     }
 
 
@@ -6423,5 +6461,25 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS n, count(DISTINCT user_id) AS users
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY 1, 2 ORDER BY day ASC, band ASC LIMIT 200
+""",
+        # grok extracts exactly what the EVAL line embedded, so the oracle
+        # restates the grouping from the base columns
+        "esql4_grok": """
+SELECT event_type AS etype,
+       '10.2.' || CAST(user_id % 200 AS VARCHAR) || '.7' AS ip,
+       count(*) AS n, count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2 ORDER BY n DESC, etype ASC, ip ASC LIMIT 25
+""",
+        # planted-payload scrub: the post-redaction string is closed-form.
+        # n_phone counts the ORIGINAL text (pre-replacement, documented
+        # semantics): the phone regex also matches the planted IPv4 once
+        # its middle run reaches 7 chars, i.e. doc_id % 200 >= 10.
+        "ts9_pii_scrub": """
+SELECT doc_id,
+       'contact [EMAIL] from [IP] tel [PHONE]' AS clean_text,
+       CAST(1 AS BIGINT) AS n_email, CAST(1 AS BIGINT) AS n_ip,
+       CAST(CASE WHEN doc_id % 200 >= 10 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_phone
+FROM documents
 """,
     }
