@@ -2626,6 +2626,20 @@ def _q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(e, q, k=5, n_clusters=8, n_probe=3, portable=True)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): portable-centroid clustering (same
+    coarse quantizer as sim3) + keep-first intra-cluster cosine dedup at
+    eps=0.35 — survivors (vec_id, cluster). The intra-cluster self-join is
+    the paper's O(Σ cᵢ²) design point; the max_cluster_rows guard enforces
+    the tier boundary."""
+    from kafka_es_spark.operators.similarity import semdedup
+
+    e = _emb(spark, sf_dir)
+    return semdedup(
+        e, n_clusters=8, eps=0.35, id_col="vec_id", vec_col="embedding"
+    )
+
+
 def _q_image_features(spark, sf_dir):
     """MM — image decode/feature-extract through the real multimodal
     plumbing (batch-concatenated buffer, offset gathers, cumsum stats in
@@ -3022,6 +3036,36 @@ ESQL4 = (
 )
 
 
+ESQL5 = (
+    "FROM documents | SAMPLE 0.25 7 "
+    "| STATS n = count(*) BY lang | SORT lang ASC"
+)
+
+
+ESQL6 = (
+    "FROM documents | ENRICH langnames ON lang WITH lang_name "
+    "| STATS n = count(*), chars = sum(n_chars) BY lang_name "
+    "| SORT lang_name ASC NULLS LAST"
+)
+
+# the enrich-policy relation: first column = match_field by convention.
+# 'zh' deliberately absent so the left-join null path is exercised.
+LANGNAMES = [
+    ("de", "German"), ("en", "English"), ("es", "Spanish"),
+    ("fr", "French"),
+]
+
+
+ESQL7 = (
+    "FROM events "
+    # sum rides integral 1e-4-quantized values: exact in a double/long at
+    # any combine order (the decimal convention, expressed in ES|QL terms)
+    "| EVAL v4 = to_long(round(value * 10000)) "
+    '| STATS n = count(*), v_sum = sum(v4) BY b = bucket(ts, "6 hours") '
+    "| SORT b ASC"
+)
+
+
 def _esql_tables(spark, sf_dir):
     return lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -3058,6 +3102,117 @@ def _q_esql_grok(spark, sf_dir):
     from kafka_es_spark.esql import esql_query
 
     return esql_query(spark, ESQL4, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_sample(spark, sf_dir):
+    """ES|QL pipeline 5: deterministic content-hash SAMPLE feeding STATS —
+    partition-invariant Bernoulli sampling (the RNG-free deviation)."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL5, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_enrich(spark, sf_dir):
+    """ES|QL pipeline 6: ENRICH (broadcast policy left-join, WITH rename,
+    unmatched rows keep null) feeding grouped STATS."""
+    from kafka_es_spark.esql import esql_query
+
+    tables = {
+        "documents": spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "langnames": spark.createDataFrame(
+            LANGNAMES, "lang string, lang_name string"
+        ),
+    }
+    return esql_query(spark, ESQL6, tables)
+
+
+def _q_esql_bucket(spark, sf_dir):
+    """ES|QL pipeline 7: BUCKET(ts, "6 hours") grouping — fixed-width
+    epoch-aligned time buckets, one hash aggregation."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL7, _esql_tables(spark, sf_dir))
+
+
+def _q_moving_fn(spark, sf_dir):
+    """ES moving_fn pipeline agg: 6-bucket trailing moving average (shift=0
+    → frame excludes the current bucket, ES placement) over an hourly date
+    histogram; first bucket's empty frame yields null."""
+    from kafka_es_spark.operators.sessions import date_histogram, moving_fn
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_fn(date_histogram(ev, unit="hour"), window=6, fn="avg")
+
+
+def _q_change_point(spark, sf_dir):
+    """ES change_point agg (deterministic core): argmax scaled mean-shift
+    statistic over the daily event histogram, earliest-bucket tie-break."""
+    from kafka_es_spark.operators.sessions import change_point, date_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return change_point(date_histogram(ev, unit="day"))
+
+
+def _q_downsample(spark, sf_dir):
+    """ES TSDS _downsample rollup: hourly per-event-type metric summaries
+    (doc_count, min/max/sum/avg, latest-by-ts last_value)."""
+    from kafka_es_spark.operators.sessions import downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return downsample(ev, unit="hour", dims=("event_type",))
+
+
+def _planted_urls(spark, sf_dir):
+    """Deterministic per-doc_id url with every canonicalization branch
+    planted: upper-cased scheme/host, www prefix, default vs explicit
+    port, trailing slash, tracking + real query params, fragment."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=x&b="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&a=1"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("&gclid=zz")).otherwise(
+                F.lit("")
+            ),
+            F.lit("#sec"),
+        ).alias("url"),
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (C4/CommonCrawl pre-dedup): planted per-doc
+    urls exercise scheme/host lowering, www strip, default-port drop,
+    tracking-param removal, param sort, slash + fragment strip — the
+    oracle states the canonical form in closed form."""
+    from kafka_es_spark.operators.traindata import canonicalize_url
+
+    return _planted_urls(spark, sf_dir).select(
+        "doc_id", canonicalize_url("url").alias("url_canon")
+    )
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    """Hostname blocklist filter over the planted urls: site3/site7 are
+    blocked; every doc url lives on www.siteN.example.com so the
+    subdomain-suffix path (not just host equality) is what must fire."""
+    from kafka_es_spark.operators.traindata import filter_blocked_hosts
+
+    urls = _planted_urls(spark, sf_dir)
+    kept = filter_blocked_hosts(
+        urls, ["site3.example.com", "site7.example.com"]
+    )
+    return kept.select("doc_id").orderBy("doc_id")
 
 
 def _q_pii_scrub(spark, sf_dir):
@@ -3140,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd8_dedup_survivors": _q_dedup_survivors,
         "dd9_dup_spans": _q_dup_spans,
         "dd9_substr_scrub": _q_substr_scrub,
+        "dd10_semdedup": _q_semdedup,
         "tr2_lm_perplexity": _q_lm_perplexity,
         "sp2_cap_per_source": _q_cap_per_source,
         "pc1_percolate": _q_percolate,
@@ -3256,7 +3412,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql2_lookup_join": _q_esql_lookup,
         "esql3_case_bands": _q_esql_case,
         "esql4_grok": _q_esql_grok,
+        "esql5_sample": _q_esql_sample,
+        "esql6_enrich": _q_esql_enrich,
+        "esql7_bucket": _q_esql_bucket,
+        "ev23_downsample": _q_downsample,
+        "ev24_moving_fn": _q_moving_fn,
+        "ev25_change_point": _q_change_point,
         "ts9_pii_scrub": _q_pii_scrub,
+        "ts10_url_canonicalize": _q_url_canonicalize,
+        "sp3_blocklist_filter": _q_blocklist_filter,
     }
 
 
@@ -3749,6 +3913,58 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+# SemDeDup oracle: same portable-centroid assignment CTEs as the IVF
+# oracle, then keep-first intra-cluster dedup — a vector is a duplicate
+# iff a smaller-id same-cluster vector has rounded cosine >= eps.
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+iv AS (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+  FROM e
+),
+vecel AS (
+  SELECT vec_id, generate_subscripts(q, 1) - 1 AS d, unnest(q) AS x FROM iv
+),
+csel AS (
+  SELECT vec_id, v, {_h32_sql("'ivf:' || CAST(vec_id AS VARCHAR)")} AS h
+  FROM e ORDER BY h, vec_id LIMIT 8
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM csel
+),
+cq AS (
+  SELECT j, generate_subscripts(v, 1) - 1 AS d,
+         CAST(floor((unnest(v) / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END))
+                    * 1000000.0) AS BIGINT) AS c
+  FROM cent
+),
+dots AS (
+  SELECT ve.vec_id, cq.j, sum(ve.x * cq.c) AS dot
+  FROM vecel ve JOIN cq ON cq.d = ve.d
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT vec_id, j AS cluster FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b USING (cluster)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE b.vec_id < a.vec_id
+    AND round(list_cosine_similarity(ea.v, eb.v), 4) >= 0.35
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster
+FROM assign a WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+ORDER BY a.vec_id
 """
 
 _STOP_EN = "['the','of','and','to','in','a','is','for','on','with']"
@@ -4332,6 +4548,7 @@ ORDER BY doc_id
         # duplicated-window spans per doc, and the scrubbed corpus
         "dd9_dup_spans": _DUP_SPANS_SQL,
         "dd9_substr_scrub": _SUBSTR_SCRUB_SQL,
+        "dd10_semdedup": _SEMDEDUP_SQL,
         # CCNet LM quality: bigram-Laplace perplexity vs the %7 slice LM
         "tr2_lm_perplexity": _LM_PPL_SQL,
         # partial update: field-wise last-write-wins via struct max
@@ -6470,10 +6687,99 @@ SELECT event_type AS etype,
        count(*) AS n, count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2 ORDER BY n DESC, etype ASC, ip ASC LIMIT 25
 """,
+        # SAMPLE keeps rows whose seeded full-row md5 hash lands under p
+        # (column order = parquet schema order)
+        "esql5_sample": f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE {_h32_sql(
+    "concat_ws(chr(31), '7', CAST(doc_id AS VARCHAR), text, lang, source, "
+    "CAST(n_chars AS VARCHAR))"
+)} % 1000000 < 250000
+GROUP BY lang ORDER BY lang ASC
+""",
+        # trailing 6-bucket moving average, frame excludes current bucket
+        "ev24_moving_fn": """
+WITH b AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1)
+SELECT bucket, doc_count,
+       round(avg(doc_count) OVER (
+         ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 4)
+         AS moving_avg
+FROM b ORDER BY bucket
+""",
+        # argmax scaled mean-shift over daily buckets, earliest tie-break
+        "ev25_change_point": """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         count(*) AS doc_count
+  FROM events GROUP BY 1),
+p AS (
+  SELECT bucket,
+         count(*) OVER w AS k,
+         coalesce(sum(doc_count) OVER w, 0) AS lsum,
+         count(*) OVER () AS n,
+         sum(doc_count) OVER () AS tot
+  FROM b
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING))
+SELECT bucket AS change_at,
+       round(abs(CAST(lsum AS DOUBLE) / k
+                 - CAST(tot - lsum AS DOUBLE) / (n - k))
+             * sqrt(CAST(k AS DOUBLE) * (n - k) / n), 4) AS stat,
+       'step_change' AS type
+FROM p WHERE k > 0
+ORDER BY stat DESC, change_at ASC LIMIT 1
+""",
+        # ENRICH = left join against the inline policy relation
+        "esql6_enrich": """
+WITH langnames(lang, lang_name) AS (VALUES
+  ('de','German'),('en','English'),('es','Spanish'),('fr','French'))
+SELECT lang_name, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents LEFT JOIN langnames USING (lang)
+GROUP BY lang_name ORDER BY lang_name ASC
+""",
+        # BUCKET(ts, "6 hours") = epoch-aligned fixed-width buckets
+        "esql7_bucket": """
+SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000)
+         AS b,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS v_sum
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "ev23_downsample": """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+       count(*) AS doc_count,
+       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 4) AS v_sum,
+       round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(*), 4)
+         AS v_avg,
+       round(arg_max(value, printf('%020d%020d', epoch_us(ts), event_id)), 4)
+         AS last_value
+FROM events GROUP BY 1, 2
+""",
         # planted-payload scrub: the post-redaction string is closed-form.
         # n_phone counts the ORIGINAL text (pre-replacement, documented
         # semantics): the phone regex also matches the planted IPv4 once
         # its middle run reaches 7 chars, i.e. doc_id % 200 >= 10.
+        # planted urls canonicalize to a closed form: https scheme, www
+        # stripped, :443 dropped / :8080 kept, trailing slash + fragment
+        # gone, tracking params removed, survivors byte-sorted (a=1 first)
+        "ts10_url_canonicalize": """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+       || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+       || '/p/' || CAST(doc_id AS VARCHAR)
+       || '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) AS url_canon
+FROM documents
+""",
+        # hosts www.site{3,7}.example.com are subdomains of the blocked
+        # site{3,7}.example.com entries → dropped
+        "sp3_blocklist_filter": """
+SELECT doc_id FROM documents
+WHERE doc_id % 50 NOT IN (3, 7) ORDER BY doc_id
+""",
         "ts9_pii_scrub": """
 SELECT doc_id,
        'contact [EMAIL] from [IP] tel [PHONE]' AS clean_text,

@@ -31,13 +31,23 @@ Supported surface (the stable core of the public grammar):
   ``KEEP``/``DROP`` (with ``*`` wildcards, KEEP reorders like ES|QL),
   ``RENAME old AS new``, ``MV_EXPAND col`` (explode, null-preserving),
   ``LOOKUP JOIN table ON key`` (left equi-join against a broadcast
-  lookup relation — the ES|QL lookup-index join).
+  lookup relation — the ES|QL lookup-index join), ``ENRICH policy
+  [ON match_field] [WITH [new =] field, ...]`` (broadcast left join
+  against a policy relation resolved through the same namespace;
+  convention: the policy's first column is its match_field; enriched
+  fields overwrite same-named inputs, EVAL-style).
 * expressions: arithmetic ``+ - * / %``, comparisons ``== != < <= >
   >=``, ``AND OR NOT``, ``IN (...)``, ``LIKE`` (``*``/``?`` wildcards),
   ``RLIKE``, ``IS [NOT] NULL``, literals (int/float/string/bool/null),
   parenthesised subexpressions, and the scalar/agg function library
   below.
 
+* ``SAMPLE p [seed]`` — Bernoulli row sampling. Deviation from ES|QL's
+  RNG sampling, by design: rows keep iff a portable md5 content hash of
+  the full row (plus the seed) falls under p, so the sample is
+  deterministic, replay-stable, and identical at any parallelism — the
+  north-rule property RNG sampling cannot give — and an external system
+  (or the DuckDB oracle) can reproduce it exactly.
 * extraction commands: ``DISSECT col "%{a} - %{b}"`` (literal-separator
   splitting, ``%{}`` skip keys, trailing key takes the rest) and ``GROK
   col "%{WORD:etype} user=%{INT:uid:int}"`` (the classic logstash core
@@ -46,10 +56,12 @@ Supported surface (the stable core of the public grammar):
   fields (ES|QL semantics).
 
 Deviations (documented, deliberate): identifiers are bare or
-backquoted; ``DATE_TRUNC("day", ts)`` takes a string unit instead of
-ES|QL's ``1 day`` interval literal; the one unsupported command
-(ENRICH — needs an enrich-policy store) raises ``ESQLError`` at parse
-time with the offending token position rather than silently degrading.
+backquoted; ``DATE_TRUNC("day", ts)`` and ``BUCKET(x, span)`` take a
+string duration ("1 hour") instead of ES|QL's ``1 hour`` interval
+literal; BUCKET implements only the deterministic direct-span form —
+the 4-arg auto-"nice" width heuristic is out (not reproducible across
+engines); ENRICH resolves its policy through the relation namespace
+instead of a cluster-side enrich-policy store.
 
 Scale (100 TB): the compiler emits only declarative plans, so the scale
 properties are those of the operators it emits — a WHERE ahead of a
@@ -96,9 +108,7 @@ _KEYWORDS = {
     "keep", "drop", "rename", "as", "asc", "desc", "nulls", "first",
     "last", "and", "or", "not", "in", "like", "rlike", "is", "null",
     "true", "false", "mv_expand", "lookup", "join", "on",
-    "dissect", "grok",
-    # recognised-but-unsupported (clean error instead of mystery parse)
-    "enrich",
+    "dissect", "grok", "sample", "enrich", "with",
 }
 
 
@@ -377,6 +387,39 @@ def _compile_expr(node) -> Column:
             if args[0][0] != "lit" or not isinstance(args[0][1], str):
                 raise ESQLError("ES|QL: date_format needs a literal format string")
             return F.date_format(_compile_expr(args[1]), args[0][1])
+        if name == "bucket":
+            # BUCKET(expr, span) — the direct-span form of ES|QL's grouping
+            # function: numeric literal span → floor-aligned lower bound;
+            # literal duration string ("1 hour", "30 minute", "1 week") →
+            # calendar / fixed-width time bucket. The 4-arg auto-"nice"
+            # form (target count + range) is intentionally not implemented:
+            # its chosen width is a heuristic, and a deterministic span is
+            # the reproducible subset.
+            if len(args) != 2 or args[1][0] != "lit":
+                raise ESQLError(
+                    "ES|QL: bucket() takes (expr, literal span) — a number "
+                    "or a duration string like '1 hour'"
+                )
+            span = args[1][1]
+            x = _compile_expr(args[0])
+            if isinstance(span, str):
+                m = re.fullmatch(r"(\d+)\s*([a-z]+?)s?", span.strip().lower())
+                if not m:
+                    raise ESQLError(f"ES|QL: bucket() bad duration {span!r}")
+                n, unit = int(m.group(1)), m.group(2)
+                fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+                if unit in fixed:
+                    secs = n * fixed[unit]
+                    return F.timestamp_seconds(
+                        F.floor(F.unix_timestamp(x) / secs) * secs
+                    )
+                if unit in ("week", "month", "quarter", "year") and n == 1:
+                    return F.date_trunc(unit, x)
+                raise ESQLError(
+                    f"ES|QL: bucket() duration unit {unit!r} supports only "
+                    "count 1 (calendar units) or second/minute/hour/day"
+                )
+            return F.floor(x / F.lit(span)) * F.lit(span)
         if name == "round":
             # digits must stay a python int for Spark's round()
             if len(args) == 2:
@@ -550,8 +593,39 @@ class _Parser:
                     f"ES|QL: {word.upper()} needs a string pattern at {t.pos}"
                 )
             return _Cmd(word, {"col": col, "pattern": t.value})
+        if word == "sample":
+            t = self.next()
+            if t.kind != "num":
+                raise ESQLError(f"ES|QL: SAMPLE needs a probability at {t.pos}")
+            p = float(t.value)
+            if not (0.0 < p <= 1.0):
+                raise ESQLError(f"ES|QL: SAMPLE probability must be in (0, 1], got {p}")
+            seed = 0
+            if self.peek().kind == "num":
+                seed = int(self.next().value)
+            return _Cmd("sample", {"p": p, "seed": seed})
         if word == "enrich":
-            raise ESQLError(f"ES|QL: ENRICH is not supported by this engine (at {t.pos})")
+            policy = self.eat_ident()
+            on = None
+            if self.at_kw("on"):
+                self.next()
+                on = self.eat_ident()
+            withs = None
+            if self.at_kw("with"):
+                self.next()
+                withs = []
+                while True:
+                    a = self.eat_ident()
+                    if self.peek().kind == "op" and self.peek().value == "=":
+                        self.next()
+                        withs.append((a, self.eat_ident()))
+                    else:
+                        withs.append((a, a))
+                    if self.peek().kind == "op" and self.peek().value == ",":
+                        self.next()
+                        continue
+                    break
+            return _Cmd("enrich", {"policy": policy, "on": on, "with": withs})
         raise ESQLError(f"ES|QL: unknown command {word.upper()} at {t.pos}")
 
     # -- pieces -------------------------------------------------------------
@@ -899,6 +973,16 @@ def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
             raise ESQLError(f"ES|QL: MV_EXPAND references unknown column {col!r}")
         others = [c for c in df.columns if c != col]
         return df.select(*others, F.explode_outer(col).alias(col)).select(*df.columns)
+    if cmd.name == "sample":
+        p, seed = cmd.payload["p"], cmd.payload["seed"]
+        # Portable content-hash Bernoulli keep: first 8 md5 hex chars of
+        # the seeded full row → uniform 32-bit int; keep iff its ppm bucket
+        # is under p. Deterministic at any parallelism; oracle-reproducible.
+        key = F.concat_ws(
+            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in df.columns]
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return df.filter((h % 1000000) < int(p * 1000000))
     if cmd.name in ("dissect", "grok"):
         src = cmd.payload["col"]
         if src not in df.columns:
@@ -921,6 +1005,47 @@ def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
         key = cmd.payload["key"]
         # ES|QL lookup indices are bounded dimension relations → broadcast.
         return df.join(broadcast(lookup), on=key, how="left")
+    if cmd.name == "enrich":
+        # ENRICH policy [ON match_field] [WITH [new = ] enrich_field, ...]
+        # The policy resolves through the same relation namespace as FROM /
+        # LOOKUP JOIN; convention: its FIRST column is the policy's
+        # match_field (the enrich-policy store of the ES cluster, reduced
+        # to a relation). Enrich indices are bounded → broadcast left join;
+        # enriched fields overwrite same-named input columns (EVAL-style
+        # shadowing, ES|QL behaviour).
+        pol = resolve(cmd.payload["policy"])
+        pol_match = pol.columns[0]
+        match = cmd.payload["on"] or pol_match
+        if match not in df.columns:
+            raise ESQLError(
+                f"ES|QL: ENRICH match field {match!r} not in input columns"
+            )
+        withs = cmd.payload["with"] or [
+            (c, c) for c in pol.columns if c != pol_match
+        ]
+        for _, src_f in withs:
+            if src_f not in pol.columns:
+                raise ESQLError(
+                    f"ES|QL: ENRICH field {src_f!r} not in policy "
+                    f"{cmd.payload['policy']!r}"
+                )
+        right = pol.select(
+            F.col(pol_match).alias("__enrich_key"),
+            *[
+                F.col(src_f).alias(f"__enrich_{i}")
+                for i, (_, src_f) in enumerate(withs)
+            ],
+        )
+        out = df.join(
+            broadcast(right),
+            on=df[match] == right["__enrich_key"],
+            how="left",
+        ).drop("__enrich_key")
+        for i, (new, _) in enumerate(withs):
+            out = out.withColumn(new, F.col(f"__enrich_{i}")).drop(
+                f"__enrich_{i}"
+            )
+        return out
     raise ESQLError(f"ES|QL: unhandled command {cmd.name}")
 
 

@@ -768,3 +768,139 @@ def variable_width_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def downsample(
+    events: DataFrame,
+    unit: str = "hour",
+    dims: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES TSDS ``_downsample`` (rollup): collapse a time-series index to
+    fixed-interval summaries per dimension tuple — the storage shape ES
+    writes when a downsample action runs in an ILM phase. Output one row
+    per (bucket, *dims): ``doc_count``, metric min/max/sum/avg, and
+    ``last_value`` (the latest-by-timestamp metric, ES's behaviour for
+    last_value metrics; ties broken by the unique event id so the result
+    is engine-stable).
+
+    Plan: ONE hash aggregation with map-side combine — the shuffle
+    carries #buckets·#dims rows, never the raw series. Sums ride exact
+    decimals (combine-order independence); ``max_by`` keys on a (ts, id)
+    struct so replays and different partitionings pick the same row.
+    At 100 TB the output is smaller than the input by the sampling
+    ratio; no window, no collect, no UDF.
+
+    Reference parity: ES downsample API (public docs; the reference
+    delegates index lifecycle to ES)."""
+    vc = F.col(value_col)
+    return (
+        events.groupBy(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            *[F.col(d) for d in dims],
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(F.min(vc), round_to).alias("v_min"),
+            F.round(F.max(vc), round_to).alias("v_max"),
+            F.round(
+                F.sum(vc.cast("decimal(38,9)")).cast("double"), round_to
+            ).alias("v_sum"),
+            F.round(
+                F.sum(vc.cast("decimal(38,9)")).cast("double") / F.count("*"),
+                round_to,
+            ).alias("v_avg"),
+            F.round(
+                F.max_by(vc, F.struct(F.col(ts_col), F.col("event_id"))),
+                round_to,
+            ).alias("last_value"),
+        )
+        .orderBy("bucket", *dims)
+    )
+
+
+def moving_fn(
+    buckets: DataFrame,
+    window: int,
+    fn: str = "avg",
+    shift: int = 0,
+    order_col: str = "bucket",
+    metric_col: str = "doc_count",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """ES moving_fn pipeline aggregation (the moving_avg successor): slide
+    a ``window``-bucket frame over the ordered parent buckets and apply
+    ``fn`` (min | max | sum | avg | stddev — the deterministic core of
+    ES's MovingFunctions). ES window placement: shift=0 ends the frame
+    just before the current bucket (exclusive); each +1 of ``shift``
+    moves the frame one bucket right (shift=1 includes the current
+    bucket). Frames with no rows yield null, like ES's NaN gaps.
+
+    Reduce-phase placement like every pipeline agg here: one window pass
+    over #buckets rows (the parent agg already collapsed the raw events),
+    so the single global window is bounded by bucket cardinality, not
+    data size."""
+    fns = {
+        "min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg,
+        "stddev": F.stddev_samp,
+    }
+    if fn not in fns:
+        raise ValueError(f"moving_fn: unsupported fn {fn!r} (use {sorted(fns)})")
+    if window < 1:
+        raise ValueError("moving_fn: window must be >= 1")
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(-int(window) + int(shift), -1 + int(shift))
+    )
+    col = fns[fn](F.col(metric_col)).over(w)
+    if round_to is not None:
+        col = F.round(col, round_to)
+    return buckets.withColumn(f"moving_{fn}", col).orderBy(order_col)
+
+
+def change_point(
+    buckets: DataFrame,
+    order_col: str = "bucket",
+    metric_col: str = "doc_count",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES change_point aggregation, reduced to its deterministic core: find
+    the split k that maximizes the scaled mean-shift statistic
+    ``|mean(left) - mean(right)| * sqrt(k * (n - k) / n)`` (the two-sample
+    CUSUM/t-statistic numerator ES's step-change detector ranks by;
+    p-value calibration and the spike/dip taxonomy are model-side and
+    intentionally out). Ties break on the earliest bucket so the answer
+    is engine-stable. Returns ONE row: the first bucket of the right
+    segment, the statistic, and type 'step_change'.
+
+    Plan: prefix sums via one window pass over #buckets rows (reduce
+    phase — the parent agg already collapsed raw events), then a
+    TakeOrdered(1) on (stat desc, bucket asc). Means ride exact integer
+    prefix sums when the metric is integral; the only doubles are the
+    final division/sqrt, identical IEEE ops in any engine."""
+    n_w = Window.partitionBy(F.lit(1))
+    pre_w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    with_pre = (
+        buckets.select(order_col, metric_col)
+        .withColumn("__n", F.count(F.lit(1)).over(n_w))
+        .withColumn("__tot", F.sum(metric_col).over(n_w))
+        .withColumn("__k", F.count(F.lit(1)).over(pre_w))
+        .withColumn("__lsum", F.coalesce(F.sum(metric_col).over(pre_w), F.lit(0)))
+    ).filter(F.col("__k") > 0)  # a split needs a non-empty left segment
+    k, n = F.col("__k").cast("double"), F.col("__n").cast("double")
+    lmean = F.col("__lsum") / k
+    rmean = (F.col("__tot") - F.col("__lsum")) / (n - k)
+    stat = F.round(
+        F.abs(lmean - rmean) * F.sqrt(k * (n - k) / n), round_to
+    )
+    return (
+        with_pre.select(
+            F.col(order_col).alias("change_at"),
+            stat.alias("stat"),
+            F.lit("step_change").alias("type"),
+        )
+        .orderBy(F.col("stat").desc(), F.col("change_at").asc())
+        .limit(1)
+    )

@@ -858,3 +858,87 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(int(k))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    round_to: int = 4,
+    max_cluster_rows: int | None = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then removing near-duplicates
+    WITHIN each cluster — the trick that turns O(N²) semantic dedup into
+    O(Σ cᵢ²) with bounded cluster sizes. Deterministic engine rule
+    (keep-first): a vector is a duplicate iff some SAME-CLUSTER vector
+    with a smaller id has rounded cosine ≥ ``eps``; survivors are
+    returned as (vec_id, cluster). The paper keeps the item farthest
+    from the centroid; id-ordered keep-first is this engine's documented
+    deviation — it needs no float ordering an oracle can't replay.
+
+    Portability: cluster assignment reuses the IVF coarse quantizer's
+    md5-derived centroids and integer-exact dot argmax
+    (``_portable_centroids``), so a SQL oracle reproduces the clustering
+    bit-for-bit; pair scoring rounds to ``round_to`` before the eps
+    comparison (the dd6/sim contract).
+
+    Scale: the intra-cluster self-join is the SemDeDup design point —
+    size ``n_clusters`` so clusters stay bounded (k ≈ N / 10⁵ in the
+    paper); ``max_cluster_rows`` enforces the tier boundary with one
+    cheap count (raises with the knob to turn, the dd6 pattern) instead
+    of silently planning a quadratic blow-up."""
+    cents = _portable_centroids(emb, n_clusters, id_col, vec_col)
+
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    iv = (
+        "transform(vec, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
+    )
+    base = base.withColumn("qv", F.expr(iv))
+    dots = ", ".join(
+        "aggregate(zip_with(qv, array("
+        + ",".join(f"{c}L" for c in cent)
+        + "), (a, b) -> a * b), 0L, (acc, v) -> acc + v)"
+        for cent in cents
+    )
+    assigned = (
+        base.withColumn("_dots", F.expr(f"array({dots})"))
+        .withColumn(
+            "cluster",
+            (F.expr("array_position(_dots, array_max(_dots))") - 1).cast("int"),
+        )
+        .drop("qv", "_dots")
+    )
+
+    if max_cluster_rows is not None:
+        biggest = (
+            assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+        )
+        if biggest and biggest > max_cluster_rows:
+            raise ValueError(
+                f"semdedup: largest cluster has {biggest} rows "
+                f"(> max_cluster_rows={max_cluster_rows}); raise n_clusters "
+                "so clusters stay bounded (k ~ N/1e5), or raise the guard "
+                "explicitly if the quadratic intra-cluster cost is intended"
+            )
+
+    other = assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+    )
+    dup_ids = (
+        assigned.join(other, "cluster")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(F.round(cosine(F.col("vec"), F.col("b_vec")), round_to) >= eps)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, "vec_id", "left_anti")
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )

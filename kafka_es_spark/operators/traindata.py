@@ -534,3 +534,112 @@ def chunk_documents(
             " ",
         ).alias("chunk"),
     )
+
+_TRACKING_PARAMS = [
+    "gclid", "fbclid", "msclkid", "ref", "ref_src", "igshid", "mc_eid",
+]
+
+
+def canonicalize_url(url_col: "Column | str") -> "Column":
+    """URL canonicalization, pure Column (no Python in the hot path) — the
+    CommonCrawl/C4 pre-dedup step that makes one page one key: lowercase
+    scheme and host, strip a leading ``www.``, drop default ports
+    (http:80 / https:443), drop the fragment, remove tracking query
+    params (``utm_*`` and the usual click ids), byte-sort the surviving
+    params, and strip trailing path slashes. regexp_extract + split +
+    filter + array_sort throughout — whole-stage codegen keeps it
+    JVM-side, and a SQL oracle reproduces it with the same list ops.
+
+    Deviations from full RFC 3986 normalization (documented): no
+    percent-decoding (decode-then-compare can merge genuinely different
+    urls), no IDN/punycode, no PSL reduction (see ``host_of``)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1),
+                F.lit(""),
+            ),
+            F.lit("http"),
+        )
+    )
+    hostport = F.lower(
+        F.regexp_extract(
+            c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/?#]+)", 1
+        )
+    )
+    host = F.regexp_replace(
+        F.regexp_extract(hostport, r"^([^:]+)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            c, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)?", 1
+        ),
+        r"/+$",
+        "",
+    )
+
+    def _keep(kv):
+        k = F.substring_index(kv, "=", 1)
+        return (
+            (kv != "")
+            & ~k.startswith("utm_")
+            & ~k.isin(_TRACKING_PARAMS)
+        )
+
+    qnorm = F.array_join(
+        F.array_sort(F.filter(F.split(F.regexp_extract(c, r"\?([^#]*)", 1), "&"), _keep)),
+        "&",
+    )
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+    )
+    return F.when(qnorm != "", F.concat(base, F.lit("?"), qnorm)).otherwise(base)
+
+
+def filter_blocked_hosts(
+    docs: DataFrame,
+    blocked_hosts: list[str] | DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Hostname blocklist filtering (the adult/spam/SEO-farm domain filter
+    every web-corpus pipeline runs before quality scoring): drop a doc
+    whose url host equals a blocked host OR is a subdomain of one
+    (``ads.example.com`` matches blocked ``example.com``).
+
+    Plan: the blocklist is a bounded relation by contract (10⁵–10⁷
+    hosts) → broadcast; the subdomain rule makes the join key non-equi,
+    so the equality fast path and the dot-suffix path are split — the
+    equality half is a broadcast hash anti join, the suffix half a
+    broadcast nested-loop semi join against DISTINCT doc hosts (bounded
+    by #unique hosts, not #docs), unioned back via one more broadcast
+    semi join on the host key. No shuffle of the corpus at any point."""
+    spark = docs.sparkSession
+    if isinstance(blocked_hosts, list):
+        bl = spark.createDataFrame(
+            [(h.lower(),) for h in blocked_hosts], "bhost string"
+        )
+    else:
+        bl = blocked_hosts.toDF("bhost")
+    withhost = docs.withColumn("_host", host_of(url_col))
+    # equality half: broadcast hash anti join
+    eq_clean = withhost.join(
+        F.broadcast(bl), withhost["_host"] == bl["bhost"], "left_anti"
+    )
+    # suffix half over DISTINCT hosts only (bounded), then one semi join
+    hosts = eq_clean.select("_host").distinct()
+    bad_sub = hosts.join(
+        F.broadcast(bl),
+        hosts["_host"].endswith(F.concat(F.lit("."), bl["bhost"])),
+        "left_semi",
+    )
+    return eq_clean.join(F.broadcast(bad_sub), "_host", "left_anti").drop("_host")

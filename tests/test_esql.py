@@ -289,8 +289,8 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
 
 
 def test_parse_errors(spark, docs):
-    with pytest.raises(ESQLError, match="ENRICH"):
-        _run(spark, "FROM docs | ENRICH policy", docs=docs)
+    with pytest.raises(ESQLError, match="unknown index"):
+        _run(spark, "FROM docs | ENRICH no_such_policy", docs=docs)
     with pytest.raises(ESQLError, match="unknown grok pattern"):
         _run(spark, 'FROM docs | GROK text "%{NOPE:x}"', docs=docs)
     with pytest.raises(ESQLError, match="expected a command|unknown command"):
@@ -303,3 +303,112 @@ def test_parse_errors(spark, docs):
         _run(spark, "FROM nope | LIMIT 1", docs=docs)
     with pytest.raises(ESQLError, match="STATS expects aggregate"):
         _run(spark, "FROM docs | STATS x = round(n_chars, 2)", docs=docs)
+
+
+def test_sample_deterministic_and_partition_invariant(spark, docs):
+    """SAMPLE is content-hash Bernoulli: identical keep-set on reruns and at
+    any partitioning (the property ES|QL's RNG sampling lacks)."""
+    q = "FROM docs | SAMPLE 0.5 3 | KEEP doc_id | SORT doc_id ASC"
+    a = [r.doc_id for r in _run(spark, q, docs=docs).collect()]
+    b = [r.doc_id for r in _run(spark, q, docs=docs.repartition(7)).collect()]
+    assert a == b
+    # subset of the input, and the keep decision actually filters
+    assert set(a) <= {0, 1, 2, 3, 4}
+    full = [r.doc_id for r in _run(
+        spark, "FROM docs | SAMPLE 1.0 | KEEP doc_id", docs=docs).collect()]
+    assert sorted(full) == [0, 1, 2, 3, 4]  # p=1.0 keeps everything
+
+
+def test_sample_seed_changes_keep_set(spark, docs):
+    got = {
+        seed: tuple(sorted(
+            r.doc_id for r in _run(
+                spark, f"FROM docs | SAMPLE 0.5 {seed} | KEEP doc_id",
+                docs=docs).collect()))
+        for seed in (0, 1, 2, 3, 4, 5)
+    }
+    assert len(set(got.values())) > 1  # seeds decorrelate
+
+
+def test_sample_parse_errors(spark, docs):
+    with pytest.raises(ESQLError, match="probability"):
+        _run(spark, "FROM docs | SAMPLE", docs=docs)
+    with pytest.raises(ESQLError, match="in \\(0, 1\\]"):
+        _run(spark, "FROM docs | SAMPLE 1.5", docs=docs)
+
+
+def test_enrich_default_and_with(spark, docs, langs):
+    # default: match on the policy's first column, add every other column
+    rows = _run(
+        spark,
+        "FROM docs | ENRICH langs | KEEP doc_id, lang, lang_name "
+        "| SORT doc_id ASC",
+        docs=docs, langs=langs,
+    ).collect()
+    assert [(r.doc_id, r.lang_name) for r in rows] == [
+        (0, "English"), (1, "English"), (2, "German"), (3, None),
+        (4, "German"),
+    ]
+    # WITH rename + explicit ON
+    rows = _run(
+        spark,
+        "FROM docs | ENRICH langs ON lang WITH nice = lang_name "
+        "| KEEP doc_id, nice | SORT doc_id ASC | LIMIT 1",
+        docs=docs, langs=langs,
+    ).collect()
+    assert rows[0].nice == "English"
+
+
+def test_enrich_overwrites_existing_column(spark, docs, langs):
+    rows = _run(
+        spark,
+        # overwrite 'source' with the enriched value (EVAL-style shadowing)
+        "FROM docs | ENRICH langs WITH source = lang_name "
+        "| KEEP doc_id, source | SORT doc_id ASC",
+        docs=docs, langs=langs,
+    ).collect()
+    assert rows[0].source == "English" and rows[3].source is None
+
+
+def test_enrich_errors(spark, docs, langs):
+    with pytest.raises(ESQLError, match="match field"):
+        _run(spark, "FROM docs | ENRICH langs ON nope", docs=docs, langs=langs)
+    with pytest.raises(ESQLError, match="ENRICH field"):
+        _run(spark, "FROM docs | ENRICH langs WITH x = nope",
+             docs=docs, langs=langs)
+
+
+def test_bucket_numeric_and_duration(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | STATS c = count(*) BY b = bucket(n_chars, 10) "
+        "| SORT b ASC",
+        docs=docs,
+    ).collect()
+    assert [(r.b, r.c) for r in rows] == [(0.0, 2), (10.0, 1), (20.0, 1), (40.0, 1)]
+
+
+def test_bucket_time_spans(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 10, 14),), (dt.datetime(2024, 1, 1, 10, 44),),
+         (dt.datetime(2024, 1, 1, 11, 5),)],
+        "ts timestamp",
+    )
+    rows = _run(
+        spark,
+        'FROM ev | STATS c = count(*) BY b = bucket(ts, "30 minutes") '
+        "| SORT b ASC",
+        ev=ev,
+    ).collect()
+    assert [(r.b.hour, r.b.minute, r.c) for r in rows] == [
+        (10, 0, 1), (10, 30, 1), (11, 0, 1)]
+    rows = _run(
+        spark,
+        'FROM ev | STATS c = count(*) BY b = bucket(ts, "1 week")', ev=ev,
+    ).collect()
+    assert len(rows) == 1 and rows[0].c == 3
+    with pytest.raises(ESQLError, match="supports only"):
+        _run(spark, 'FROM ev | STATS c = count(*) BY bucket(ts, "2 months")',
+             ev=ev)

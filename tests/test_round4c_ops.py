@@ -369,3 +369,186 @@ def test_decode_frame_features_flags_corrupt_payload(spark):
     )
     r = decode_frame_features(frames).collect()[0]
     assert not r.ok and r.mean_luma is None
+
+
+# ---------------------------------------------------------------- downsample
+
+
+def test_downsample_closed_form(spark):
+    from kafka_es_spark.operators.sessions import downsample
+
+    ev = spark.createDataFrame(
+        [
+            # bucket 10:00, type a: values 1, 3 (latest ts wins last_value)
+            (1, dt.datetime(2024, 1, 1, 10, 5), 7, "a", 1.0, ""),
+            (2, dt.datetime(2024, 1, 1, 10, 40), 7, "a", 3.0, ""),
+            # bucket 10:00, type b: single row
+            (3, dt.datetime(2024, 1, 1, 10, 10), 8, "b", 10.0, ""),
+            # bucket 11:00, type a: tie on ts -> higher event_id wins
+            (4, dt.datetime(2024, 1, 1, 11, 0), 7, "a", 5.0, ""),
+            (5, dt.datetime(2024, 1, 1, 11, 0), 7, "a", 6.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = downsample(ev, unit="hour", dims=("event_type",)).collect()
+    by = {(r.bucket.hour, r.event_type): r for r in rows}
+    a10 = by[(10, "a")]
+    assert (a10.doc_count, a10.v_min, a10.v_max, a10.v_sum, a10.v_avg,
+            a10.last_value) == (2, 1.0, 3.0, 4.0, 2.0, 3.0)
+    b10 = by[(10, "b")]
+    assert (b10.doc_count, b10.last_value) == (1, 10.0)
+    a11 = by[(11, "a")]
+    assert a11.last_value == 6.0  # ts tie broken by event_id
+
+
+def test_downsample_partition_invariant(spark):
+    from kafka_es_spark.operators.sessions import downsample
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 10 + (i % 3), i % 60), i % 5,
+             "t" + str(i % 2), float(i) * 0.1, "")
+            for i in range(200)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    a = sorted(map(tuple, downsample(ev).collect()))
+    b = sorted(map(tuple, downsample(ev.repartition(13)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------- moving_fn
+
+
+def test_moving_fn_frames_and_nulls(spark):
+    from kafka_es_spark.operators.sessions import moving_fn
+
+    b = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([2, 4, 6, 8, 10])],
+        "bucket int, doc_count double",
+    )
+    rows = moving_fn(b, window=2, fn="avg").collect()
+    # shift=0: frame is the 2 buckets BEFORE current (ES placement)
+    assert rows[0].moving_avg is None          # empty frame
+    assert rows[1].moving_avg == 2.0           # only one prior row
+    assert rows[2].moving_avg == 3.0           # (2+4)/2
+    assert rows[4].moving_avg == 7.0           # (6+8)/2
+    # shift=1 includes the current bucket
+    rows = moving_fn(b, window=2, fn="sum", shift=1).collect()
+    assert rows[0].moving_sum == 2.0 and rows[1].moving_sum == 6.0
+    with pytest.raises(ValueError, match="unsupported fn"):
+        moving_fn(b, window=2, fn="median")
+
+
+# ------------------------------------------------------- change_point
+
+
+def test_change_point_finds_planted_step(spark):
+    from kafka_es_spark.operators.sessions import change_point
+
+    # 10 buckets at level 5, then 10 at level 50: split belongs at k=10
+    b = spark.createDataFrame(
+        [(i, 5 if i < 10 else 50) for i in range(20)],
+        "bucket int, doc_count long",
+    )
+    r = change_point(b).collect()
+    assert len(r) == 1
+    assert r[0].change_at == 10 and r[0].type == "step_change"
+    assert r[0].stat == pytest.approx(45.0 * (10 * 10 / 20) ** 0.5, abs=1e-3)
+
+
+def test_change_point_partition_invariant(spark):
+    from kafka_es_spark.operators.sessions import change_point
+
+    b = spark.createDataFrame(
+        [(i, (i * 7) % 13 + (100 if i >= 37 else 0)) for i in range(60)],
+        "bucket int, doc_count long",
+    )
+    a = change_point(b).collect()[0]
+    c = change_point(b.repartition(11)).collect()[0]
+    assert (a.change_at, a.stat) == (c.change_at, c.stat) == (37, a.stat)
+
+
+# ------------------------------------------------------- semdedup
+
+
+def _planted_embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-duplicates of vectors 0..4 as ids 100..104 (tiny jitter)
+    for i in range(5):
+        rows.append((100 + i, [float(x * 1.001 + 1e-4) for x in base[i]]))
+    return spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+
+def test_semdedup_removes_planted_near_dups(spark):
+    from kafka_es_spark.operators.similarity import semdedup
+
+    emb = _planted_embeddings(spark)
+    kept = semdedup(emb, n_clusters=4, eps=0.99).collect()
+    kept_ids = {r.vec_id for r in kept}
+    # keep-first: the lower id of each planted pair survives, the clone dies
+    for i in range(5):
+        assert i in kept_ids and (100 + i) not in kept_ids
+    # non-duplicated vectors all survive
+    assert all(i in kept_ids for i in range(5, 30))
+
+
+def test_semdedup_partition_invariant_and_guard(spark):
+    from kafka_es_spark.operators.similarity import semdedup
+
+    emb = _planted_embeddings(spark)
+    a = [r.vec_id for r in semdedup(emb, n_clusters=4, eps=0.99).collect()]
+    b = [
+        r.vec_id
+        for r in semdedup(emb.repartition(9), n_clusters=4, eps=0.99).collect()
+    ]
+    assert a == b
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup(emb, n_clusters=1, eps=0.99, max_cluster_rows=10)
+
+
+# ------------------------------------------------- URL canonicalization
+
+
+def test_canonicalize_url_cases(spark):
+    from kafka_es_spark.operators.traindata import canonicalize_url
+
+    cases = [
+        # scheme+host lowering, www strip, default port drop, param
+        # filter + sort, fragment drop, trailing slash strip
+        ("HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://news.site.org:8080/x", "http://news.site.org:8080/x"),
+        ("example.com/path/", "http://example.com/path"),  # schemeless
+        ("https://u:p@host.com/q", "https://host.com/q"),  # userinfo strip
+        ("http://a.com:80/", "http://a.com"),
+        ("http://a.com/?gclid=1&fbclid=2", "http://a.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.cu for r in df.select(canonicalize_url("url").alias("cu")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_filter_blocked_hosts_equality_and_subdomain(spark):
+    from kafka_es_spark.operators.traindata import filter_blocked_hosts
+
+    df = spark.createDataFrame(
+        [(1, "https://blocked.com/a"), (2, "https://ads.blocked.com/b"),
+         (3, "https://notblocked.com/c"), (4, "http://fine.org/d"),
+         (5, "https://blocked.com.evil.org/e")],  # NOT a subdomain match
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in filter_blocked_hosts(df, ["blocked.com"]).collect())
+    assert kept == [3, 4, 5]
+    # plan shape: corpus never shuffles — both joins broadcast
+    plan = filter_blocked_hosts(df, ["blocked.com"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
