@@ -3066,6 +3066,15 @@ ESQL7 = (
 )
 
 
+ESQL8 = (
+    "FROM documents "
+    "| INLINESTATS lang_avg = round(avg(n_chars), 2) BY lang "
+    "| WHERE n_chars > lang_avg "
+    "| STATS n = count(*), lang_avg = max(lang_avg) BY lang "
+    "| SORT lang ASC"
+)
+
+
 def _esql_tables(spark, sf_dir):
     return lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -3132,6 +3141,15 @@ def _q_esql_bucket(spark, sf_dir):
     from kafka_es_spark.esql import esql_query
 
     return esql_query(spark, ESQL7, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_inlinestats(spark, sf_dir):
+    """ES|QL pipeline 8: INLINESTATS (per-group aggregate joined back to
+    every row — one hash agg + broadcast join) feeding a WHERE against
+    the group mean, then a plain STATS."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL8, _esql_tables(spark, sf_dir))
 
 
 def _q_moving_fn(spark, sf_dir):
@@ -3233,6 +3251,145 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(planted)
 
 
+# --- exists / missing / global / ids / simple_query_string -----------------
+# External sparse field derived from the corpus id: present iff
+# doc_id % 3 == 1 (value doc_id % 100), NULL iff % 3 == 2, row ABSENT iff
+# % 3 == 0 — the three states the ES exists/missing semantics distinguish.
+
+def _sparse_rating(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.filter(F.col("doc_id") % 3 != 0).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 3 == 1, (F.col("doc_id") % 100))
+        .cast("double").alias("rating"),
+    )
+
+
+def _q_exists_filter(spark, sf_dir):
+    """ES bool {must: match, filter: exists}: BM25 top-k over docs whose
+    external `rating` field has a value; scores are the unfiltered
+    index-level BM25 (filter context)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).exists_filter_topk(
+        " ".join(QUERY_TERMS), "rating", _sparse_rating(spark, sf_dir),
+        k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_agg_missing(spark, sf_dir):
+    """ES missing aggregation: hits of the OR query whose `rating` is
+    null or has no row at all."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_missing(
+        " ".join(QUERY_TERMS), "rating", _sparse_rating(spark, sf_dir)
+    )
+
+
+def _q_agg_global(spark, sf_dir):
+    """ES global aggregation (stats sub-agg): the corpus-wide stats row
+    over `rating`, independent of any query — the facet denominator."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_global(
+        "rating", _sparse_rating(spark, sf_dir)
+    )
+
+
+IDS_FILTER = [3, 7, 11, 19, 42, 77, 123, 222, 321, 404, 499]
+
+
+def _q_ids_topk(spark, sf_dir):
+    """ES bool {must: match, filter: ids}: score only an explicit id
+    list (plus one unknown id, which matches nothing)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    urls = [f"doc://{i}" for i in IDS_FILTER] + ["doc://nope"]
+    out = Searcher(spark, idx, cache=False).ids_topk(
+        " ".join(QUERY_TERMS), urls, k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+SQS_QUERY = "spark query|join"
+
+
+def _q_sqs_topk(spark, sf_dir):
+    """ES simple_query_string with default_operator=and: doc must match
+    'spark' AND >= 1 of the query|join OR group; score = BM25 sum over
+    every positive term matched (Lucene scoring-boolean rewrite)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx, cache=False).simple_query_string_topk(
+        SQS_QUERY, default_operator="and", k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+# --- portable sketches: Bloom membership + Count-Min frequencies ----------
+
+BLOOM_M, BLOOM_K = 4096, 4
+CMS_W, CMS_D = 512, 4
+
+
+def _q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership probe (the Lucene per-segment _id filter
+    shape): members = even-doc urls, probes = every doc url; maybe=True
+    for all members (no false negatives), deterministic md5 bit math so
+    false positives replay identically in the oracle."""
+    from kafka_es_spark.functions.sketches import (
+        bloom_bits, bloom_maybe_contains,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("v"),
+        "doc_id",
+    )
+    bits = bloom_bits(d.filter(F.col("doc_id") % 2 == 0), "v", BLOOM_M, BLOOM_K)
+    return bloom_maybe_contains(d, "v", bits, BLOOM_M, BLOOM_K)
+
+
+def _q_analyze_en(spark, sf_dir):
+    """ES analyzer filter chain (standard → asciifolding → stop →
+    minimal_english stem): analyzed (doc_id, term) token stream — the
+    Lucene English stopword set, Harman S-stemmer, Latin-1 fold; every
+    rule a shared-regex Column op."""
+    from kafka_es_spark.functions.tokenize import (
+        LUCENE_EN_STOPWORDS, analyze_tokens,
+    )
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            analyze_tokens(
+                "text", stopwords=LUCENE_EN_STOPWORDS, stem=True,
+                ascii_fold=True,
+            )
+        ).alias("term"),
+    )
+
+
+def _q_cms_term_counts(spark, sf_dir):
+    """Count-Min point estimates of the flagship terms' token counts —
+    one-sided overestimates from a d×w mergeable counter relation."""
+    from kafka_es_spark.functions.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("v"))
+    counters = cms_counters(toks, "v", w=CMS_W, d=CMS_D)
+    probes = spark.createDataFrame([(t,) for t in QUERY_TERMS], "v string")
+    return cms_point_estimates(probes, "v", counters, w=CMS_W, d=CMS_D)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -3243,6 +3400,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_bm25_topk": _q_bm25_topk,
         "x8_wand_topk": _q_wand_topk,
         "x8_and_topk": _q_wand_and_topk,
+        "x8_exists_filter": _q_exists_filter,
+        "x8_agg_missing": _q_agg_missing,
+        "x8_agg_global": _q_agg_global,
+        "x8_ids_filter": _q_ids_topk,
+        "x8_simple_query_string": _q_sqs_topk,
+        "sk1_bloom_membership": _q_bloom_membership,
+        "sk2_cms_term_counts": _q_cms_term_counts,
+        "x2_analyze_en": _q_analyze_en,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -3415,6 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql5_sample": _q_esql_sample,
         "esql6_enrich": _q_esql_enrich,
         "esql7_bucket": _q_esql_bucket,
+        "esql8_inlinestats": _q_esql_inlinestats,
         "ev23_downsample": _q_downsample,
         "ev24_moving_fn": _q_moving_fn,
         "ev25_change_point": _q_change_point,
@@ -4074,8 +4240,130 @@ FROM base LEFT JOIN bagg USING (doc_id) LEFT JOIN tagg USING (doc_id)
 """
 
 
+# sqs: '+spark AND (query|join)' — BM25 sum over every positive term the
+# doc matches, gated on spark AND >= 1 of the OR group (filter context,
+# stats untouched)
+_SQS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest(['spark', 'query', 'join']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+  AND doc_id IN (SELECT DISTINCT doc_id FROM toks
+                 WHERE term IN ('query', 'join'))
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+"""
+
+_IDS_IN = ", ".join(str(i) for i in IDS_FILTER)
+
+# Bloom oracle: replay the salted md5 bit math over members and probes
+_BLOOM_MEMBER_BITS = "\nUNION ALL\n".join(
+    f"SELECT {{h}} % {BLOOM_M} AS bit FROM members".format(
+        h=_h32_sql(f"'b{i}:' || v")
+    )
+    for i in range(BLOOM_K)
+)
+_BLOOM_PROBE_POS = ", ".join(
+    f"{_h32_sql(f''''b{i}:' || v''')} % {BLOOM_M}" for i in range(BLOOM_K)
+)
+_BLOOM_SQL = f"""
+WITH docs AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS v, doc_id FROM documents
+),
+members AS (SELECT v FROM docs WHERE doc_id % 2 = 0),
+bits AS (SELECT DISTINCT bit FROM ({_BLOOM_MEMBER_BITS})),
+ppos AS (
+  SELECT DISTINCT v, unnest([{_BLOOM_PROBE_POS}]) AS bit FROM docs
+),
+need AS (SELECT v, count(*) AS need FROM ppos GROUP BY 1),
+have AS (
+  SELECT ppos.v, count(bits.bit) AS have
+  FROM ppos LEFT JOIN bits USING (bit) GROUP BY 1
+)
+SELECT have.v AS value, have.have = need.need AS maybe
+FROM have JOIN need USING (v)
+"""
+
+# CMS oracle: replay the d salted counter rows and take the min
+_CMS_COUNTER_ROWS = "\nUNION ALL\n".join(
+    f"SELECT {r} AS r, {_h32_sql(f''''c{r}:' || v''')} % {CMS_W} AS c FROM toks"
+    for r in range(CMS_D)
+)
+_CMS_PROBE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT v, {r} AS r, {_h32_sql(f''''c{r}:' || v''')} % {CMS_W} AS c FROM probes"
+    for r in range(CMS_D)
+)
+def _analyze_sql() -> str:
+    from kafka_es_spark.functions.tokenize import (
+        LUCENE_EN_STOPWORDS, duckdb_analyze_sql,
+    )
+
+    arr = duckdb_analyze_sql(
+        "text", stopwords=LUCENE_EN_STOPWORDS, stem=True, ascii_fold=True
+    )
+    return f"SELECT doc_id, unnest({arr}) AS term FROM documents"
+
+
+_ANALYZE_SQL = _analyze_sql()
+
+_CMS_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS v FROM documents),
+ctr AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM ({_CMS_COUNTER_ROWS}) GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{_QT}]) AS v),
+pp AS ({_CMS_PROBE_ROWS})
+SELECT pp.v AS value, CAST(min(coalesce(ctr.cnt, 0)) AS BIGINT) AS estimate
+FROM pp LEFT JOIN ctr USING (r, c) GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # exists filter: rating present iff doc_id % 3 == 1; scores are
+        # the plain OR BM25 (filter context)
+        "x8_exists_filter": _bm25_sql(
+            "documents", filter_where="doc_id % 3 = 1"
+        ),
+        # ids filter: explicit id list (unknown id matches nothing)
+        "x8_ids_filter": _bm25_sql(
+            "documents", filter_where=f"doc_id IN ({_IDS_IN})"
+        ),
+        # missing agg: hits whose rating is null (doc_id%3==2) or whose
+        # row is absent (doc_id%3==0)
+        "x8_agg_missing": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT CAST(count(*) FILTER (WHERE doc_id % 3 <> 1) AS BIGINT) AS doc_count
+FROM hits
+""",
+        # global agg: stats over every doc whose rating is non-null
+        "x8_agg_global": """
+WITH v AS (
+  SELECT CAST(doc_id % 100 AS DOUBLE) AS rating FROM documents
+  WHERE doc_id % 3 = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs_agg,
+       min(rating) AS min_v, max(rating) AS max_v,
+       CAST(sum(rating) AS BIGINT) AS sum_v,
+       round(avg(rating), 4) AS avg_v
+FROM v
+""",
+        "x8_simple_query_string": _SQS_SQL,
+        "sk1_bloom_membership": _BLOOM_SQL,
+        "sk2_cms_term_counts": _CMS_SQL,
+        "x2_analyze_en": _ANALYZE_SQL,
         "x2_tokenize_explode": (
             f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents"
         ),
@@ -6747,6 +7035,17 @@ SELECT make_timestamp(CAST(floor(epoch(ts)/21600)*21600 AS BIGINT)*1000000)
        count(*) AS n,
        CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS v_sum
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        "esql8_inlinestats": """
+WITH la AS (
+  SELECT lang, round(avg(n_chars), 2) AS lang_avg FROM documents GROUP BY 1
+),
+f AS (
+  SELECT d.lang, la.lang_avg FROM documents d JOIN la USING (lang)
+  WHERE d.n_chars > la.lang_avg
+)
+SELECT CAST(count(*) AS BIGINT) AS n, max(lang_avg) AS lang_avg, lang
+FROM f GROUP BY lang ORDER BY lang
 """,
         "ev23_downsample": """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,

@@ -109,6 +109,7 @@ _KEYWORDS = {
     "last", "and", "or", "not", "in", "like", "rlike", "is", "null",
     "true", "false", "mv_expand", "lookup", "join", "on",
     "dissect", "grok", "sample", "enrich", "with",
+    "inlinestats", "change_point",
 }
 
 
@@ -552,6 +553,27 @@ class _Parser:
                 self.next()
                 keys = self.parse_named_expr_list()
             return _Cmd("stats", {"aggs": aggs, "keys": keys})
+        if word == "inlinestats":
+            aggs = self.parse_named_expr_list()
+            keys = []
+            if self.at_kw("by"):
+                self.next()
+                keys = self.parse_named_expr_list()
+            return _Cmd("inlinestats", {"aggs": aggs, "keys": keys})
+        if word == "change_point":
+            value = self.eat_ident()
+            on = "@timestamp"
+            if self.at_kw("on"):
+                self.next()
+                on = self.eat_ident()
+            names = ("type", "pvalue")
+            if self.at_kw("as"):
+                self.next()
+                a = self.eat_ident()
+                self.eat_op(",")
+                b = self.eat_ident()
+                names = (a, b)
+            return _Cmd("change_point", {"value": value, "on": on, "as": names})
         if word == "sort":
             return _Cmd("sort", {"keys": self.parse_sort_keys()})
         if word == "limit":
@@ -942,6 +964,61 @@ def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
         if keys:
             return df.groupBy(*keys).agg(*aggs)
         return df.agg(*aggs)
+    if cmd.name == "inlinestats":
+        # INLINESTATS: STATS that keeps every input row — the aggregate
+        # values join back onto the rows they summarize (ES|QL 8.16).
+        # Plan: one hash aggregate to a #groups-row table, broadcast
+        # back; same-named columns are shadowed (EVAL-style).
+        aggs = [
+            _compile_agg(expr).alias(name) for name, expr in cmd.payload["aggs"]
+        ]
+        agg_names = [name for name, _ in cmd.payload["aggs"]]
+        keys = cmd.payload["keys"]
+        for name in agg_names:
+            if name in df.columns:
+                df = df.drop(name)
+        if not keys:
+            return df.crossJoin(broadcast(df.agg(*aggs)))
+        key_cols = []
+        for name, expr in keys:
+            if expr[0] != "col" or name != expr[1]:
+                raise ESQLError(
+                    "ES|QL: INLINESTATS BY supports bare column keys only"
+                )
+            if name not in df.columns:
+                raise ESQLError(
+                    f"ES|QL: INLINESTATS BY references unknown column {name!r}"
+                )
+            key_cols.append(name)
+        grouped = df.groupBy(*key_cols).agg(*aggs)
+        return df.join(broadcast(grouped), on=key_cols, how="left")
+    if cmd.name == "change_point":
+        # CHANGE_POINT value [ON key] [AS type_name, pvalue_name]
+        # (ES|QL 8.18): appends two columns, non-null only on the detected
+        # row. Deterministic deviation from ES: the pvalue slot carries
+        # the scaled mean-shift statistic (operators/sessions.change_point
+        # — p-value calibration is model-side and intentionally out), so
+        # reruns and oracles agree bit-for-bit.
+        from kafka_es_spark.operators.sessions import change_point as _cp
+
+        value, on = cmd.payload["value"], cmd.payload["on"]
+        for c in (value, on):
+            if c not in df.columns:
+                raise ESQLError(
+                    f"ES|QL: CHANGE_POINT references unknown column {c!r}"
+                )
+        tname, pname = cmd.payload["as"]
+        cpr = _cp(df, order_col=on, metric_col=value).select(
+            F.col("change_at").alias("__cp_at"),
+            F.col("stat").alias("__cp_stat"),
+            F.col("type").alias("__cp_type"),
+        )
+        out = df.join(broadcast(cpr), on=df[on] == cpr["__cp_at"], how="left")
+        return (
+            out.withColumn(tname, F.col("__cp_type"))
+            .withColumn(pname, F.col("__cp_stat"))
+            .drop("__cp_at", "__cp_stat", "__cp_type")
+        )
     if cmd.name == "sort":
         cols = []
         for expr, asc, nulls in cmd.payload["keys"]:

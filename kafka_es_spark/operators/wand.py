@@ -4084,6 +4084,282 @@ class Searcher:
             )
         return out
 
+    def match_all_ids(self) -> DataFrame:
+        """ES ``match_all`` in filter context: every LIVE doc id (docmap
+        minus pending tombstones). One dense-id column scan of the docmap
+        — the only hit-set builder allowed to touch the whole corpus,
+        because the caller asked for exactly that (the ``global``
+        aggregation scope and query-less aggregations). Stays a pure
+        column projection: no postings read, no shuffle."""
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id")
+        if self.persistent_excluded:
+            dm = dm.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        return dm
+
+    def _field_rel(
+        self, field_values: DataFrame | None, field: str
+    ) -> DataFrame:
+        """(doc_id, url, field) for EVERY live doc — the global-scope
+        sibling of ``_hit_fields`` (which is hit-scoped). Stored-field
+        path reads the docmap column; external path joins by url."""
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        if self.persistent_excluded:
+            dm = dm.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        if field_values is None:
+            if field not in dm.columns:
+                raise ValueError(
+                    f"field {field!r} is not stored in this index's docmap "
+                    f"(stored: {sorted(set(dm.columns) - {'doc_id'})}); "
+                    "build with store_fields=(...) or pass field_values"
+                )
+            return dm.select("doc_id", "url", field)
+        return dm.select("doc_id", "url").join(
+            field_values.select("url", field), "url"
+        )
+
+    def exists_ids(
+        self, field: str, field_values: DataFrame | None = None
+    ) -> DataFrame:
+        """ES ``exists`` query in filter context: live docs whose
+        ``field`` has a non-null value. A missing row in an external
+        ``field_values`` relation counts as missing too (ES: no indexed
+        value), which the inner url join gives for free."""
+        return (
+            self._field_rel(field_values, field)
+            .filter(F.col(field).isNotNull())
+            .select("doc_id")
+        )
+
+    def exists_filter_topk(
+        self,
+        query: str,
+        field: str,
+        field_values: DataFrame | None = None,
+        k: int = 10,
+        round_to: int | None = 4,
+        fetch_k: int | None = None,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES ``bool: {must: match, filter: exists}``: BM25 top-k
+        restricted to docs that HAVE the field. Scoring stats stay
+        index-level (filters never touch idf/avgdl — the
+        range_filtered_topk contract); the exists hit set left-semi
+        joins the relational scores, so cost is O(postings of the query
+        terms) + one docmap-column predicate."""
+        out = self.relational_scores(query).join(
+            self.exists_ids(field, field_values), "doc_id", "left_semi"
+        )
+        return self._finish_topk(out, k, round_to, fetch_k, with_url)
+
+    def _finish_topk(
+        self, out: DataFrame, k: int, round_to: int | None,
+        fetch_k: int | None, with_url: bool,
+    ) -> DataFrame:
+        """Shared tail of the relational-score query paths: rank
+        (score desc, doc_id asc), cut at max(k, fetch_k), round, and
+        optionally attach urls from the docmap (≤fetch_k rows join a
+        broadcast-sized side)."""
+        out = (
+            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(max(int(k), int(fetch_k or 0)))
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        if with_url:
+            dm = self.spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "url")
+            out = out.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        return out
+
+    def agg_missing(
+        self,
+        query: str,
+        field: str,
+        field_values: DataFrame | None = None,
+        mode: str = "or",
+        min_should_match: int | None = None,
+        must_not: str | None = None,
+    ) -> DataFrame:
+        """ES ``missing`` aggregation: one row ``(doc_count)`` — hits of
+        ``query`` whose ``field`` is null or absent. The complement of
+        ``exists_ids`` over the hit set: hit ids LEFT JOIN the field
+        relation, count the nulls. External relations may omit rows
+        entirely (absent ≡ null), so the join is left, not inner."""
+        hits = self.matching_doc_ids(
+            query, mode=mode, min_should_match=min_should_match,
+            must_not=must_not,
+        )
+        fv = self._field_rel(field_values, field).select("doc_id", field)
+        return (
+            hits.join(fv, "doc_id", "left")
+            .agg(
+                F.sum(F.col(field).isNull().cast("long"))
+                .cast("long").alias("doc_count")
+            )
+        )
+
+    def agg_global(
+        self,
+        field: str,
+        field_values: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``global`` aggregation with a stats sub-agg: the metric row
+        over ALL live docs, ignoring whatever query produced the hits
+        beside it (the classic "facet counts vs the whole corpus"
+        denominator). Same output shape as ``agg_stats``; one partial
+        aggregate over the field relation."""
+        fv = self._field_rel(field_values, field)
+        return fv.agg(
+            F.count(field).alias("n_docs_agg"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.round(F.avg(field), 4).alias("avg_v"),
+        )
+
+    def ids_topk(
+        self,
+        query: str,
+        urls: list[str],
+        k: int = 10,
+        round_to: int | None = 4,
+        fetch_k: int | None = None,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES ``bool: {must: match, filter: ids}``: BM25 top-k restricted
+        to an explicit id (url) list — the "score these known docs"
+        request behind re-ranking and saved result sets. The id list is
+        query-sized by contract (ES caps request arrays); it broadcasts
+        against the docmap to resolve dense ids, then left-semi joins the
+        relational scores. Tombstoned ids drop via relational_scores'
+        exclusion; unknown ids simply match nothing (ES semantics)."""
+        spark = self.spark
+        req = spark.createDataFrame([(u,) for u in urls], "url string")
+        dm = spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("url", "doc_id")
+        ids = dm.join(F.broadcast(req), "url").select("doc_id")
+        out = self.relational_scores(query).join(ids, "doc_id", "left_semi")
+        return self._finish_topk(out, k, round_to, fetch_k, with_url)
+
+    def simple_query_string_topk(
+        self,
+        qs: str,
+        default_operator: str = "or",
+        k: int = 10,
+        max_expansions: int = 50,
+        round_to: int | None = 4,
+        fetch_k: int | None = None,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES ``simple_query_string`` over the documented subset: bare
+        terms, ``-term`` negation, ``"quoted phrases"``, trailing-``*``
+        prefix clauses, and ``|`` joining adjacent clauses into one OR
+        group — no parens or field routing (same single-field scope as
+        ``query_string_topk``). Unlike query_string, the syntax never
+        errors: unparsable fragments analyze to terms (the "simple" in
+        the name is the lenient contract).
+
+        ``default_operator`` decides what whitespace means: ``"or"``
+        (ES default) makes every clause a should; ``"and"`` makes every
+        positive clause a must GROUP (a ``a|b`` group needs >= 1 member).
+        Scoring is the Lucene scoring-boolean rewrite either way: BM25
+        sum over every positive term the doc matches. Phrases are
+        filter-context through the positional relation. Plan shape is
+        query_string_topk's: one relational-BM25 aggregation + per-clause
+        semi/anti joins, each O(postings of that clause's terms)."""
+        import re
+
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        if default_operator not in ("or", "and"):
+            raise ValueError("default_operator must be 'or' or 'and'")
+        spark = self.spark
+        groups: list[tuple[bool, list[str], list[str]]] = []
+        # '|' binds tighter than whitespace: normalize 'a | b' to 'a|b'
+        # so one fragment is one clause group
+        qs = re.sub(r"\s*\|\s*", "|", qs)
+        # each fragment: (negated, terms, phrases)
+        for frag in re.findall(r'-?"[^"]*"|\S+', qs):
+            neg = frag.startswith("-")
+            frag = frag.lstrip("-")
+            terms: list[str] = []
+            phrases: list[str] = []
+            for piece in frag.split("|"):
+                if not piece:
+                    continue
+                if len(piece) >= 2 and piece[0] == '"' and piece[-1] == '"':
+                    phrases.append(piece[1:-1])
+                elif piece.endswith("*") and len(piece) > 1:
+                    base = tokenize_py(piece.rstrip("*"))
+                    if base:
+                        rows = (
+                            self.term_stats
+                            .filter(F.col("term").startswith(base[0]))
+                            .select("term").orderBy("term")
+                            .limit(int(max_expansions)).collect()
+                        )
+                        terms.extend(r["term"] for r in rows)
+                        if not rows:
+                            terms.append("\x00nomatch")
+                else:
+                    terms.extend(tokenize_py(piece))
+            if not terms and not phrases:
+                continue
+            groups.append((neg, terms, phrases))
+
+        positive = sorted(
+            {t for neg, ts, _ in groups for t in ts
+             if not neg and t != "\x00nomatch"}
+        )
+        if not positive:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        out = self.relational_scores(" ".join(positive))
+        from kafka_es_spark.operators.positions import phrase_match_ids
+
+        for neg, ts, phrases in groups:
+            ts = [t for t in ts if t != "\x00nomatch"]
+            if neg:
+                if ts:
+                    out = out.join(
+                        self.matching_doc_ids(" ".join(sorted(set(ts)))),
+                        "doc_id", "left_anti",
+                    )
+                for p in phrases:
+                    out = out.join(
+                        phrase_match_ids(spark, self.index_dir, p),
+                        "doc_id", "left_anti",
+                    )
+                continue
+            if default_operator == "and":
+                # the whole group is one must clause: >= 1 member matches
+                ids = None
+                if ts:
+                    ids = self.matching_doc_ids(" ".join(sorted(set(ts))))
+                for p in phrases:
+                    pm = phrase_match_ids(spark, self.index_dir, p)
+                    ids = pm if ids is None else ids.union(pm).distinct()
+                if ids is None:
+                    return spark.createDataFrame([], TOPK_SCHEMA)
+                out = out.join(ids, "doc_id", "left_semi")
+            else:
+                # should group: phrases still gate nothing in OR mode —
+                # ES treats a should phrase as optional signal; terms
+                # already score through `positive`. A should PHRASE does
+                # gate in ES only when it is the lone clause; that case
+                # has no positive terms and returned empty above.
+                pass
+        return self._finish_topk(out, k, round_to, fetch_k, with_url)
+
     def topk_many(
         self,
         queries: list[str],

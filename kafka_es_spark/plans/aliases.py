@@ -62,6 +62,72 @@ def drop_alias(repo_dir: str, alias: str) -> None:
     os.replace(tmp, _path(repo_dir))
 
 
+def next_generation(index_dir: str) -> str:
+    """ES rollover naming: ``...-000001 → ...-000002``; a dir without a
+    generation suffix starts at ``-000002`` (its implicit gen is 1)."""
+    import re
+
+    base = index_dir.rstrip("/")
+    m = re.search(r"-(\d{6})$", base)
+    if m:
+        return f"{base[: m.start()]}-{int(m.group(1)) + 1:06d}"
+    return f"{base}-000002"
+
+
+def rollover(
+    repo_dir: str,
+    alias: str,
+    build_new=None,
+    *,
+    max_docs: int | None = None,
+    max_age_s: float | None = None,
+    now_s: float | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """The ES ``_rollover`` API: when the index behind ``alias`` meets
+    ANY condition (``max_docs`` against the committed stats.json doc
+    count, ``max_age_s`` against the stats commit time), start the next
+    generation and atomically repoint the alias.
+
+    ES rollover cuts to an EMPTY new index and later writes land there;
+    in this batch/streaming engine the new generation must be a
+    committed index before it can be aliased (the set_alias guard), so
+    the caller supplies ``build_new(new_dir)`` — typically a fresh
+    ``build_index`` over the next corpus slice or a streaming sink
+    target. With ``dry_run=True`` (or ``build_new=None``) the decision
+    is reported without acting — the condition-probe half of the API.
+    Metadata-only besides the caller's build: one stats.json read, one
+    registry rewrite."""
+    import time
+
+    old = resolve_alias(repo_dir, alias)
+    with open(os.path.join(old, "stats.json")) as f:
+        stats = json.load(f)
+    met: list[str] = []
+    if max_docs is not None and int(stats["n_docs"]) >= int(max_docs):
+        met.append("max_docs")
+    if max_age_s is not None:
+        committed = os.stat(
+            os.path.join(old, "_manifest", "term_stats.json")
+        ).st_mtime
+        age = (now_s if now_s is not None else time.time()) - committed
+        if age >= max_age_s:
+            met.append("max_age")
+    out = {
+        "old_index": old,
+        "new_index": next_generation(old),
+        "conditions_met": met,
+        "rolled_over": False,
+        "dry_run": bool(dry_run or build_new is None),
+    }
+    if not met or out["dry_run"]:
+        return out
+    build_new(out["new_index"])
+    set_alias(repo_dir, alias, out["new_index"])
+    out["rolled_over"] = True
+    return out
+
+
 def resolve_alias(repo_dir: str, alias: str) -> str:
     """The physical index dir behind ``alias``; raises KeyError with the
     known aliases when absent."""

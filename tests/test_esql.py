@@ -412,3 +412,70 @@ def test_bucket_time_spans(spark):
     with pytest.raises(ESQLError, match="supports only"):
         _run(spark, 'FROM ev | STATS c = count(*) BY bucket(ts, "2 months")',
              ev=ev)
+
+
+def test_inlinestats_by_keys_joins_back(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | INLINESTATS lang_avg = avg(n_chars) BY lang "
+        "| KEEP doc_id, lang, n_chars, lang_avg | SORT doc_id ASC",
+        docs=docs,
+    ).collect()
+    # every row kept; per-lang means: en (10+25)/2, de (7+4)/2, fr 40
+    assert len(rows) == 5
+    by_id = {r.doc_id: r.lang_avg for r in rows}
+    assert by_id[0] == 17.5 and by_id[1] == 17.5
+    assert by_id[2] == 5.5 and by_id[4] == 5.5
+    assert by_id[3] == 40.0
+
+
+def test_inlinestats_global_and_shadowing(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | EVAL n_max = 0 | INLINESTATS n_max = max(n_chars) "
+        "| WHERE n_chars == n_max",
+        docs=docs,
+    ).collect()
+    # no BY: one global aggregate on every row; the EVAL column is
+    # shadowed (EVAL-style), so the filter keeps only the max row
+    assert [(r.doc_id, r.n_max) for r in rows] == [(3, 40)]
+
+
+def test_inlinestats_by_requires_bare_columns(spark, docs):
+    with pytest.raises(ESQLError, match="bare column"):
+        _run(
+            spark,
+            "FROM docs | INLINESTATS m = max(n_chars) BY b = n_chars + 1",
+            docs=docs,
+        )
+
+
+def test_change_point_finds_planted_step_cmd(spark):
+    series = spark.createDataFrame(
+        [(i, 10 if i < 6 else 50) for i in range(12)],
+        "t long, v long",
+    )
+    rows = _run(
+        spark,
+        "FROM series | CHANGE_POINT v ON t | SORT t ASC", series=series,
+    ).collect()
+    assert len(rows) == 12
+    flagged = [r for r in rows if r.type is not None]
+    assert len(flagged) == 1 and flagged[0].t == 6
+    assert flagged[0].type == "step_change" and flagged[0].pvalue > 0
+    assert all(r.pvalue is None for r in rows if r.t != 6)
+
+
+def test_change_point_as_names_and_unknown_col(spark):
+    series = spark.createDataFrame(
+        [(i, 1 if i < 3 else 9) for i in range(6)], "t long, v long"
+    )
+    rows = _run(
+        spark,
+        "FROM series | CHANGE_POINT v ON t AS cp_kind, cp_stat "
+        "| WHERE cp_kind IS NOT NULL",
+        series=series,
+    ).collect()
+    assert len(rows) == 1 and rows[0].t == 3 and rows[0].cp_kind == "step_change"
+    with pytest.raises(ESQLError, match="unknown column"):
+        _run(spark, "FROM series | CHANGE_POINT nope ON t", series=series)

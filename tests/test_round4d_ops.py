@@ -1,0 +1,396 @@
+"""Round-4 batch-D surface: exists/missing field semantics, match_all /
+global agg scope, ids-filtered scoring, and simple_query_string.
+
+Each test pins the semantic edge the operator exists for — absent-row ≡
+null (exists over an external relation), filters never touch scoring
+stats (exists_filter_topk score identity), the global-scope denominator
+(agg_global vs agg_stats), unknown-id tolerance (ids_topk), and the
+lenient operator grammar (simple_query_string vs the bool-equivalent
+topk calls).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_es_spark.operators.wand import Searcher
+from kafka_es_spark.plans.build_index import build_index
+
+SEG_BITS = 6
+
+
+@pytest.fixture(scope="module")
+def idx(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx4d"))
+    build_index(
+        spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8,
+        store_fields=("lang",),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, idx):
+    s = Searcher(spark, idx)
+    yield s
+    s.close()
+
+
+@pytest.fixture(scope="module")
+def sparse_field(spark, pages):
+    """External (url, rating) relation: ~1/3 null, ~1/3 ABSENT (no row),
+    rest valued — exercises the absent-row ≡ null contract."""
+    return (
+        pages.select("url", F.xxhash64("url").alias("h"))
+        .filter(F.pmod("h", F.lit(3)) != 0)  # 1/3 of urls have no row
+        .select(
+            "url",
+            F.when(F.pmod("h", F.lit(3)) == 1, F.pmod("h", F.lit(100)))
+            .cast("double").alias("rating"),  # mod 3 == 2 -> null
+        )
+    )
+
+
+def test_match_all_ids_is_live_corpus(spark, pages, searcher):
+    assert searcher.match_all_ids().count() == pages.count()
+
+
+def test_exists_ids_external_absent_is_null(spark, pages, searcher, sparse_field):
+    got = {r.doc_id for r in searcher.exists_ids("rating", sparse_field).collect()}
+    dm = spark.read.parquet(searcher.index_dir + "/docmap").select("doc_id", "url")
+    want = {
+        r.doc_id
+        for r in dm.join(
+            sparse_field.filter(F.col("rating").isNotNull()), "url"
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < pages.count()
+
+
+def test_exists_ids_stored_field(searcher, pages):
+    # lang is stored and never null in the generator -> exists == corpus
+    assert searcher.exists_ids("lang").count() == pages.count()
+
+
+def test_exists_filter_topk_scores_unchanged(spark, searcher, sparse_field):
+    """Filter context: surviving docs keep their UNFILTERED BM25 score
+    (index-level idf/avgdl)."""
+    q = "data index search"
+    full = {r.doc_id: r.score for r in searcher.topk(q, k=400).collect()}
+    keep = {r.doc_id for r in searcher.exists_ids("rating", sparse_field).collect()}
+    got = searcher.exists_filter_topk(q, "rating", sparse_field, k=10).collect()
+    assert len(got) == 10
+    want = sorted(
+        ((d, s) for d, s in full.items() if d in keep),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r.doc_id, r.score) for r in got] == want
+
+
+def test_agg_missing_counts_null_and_absent(spark, searcher, sparse_field):
+    q = "data index search"
+    hits = {r.doc_id for r in searcher.matching_doc_ids(q).collect()}
+    have = {r.doc_id for r in searcher.exists_ids("rating", sparse_field).collect()}
+    want = len(hits - have)
+    got = searcher.agg_missing(q, "rating", sparse_field).collect()[0].doc_count
+    assert got == want and want > 0
+
+
+def test_agg_global_ignores_query(spark, pages, searcher, sparse_field):
+    row = searcher.agg_global("rating", sparse_field).collect()[0]
+    vals = [
+        r.rating
+        for r in sparse_field.filter(F.col("rating").isNotNull()).collect()
+    ]
+    assert row.n_docs_agg == len(vals)
+    assert row.min_v == min(vals) and row.max_v == max(vals)
+    assert row.sum_v == int(sum(vals))
+
+
+def test_ids_topk_restricts_and_tolerates_unknown(spark, pages, searcher):
+    q = "data index search"
+    full = {r.doc_id: r.score for r in searcher.topk(q, k=400).collect()}
+    dm = spark.read.parquet(searcher.index_dir + "/docmap").select("doc_id", "url")
+    urls = [r.url for r in dm.filter(F.col("doc_id") < 40).collect()]
+    got = searcher.ids_topk(q, urls + ["doc://nope"], k=5).collect()
+    want = sorted(
+        ((d, s) for d, s in full.items() if d < 40),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r.doc_id, r.score) for r in got] == want
+
+
+# --- simple_query_string ------------------------------------------------
+
+
+def test_sqs_bare_or_equals_topk(searcher):
+    q = "data index search"
+    a = [(r.doc_id, r.score) for r in
+         searcher.simple_query_string_topk(q, k=10).collect()]
+    b = [(r.doc_id, r.score) for r in searcher.topk(q, k=10).collect()]
+    assert a == b
+
+
+def test_sqs_default_and_equals_mode_and(searcher):
+    q = "data index"
+    a = [(r.doc_id, r.score) for r in
+         searcher.simple_query_string_topk(
+             q, default_operator="and", k=10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         searcher.topk(q, k=10, mode="and").collect()]
+    assert a == b
+
+
+def test_sqs_negation_equals_must_not(searcher):
+    a = [(r.doc_id, r.score) for r in
+         searcher.simple_query_string_topk("data index -search", k=10).collect()]
+    b = [(r.doc_id, r.score) for r in
+         searcher.topk("data index", k=10, must_not="search").collect()]
+    assert a == b
+
+
+def test_sqs_or_group_under_and(searcher):
+    """'data (search|query)' with AND: every hit has data AND >= 1 of
+    search/query; scores include every matched positive term."""
+    got = searcher.simple_query_string_topk(
+        "data search|query", default_operator="and", k=400
+    )
+    ids = {r.doc_id for r in got.collect()}
+    need_data = {r.doc_id for r in searcher.matching_doc_ids("data").collect()}
+    need_sq = {r.doc_id for r in searcher.matching_doc_ids("search query").collect()}
+    assert ids == (need_data & need_sq) and ids
+
+
+def test_sqs_phrase_gates_under_and(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx4dp"))
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8)
+    from kafka_es_spark.operators.positions import (
+        build_position_index, phrase_match_ids,
+    )
+
+    build_position_index(spark, pages, d)
+    s = Searcher(spark, d, cache=False)
+
+    got = {
+        r.doc_id
+        for r in s.simple_query_string_topk(
+            'data "index search"', default_operator="and", k=400
+        ).collect()
+    }
+    pm = {r.doc_id for r in phrase_match_ids(spark, d, "index search").collect()}
+    dd = {r.doc_id for r in s.matching_doc_ids("data").collect()}
+    assert got == (pm & dd)
+
+
+def test_sqs_prefix_expansion(searcher):
+    """'sear*' expands alphabetically against the dictionary and scores
+    as OR — at minimum it retrieves everything 'search' retrieves."""
+    got = {r.doc_id for r in
+           searcher.simple_query_string_topk("sear*", k=400).collect()}
+    want = {r.doc_id for r in searcher.matching_doc_ids("search").collect()}
+    assert want <= got
+
+
+# --- Bloom filter / Count-Min sketch -------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from kafka_es_spark.functions.sketches import (
+        bloom_bits, bloom_maybe_contains,
+    )
+
+    members = spark.range(0, 300).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    bits = bloom_bits(members, "v", m_bits=4096, k=4)
+    assert bits.count() <= 4096
+    # every member reports maybe=True (one-sided error)
+    got = bloom_maybe_contains(members, "v", bits, 4096, 4).collect()
+    assert all(r.maybe for r in got) and len(got) == 300
+    # non-members: false-positive rate well under 50% at this sizing
+    # ((1 - e^(-4*300/4096))^4 ~ 0.4%)
+    probes = spark.range(1000, 1400).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    fp = sum(
+        1 for r in bloom_maybe_contains(probes, "v", bits, 4096, 4).collect()
+        if r.maybe
+    )
+    assert fp <= 20
+
+
+def test_bloom_merge_is_union_distinct(spark):
+    from kafka_es_spark.functions.sketches import (
+        bloom_bits, bloom_maybe_contains,
+    )
+
+    a = spark.range(0, 50).select(F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(0, 50).select(F.concat(F.lit("b"), F.col("id")).alias("v"))
+    merged = bloom_bits(a, "v", 2048, 3).union(
+        bloom_bits(b, "v", 2048, 3)
+    ).distinct()
+    direct = bloom_bits(a.union(b), "v", 2048, 3)
+    assert {r.bit for r in merged.collect()} == {r.bit for r in direct.collect()}
+
+
+def test_cms_overestimates_never_under(spark):
+    from kafka_es_spark.functions.sketches import (
+        cms_counters, cms_point_estimates,
+    )
+
+    # planted skew: value 'hot' x 500, 200 singletons
+    rows = [("hot",)] * 500 + [(f"cold{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    counters = cms_counters(df, "v", w=256, d=4)
+    probes = spark.createDataFrame(
+        [("hot",), ("cold7",), ("absent",)], "v string"
+    )
+    est = {r.value: r.estimate for r in
+           cms_point_estimates(probes, "v", counters, w=256, d=4).collect()}
+    assert est["hot"] >= 500         # never underestimates
+    assert est["cold7"] >= 1
+    assert est["absent"] >= 0        # may false-positive but never negative
+
+
+def test_cms_merge_and_heavy_hitters(spark):
+    from kafka_es_spark.functions.sketches import (
+        cms_counters, cms_heavy_hitters, cms_point_estimates,
+    )
+
+    rows = [("hot",)] * 300 + [(f"c{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "v string")
+    half1, half2 = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_counters(half1, "v", w=512, d=3)
+        .union(cms_counters(half2, "v", w=512, d=3))
+        .groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_counters(df, "v", w=512, d=3)
+    probe = spark.createDataFrame([("hot",)], "v string")
+    em = cms_point_estimates(probe, "v", merged, w=512, d=3).collect()[0].estimate
+    ed = cms_point_estimates(probe, "v", direct, w=512, d=3).collect()[0].estimate
+    assert em == ed
+    hh = {r.value for r in
+          cms_heavy_hitters(df, "v", w=512, d=3, threshold=200).collect()}
+    assert "hot" in hh
+    # superset property: every true >= 200 value is present (only 'hot' is)
+
+
+# --- analyzer filter chain (stopwords / s-stemmer / asciifolding) ---------
+
+
+def test_analyze_tokens_filter_chain(spark):
+    from kafka_es_spark.functions.tokenize import (
+        LUCENE_EN_STOPWORDS, analyze_tokens, analyze_py,
+    )
+
+    df = spark.createDataFrame(
+        [("The Flies and the CLASSES of Zürich's buses, cats & misses",)],
+        "text string",
+    )
+    got = df.select(
+        analyze_tokens(
+            "text", stopwords=LUCENE_EN_STOPWORDS, stem=True, ascii_fold=True
+        ).alias("t")
+    ).collect()[0].t
+    # the(stop) flies->fly and(stop) the(stop) classes->classe of(stop)
+    # zürich->zurich s buses->buse cats->cat misses->misse
+    assert got == ["fly", "classe", "zurich", "s", "buse", "cat", "misse"]
+    # python mirror is identical (query-time analysis contract)
+    assert got == analyze_py(
+        "The Flies and the CLASSES of Zürich's buses, cats & misses",
+        stopwords=LUCENE_EN_STOPWORDS, stem=True, ascii_fold=True,
+    )
+
+
+def test_analyze_stemmer_guards(spark):
+    from kafka_es_spark.functions.tokenize import analyze_py
+
+    # rule guards: eies/aies keep ies via rule1 but fall to rule2;
+    # aes/ees/oes blocked in rule2 fall to rule3; us/ss never stem
+    assert analyze_py("bus miss grass", stem=True) == ["bus", "miss", "grass"]
+    assert analyze_py("goes sees", stem=True) == ["goe", "see"]
+    # goes: rule2 blocked (oes) -> rule3 drops s; sees: blocked (ees) -> rule3
+    assert analyze_py("flies babies", stem=True) == ["fly", "baby"]
+
+
+def test_analyze_duckdb_parity(spark):
+    import duckdb
+
+    from kafka_es_spark.functions.tokenize import (
+        LUCENE_EN_STOPWORDS, analyze_tokens, duckdb_analyze_sql,
+    )
+
+    texts = [
+        "The Flies and the CLASSES of Zürich's buses, cats & misses",
+        "Ålesund crêpes — naïve reactions; gases pass the press",
+        "这 是 测试 tokens123 and numbers 42s",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.t
+        for r in df.select(
+            analyze_tokens(
+                "text", stopwords=LUCENE_EN_STOPWORDS, stem=True,
+                ascii_fold=True,
+            ).alias("t")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    sql = duckdb_analyze_sql(
+        "t", stopwords=LUCENE_EN_STOPWORDS, stem=True, ascii_fold=True
+    )
+    want = [
+        con.sql(f"SELECT {sql} AS a FROM (SELECT ? AS t)", params=[t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+# --- rollover --------------------------------------------------------------
+
+
+def test_rollover_conditions_and_generation(spark, pages, idx, tmp_path):
+    """ES _rollover parity: condition probe (dry run), generation naming,
+    alias repoint on met conditions via the caller's build, no-op when
+    conditions miss."""
+    import os
+
+    from kafka_es_spark.plans.aliases import (
+        next_generation, resolve_alias, rollover, set_alias,
+    )
+    from kafka_es_spark.plans.build_index import build_index as _bi
+
+    assert next_generation("/x/idx-000001") == "/x/idx-000002"
+    assert next_generation("/x/idx-000009") == "/x/idx-000010"
+    assert next_generation("/x/myidx") == "/x/myidx-000002"
+
+    repo = str(tmp_path / "rollrepo")
+    gen1 = str(tmp_path / "gen-000001")
+    os.symlink(idx, gen1)  # reuse the built module index as generation 1
+    set_alias(repo, "writes", gen1)
+
+    # conditions not met -> report only
+    out = rollover(repo, "writes", max_docs=10_000_000)
+    assert out["conditions_met"] == [] and not out["rolled_over"]
+    assert resolve_alias(repo, "writes") == os.path.abspath(gen1)
+
+    # dry run with met conditions -> still no action
+    out = rollover(repo, "writes", max_docs=1, dry_run=True,
+                   build_new=lambda d: (_ for _ in ()).throw(AssertionError))
+    assert out["conditions_met"] == ["max_docs"] and out["dry_run"]
+    assert not out["rolled_over"]
+
+    # met + build_new -> new generation built and alias repointed
+    built = []
+
+    def build_gen(d):
+        built.append(d)
+        _bi(spark, pages.limit(50), d, seg_bits=SEG_BITS, n_term_buckets=8)
+
+    out = rollover(repo, "writes", build_gen, max_docs=1, max_age_s=0.0)
+    assert out["rolled_over"] and set(out["conditions_met"]) == {
+        "max_docs", "max_age"}
+    assert built == [out["new_index"]]
+    assert out["new_index"].endswith("gen-000002")
+    assert resolve_alias(repo, "writes") == os.path.abspath(out["new_index"])
