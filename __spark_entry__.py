@@ -3390,6 +3390,52 @@ def _q_cms_term_counts(spark, sf_dir):
     return cms_point_estimates(probes, "v", counters, w=CMS_W, d=CMS_D)
 
 
+KNN_SIM_CUT = 0.3
+RS_P, RS_SEED = 0.5, 13
+
+
+def _q_knn_similarity_cutoff(spark, sf_dir):
+    """ES knn with the `similarity` cutoff: candidates under the minimum
+    cosine drop BEFORE the top-k cut, so a query may return < k rows."""
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(e, q, k=5, similarity=KNN_SIM_CUT)
+
+
+def _q_shingles(spark, sf_dir):
+    """ES shingle token filter: distinct word 2-shingles per doc — the
+    phrase-unit token stream feeding dedup and phrase suggesters."""
+    from kafka_es_spark.operators.dedup import shingles
+
+    return shingles(_docs(spark, sf_dir), w=2)
+
+
+def _q_fingerprint_analyzer(spark, sf_dir):
+    """ES fingerprint analyzer: tokens deduplicated, sorted, space-joined
+    — the near-identical-value clustering key."""
+    from kafka_es_spark.functions.tokenize import fingerprint_analyzer
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_analyzer("text").alias("fingerprint")
+    )
+
+
+def _q_agg_random_sampler(spark, sf_dir):
+    """ES random_sampler agg: metrics over a seeded md5-uniform sample of
+    the hit set, doc_count/sum scaled back by 1/p (Horvitz-Thompson)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_random_sampler(
+        " ".join(QUERY_TERMS), "n_chars", _docs_url_fields(spark, sf_dir),
+        probability=RS_P, seed=RS_SEED,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x2_tokenize_explode": _q_tokenize,
@@ -3408,6 +3454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk1_bloom_membership": _q_bloom_membership,
         "sk2_cms_term_counts": _q_cms_term_counts,
         "x2_analyze_en": _q_analyze_en,
+        "x2_shingles": _q_shingles,
+        "x2_fingerprint_analyzer": _q_fingerprint_analyzer,
+        "sim8_knn_cutoff": _q_knn_similarity_cutoff,
+        "x8_agg_random_sampler": _q_agg_random_sampler,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -4329,8 +4379,61 @@ FROM pp LEFT JOIN ctr USING (r, c) GROUP BY 1
 """
 
 
+_KNN_CUTOFF_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored WHERE cos >= {KNN_SIM_CUT}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
+"""
+
+_RS_KEY = _h32_sql(
+    "'doc://' || CAST(doc_id AS VARCHAR) || '" + f":{RS_SEED}'"
+)
+_RANDOM_SAMPLER_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+f AS (
+  SELECT d.n_chars FROM hits JOIN documents d USING (doc_id)
+  WHERE {_RS_KEY} / 4294967296.0 < {RS_P}
+)
+SELECT CAST(count(*) AS BIGINT) AS sampled_docs,
+       CAST(round(count(*) / {RS_P}, 0) AS BIGINT) AS doc_count_est,
+       round(sum(n_chars) / {RS_P}, 4) AS sum_v_est,
+       round(avg(n_chars), 4) AS avg_v
+FROM f
+"""
+
+
+def _shingles_oracle() -> str:
+    from kafka_es_spark.operators.dedup import shingles_sql
+
+    return shingles_sql(w=2)
+
+
+def _fingerprint_oracle() -> str:
+    from kafka_es_spark.functions.tokenize import duckdb_fingerprint_sql
+
+    return (
+        f"SELECT doc_id, {duckdb_fingerprint_sql('text')} AS fingerprint "
+        "FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sim8_knn_cutoff": _KNN_CUTOFF_SQL,
+        "x2_shingles": _shingles_oracle(),
+        "x2_fingerprint_analyzer": _fingerprint_oracle(),
+        "x8_agg_random_sampler": _RANDOM_SAMPLER_SQL,
         # exists filter: rating present iff doc_id % 3 == 1; scores are
         # the plain OR BM25 (filter context)
         "x8_exists_filter": _bm25_sql(

@@ -172,6 +172,26 @@ def analyze_py(
     return toks
 
 
+def fingerprint_analyzer(col: Column | str, lang: str | None = None) -> Column:
+    """The ES ``fingerprint`` analyzer: tokens lowered, DEDUPLICATED,
+    SORTED, and space-joined into one normalized string — the clustering
+    key OpenRefine popularized and ES ships for near-identical-value
+    grouping. Pure Column chain (sort/dedup over a per-row array, no
+    shuffle); pairs with the dedup operators as a cheap exact-after-
+    normalization key."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(tokens(col, lang))), " "
+    )
+
+
+def duckdb_fingerprint_sql(text_expr: str) -> str:
+    """DuckDB expression mirroring ``fingerprint_analyzer``."""
+    return (
+        f"array_to_string(list_sort(list_distinct("
+        f"{duckdb_tokens_sql(text_expr)})), ' ')"
+    )
+
+
 def duckdb_analyze_sql(
     text_expr: str,
     stopwords: tuple[str, ...] = (),

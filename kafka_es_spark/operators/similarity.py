@@ -49,9 +49,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 4,
+    similarity: float | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, vec_id, cos) per query vector, excluding self.
-    queries: (query_id, qvec). Broadcast the (small) query side."""
+    queries: (query_id, qvec). Broadcast the (small) query side.
+
+    ``similarity`` is the ES knn ``similarity`` cutoff: candidates below
+    the minimum cosine are dropped BEFORE the top-k cut (a query may
+    return < k rows — ES semantics). Applied to the rounded score so the
+    boundary decision is engine-stable."""
     q = queries.select(F.col("query_id"), F.col("qvec"))
     joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).crossJoin(
         F.broadcast(q)
@@ -61,6 +67,8 @@ def cosine_topk(
     )
     if round_to is not None:
         scored = scored.withColumn("cos", F.round("cos", round_to))
+    if similarity is not None:
+        scored = scored.filter(F.col("cos") >= float(similarity))
     w = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     )

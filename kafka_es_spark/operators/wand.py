@@ -2129,6 +2129,46 @@ class Searcher:
             F.col("score").desc(), F.col("url").asc()
         ).limit(int(k))
 
+    def agg_random_sampler(
+        self,
+        query: str,
+        field: str,
+        field_values: DataFrame | None = None,
+        probability: float = 0.1,
+        seed: int = 42,
+        mode: str = "or",
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES ``random_sampler`` aggregation: the metric sub-agg runs over
+        a probability-sampled subset of the hit set and doc_count scales
+        back by 1/p (how ES serves dashboard aggs over 10^12 docs at
+        interactive latency). ES samples per-shard with a seeded RNG;
+        here membership is the portable md5 uniform over the url
+        (``hash32(url:seed)/2^32 < p``) — same sample on any engine,
+        parallelism, or rebuild, and the oracle replays it exactly.
+
+        One row: (sampled_docs, doc_count_est, sum_v_est, avg_v) —
+        doc_count/sum scale by 1/p (Horvitz-Thompson), avg is the plain
+        sample mean (already unbiased). Plan: hit set → docmap join →
+        pushable hash predicate → one partial aggregate."""
+        if not 0.0 < probability <= 1.0:
+            raise ValueError(f"probability must be in (0, 1], got {probability}")
+        from kafka_es_spark.operators.dedup import hash32
+
+        j = self._hit_fields(query, field_values, field, mode=mode)
+        u = hash32(F.concat(F.col("url"), F.lit(f":{int(seed)}"))) / F.lit(
+            float(2**32)
+        )
+        s = j.filter(u < F.lit(float(probability)))
+        inv = 1.0 / float(probability)
+        return s.agg(
+            F.count(field).alias("sampled_docs"),
+            F.round(F.count(field) * F.lit(inv), 0)
+            .cast("long").alias("doc_count_est"),
+            F.round(F.sum(field) * F.lit(inv), round_to).alias("sum_v_est"),
+            F.round(F.avg(field), round_to).alias("avg_v"),
+        )
+
     def runtime_field_topk(
         self,
         query: str,

@@ -394,3 +394,98 @@ def test_rollover_conditions_and_generation(spark, pages, idx, tmp_path):
     assert built == [out["new_index"]]
     assert out["new_index"].endswith("gen-000002")
     assert resolve_alias(repo, "writes") == os.path.abspath(out["new_index"])
+
+
+# --- planted-neighbor recall tripwire for the non-portable LSH ANN path ---
+
+
+def test_lsh_ann_planted_neighbor_recall(spark):
+    """A near-duplicate (cos ~ 0.998) of each query is planted in an
+    otherwise-random corpus; the default (non-portable) LSH path must
+    recover >= 90% of the planted neighbors at k=1 — a meaningfully
+    sensitive bar (the isotropic-corpus test can't exceed ~0.4 by
+    construction, this one fails loudly if bucketing breaks)."""
+    import numpy as np
+
+    from kafka_es_spark.operators.similarity import lsh_ann_topk
+
+    rng = np.random.default_rng(11)
+    dim, n_q, n_noise = 16, 20, 400
+    rows = []
+    for q in range(n_q):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        dup = v + rng.normal(scale=0.03, size=dim)  # cos ~ 0.998
+        rows.append((q, [float(x) for x in v]))
+        rows.append((1000 + q, [float(x) for x in dup]))
+    for i in range(n_noise):
+        v = rng.normal(size=dim)
+        rows.append((2000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    out = lsh_ann_topk(emb, queries, k=2, n_planes=8, n_tables=6)
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    # top-2 because the query vector itself is in the corpus at rank 1
+    hits = sum(1 for q in range(n_q) if (1000 + q) in got.get(q, set()))
+    assert hits / n_q >= 0.9, (hits, n_q)
+
+
+# --- knn similarity cutoff / random_sampler / fingerprint analyzer --------
+
+
+def test_cosine_topk_similarity_cutoff(spark):
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # without cutoff: 3 neighbors; with 0.5 cutoff only vec 1 survives
+    assert cosine_topk(emb, q, k=5).count() == 3
+    got = cosine_topk(emb, q, k=5, similarity=0.5).collect()
+    assert [(r.vec_id, r.rank) for r in got] == [(1, 1)]
+
+
+def test_agg_random_sampler_scaling_and_determinism(spark, searcher, pages):
+    fv = pages.select("url", F.length("text").alias("n_chars"))
+    a = searcher.agg_random_sampler(
+        "data", "n_chars", fv, probability=0.5, seed=3
+    ).collect()[0]
+    b = searcher.agg_random_sampler(
+        "data", "n_chars", fv, probability=0.5, seed=3
+    ).collect()[0]
+    assert a == b  # deterministic: same seed, same sample
+    full = searcher.match_count("data").collect()[0].n_hits
+    # Horvitz-Thompson scaling: estimate within 35% of truth at p=0.5
+    assert a.doc_count_est == a.sampled_docs * 2
+    assert abs(a.doc_count_est - full) / full < 0.35
+    # p=1 degenerates to the exact hit count
+    c = searcher.agg_random_sampler(
+        "data", "n_chars", fv, probability=1.0, seed=3
+    ).collect()[0]
+    assert c.sampled_docs == full == c.doc_count_est
+    with pytest.raises(ValueError, match="probability"):
+        searcher.agg_random_sampler("data", "n_chars", fv, probability=0.0)
+
+
+def test_fingerprint_analyzer_normalizes(spark):
+    from kafka_es_spark.functions.tokenize import fingerprint_analyzer
+
+    df = spark.createDataFrame(
+        [("The  quick, THE QUICK brown-fox",), ("brown fox quick the",)],
+        "text string",
+    )
+    got = [r.f for r in df.select(
+        fingerprint_analyzer("text").alias("f")).collect()]
+    # both rows normalize to the same clustering key
+    assert got[0] == got[1] == "brown fox quick the"
