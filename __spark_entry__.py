@@ -3424,6 +3424,36 @@ def _q_fingerprint_analyzer(spark, sf_dir):
     )
 
 
+IP_RANGES = ["10.0.0.0/9", ("10.128.0.0", None), ("10.64.0.0", "10.192.0.0")]
+
+
+def _docs_url_ips(spark, sf_dir):
+    """Synthesized deterministic IPv4 per doc (the driver corpus has no
+    ip column — the operator plumbing is the real thing, the coordinates
+    are derived, same convention as the geo entries)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat_ws(
+            ".", F.lit("10"),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            ((F.col("doc_id") * 13) % 256).cast("string"),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("ip"),
+    )
+
+
+def _q_agg_ip_range(spark, sf_dir):
+    """ES ip_range agg (IPv4): CIDR and from/to buckets (overlapping,
+    empty kept) over the OR hit set's synthesized ip field."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).agg_ip_range(
+        " ".join(QUERY_TERMS), _docs_url_ips(spark, sf_dir), "ip", IP_RANGES,
+    )
+
+
 def _q_agg_random_sampler(spark, sf_dir):
     """ES random_sampler agg: metrics over a seeded md5-uniform sample of
     the hit set, doc_count/sum scaled back by 1/p (Horvitz-Thompson)."""
@@ -3433,6 +3463,33 @@ def _q_agg_random_sampler(spark, sf_dir):
     return Searcher(spark, idx, cache=False).agg_random_sampler(
         " ".join(QUERY_TERMS), "n_chars", _docs_url_fields(spark, sf_dir),
         probability=RS_P, seed=RS_SEED,
+    )
+
+
+BPE_MERGES = 40
+
+
+def _q_bpe_word_counts(spark, sf_dir):
+    """BPE training's one corpus-scale pass: the (word, n) frequency
+    relation (tokenize + hash agg with map-side combine) the merge loop
+    trains from."""
+    from kafka_es_spark.operators.cooccur import word_counts
+
+    return word_counts(_docs(spark, sf_dir))
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (Sennrich 2016): the ordered merge list as
+    (rank, left, right). Iterative by nature (each merge depends on all
+    previous) — the documented no-SQL-oracle category; determinism is
+    pytest-pinned against a pure-python reference + parallelism
+    invariance."""
+    from kafka_es_spark.operators.cooccur import train_bpe
+
+    merges = train_bpe(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
     )
 
 
@@ -3458,6 +3515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_fingerprint_analyzer": _q_fingerprint_analyzer,
         "sim8_knn_cutoff": _q_knn_similarity_cutoff,
         "x8_agg_random_sampler": _q_agg_random_sampler,
+        "x8_agg_ip_range": _q_agg_ip_range,
+        "tk1_bpe_word_counts": _q_bpe_word_counts,
+        "tk2_bpe_merges": _q_bpe_merges,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -4428,8 +4488,54 @@ def _fingerprint_oracle() -> str:
     )
 
 
+def _ip_range_oracle() -> str:
+    import ipaddress
+
+    rows = []
+    for r in IP_RANGES:
+        if isinstance(r, str):
+            net = ipaddress.ip_network(r)
+            rows.append((r, int(net.network_address),
+                         int(net.network_address) + net.num_addresses))
+        else:
+            lo, hi = r
+            key = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            rows.append((
+                key,
+                "NULL" if lo is None else int(ipaddress.IPv4Address(lo)),
+                "NULL" if hi is None else int(ipaddress.IPv4Address(hi)),
+            ))
+    vals = ", ".join(f"('{k}', {lo}, {hi})" for k, lo, hi in rows)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+ipv AS (
+  SELECT doc_id,
+         167772160 + ((doc_id * 7) % 256) * 65536
+                   + ((doc_id * 13) % 256) * 256 + (doc_id % 256) AS v
+  FROM hits
+),
+r(range_key, lo, hi) AS (VALUES {vals}),
+counts AS (
+  SELECT r.range_key, count(*) AS doc_count
+  FROM ipv JOIN r ON (r.lo IS NULL OR ipv.v >= r.lo)
+                 AND (r.hi IS NULL OR ipv.v < r.hi)
+  GROUP BY 1
+)
+SELECT r.range_key, CAST(coalesce(counts.doc_count, 0) AS BIGINT) AS doc_count
+FROM r LEFT JOIN counts USING (range_key) ORDER BY range_key
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "x8_agg_ip_range": _ip_range_oracle(),
+        # BPE corpus pass: plain word frequencies (tk2's merge loop is
+        # iterative — intentionally no oracle, rows-only check)
+        "tk1_bpe_word_counts": (
+            f"WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents) "
+            "SELECT word, count(*) AS n FROM toks GROUP BY word"
+        ),
         "sim8_knn_cutoff": _KNN_CUTOFF_SQL,
         "x2_shingles": _shingles_oracle(),
         "x2_fingerprint_analyzer": _fingerprint_oracle(),

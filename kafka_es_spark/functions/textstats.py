@@ -413,3 +413,33 @@ def categorize_text(
         .agg(F.count("*").alias("doc_count"))
         .orderBy(F.col("doc_count").desc(), F.col("category").asc())
     )
+
+
+def ipv4_to_long(col: Column | str) -> Column:
+    """Dotted-quad IPv4 → uint32-as-long (the ES `ip` field's sortable
+    form for the v4 subset). Pure Column split + integer arithmetic —
+    pushable, codegen'd; malformed strings null out via the casts."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.split(c, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def ipv4_to_long_py(ip: str) -> int:
+    """Driver-side mirror of ``ipv4_to_long`` (range-literal precompute)."""
+    a, b, c, d = (int(x) for x in ip.split("."))
+    return a * 16777216 + b * 65536 + c * 256 + d
+
+
+def duckdb_ipv4_sql(expr: str) -> str:
+    """DuckDB expression mirroring ``ipv4_to_long``."""
+    return (
+        f"(CAST(string_split({expr}, '.')[1] AS BIGINT) * 16777216"
+        f" + CAST(string_split({expr}, '.')[2] AS BIGINT) * 65536"
+        f" + CAST(string_split({expr}, '.')[3] AS BIGINT) * 256"
+        f" + CAST(string_split({expr}, '.')[4] AS BIGINT))"
+    )

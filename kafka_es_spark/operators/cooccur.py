@@ -18,6 +18,8 @@ each merge round.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -155,4 +157,132 @@ def bpe_pair_counts(
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(int(top_k))
+    )
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): corpus word frequencies — the ONE corpus-scale pass BPE
+    training needs (Zipf collapses 10^12 tokens to a vocab-sized
+    relation). Tokenize (codegen) → explode → hash agg with map-side
+    combine."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+BPE_MAX_VOCAB_ROWS = 1_000_000
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab_rows: int = BPE_MAX_VOCAB_ROWS,
+) -> list[tuple[str, str]]:
+    """BPE tokenizer training (Sennrich et al. 2016), the full merge
+    loop. Returns the ordered merge list [(left, right), ...].
+
+    Scale split, stated exactly: the CORPUS pass is ``word_counts`` —
+    one distributed tokenize + hash agg, the only stage that touches
+    10^12 tokens. The merge loop then runs over the WORD-FREQUENCY
+    table (vocab-sized — Zipf makes this ~10^6-10^8 at web scale, and
+    this is also how production trainers work: HF/sentencepiece train
+    from an in-memory word-count table). The collect is bounded by
+    ``max_vocab_rows`` and RAISES past it (the assign_doc_ids contract:
+    a driver-side step must carry an enforced bound, not a hope);
+    ``min_count`` trims the long tail first, which is both the standard
+    practice and what keeps the bound real at corpus scale.
+
+    Determinism: ties on pair count break lexicographically, so the
+    merge list is a pure function of the corpus — any engine, any
+    parallelism, any rerun."""
+    wc = word_counts(docs, text_col).filter(F.col("n") >= int(min_count))
+    n_rows = wc.count()
+    if n_rows > max_vocab_rows:
+        raise ValueError(
+            f"word-count table has {n_rows} rows > max_vocab_rows="
+            f"{max_vocab_rows}; raise min_count (or the cap) so the "
+            "driver-side merge loop stays bounded"
+        )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in wc.collect():
+        vocab[tuple(r["word"])] = vocab.get(tuple(r["word"]), 0) + int(r["n"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for seq, n in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for seq, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list: (doc_id, pieces array<string>) — the
+    tokenizer-inference half. Per-word merging is inherently sequential
+    (each merge changes its neighbors), so this is the documented
+    Arrow-batched pandas-UDF tier: the merge-rank table broadcasts in
+    the closure, each batch encodes vectorized-per-row with no shuffle,
+    and the stage fuses with the upstream tokenize."""
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        seq = list(w)
+        while len(seq) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        return seq
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode_tokens(words: pd.Series) -> pd.Series:
+        # Arrow hands list columns over as numpy arrays — test emptiness
+        # by length, not truthiness
+        return words.map(
+            lambda ws: [
+                p
+                for w in (ws if ws is not None and len(ws) else [])
+                for p in encode_word(w)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        encode_tokens(tokens(text_col)).alias("pieces"),
     )

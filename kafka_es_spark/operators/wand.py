@@ -2278,6 +2278,114 @@ class Searcher:
             .orderBy("range_key")
         )
 
+    def agg_ip_range(
+        self,
+        query: str,
+        field_values: DataFrame,
+        field: str,
+        ranges: list,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``ip_range`` aggregation (IPv4 subset): buckets are CIDR
+        strings (``"10.0.0.0/9"`` — the block, to-exclusive) or
+        ``(from_ip, to_ip)`` tuples (from inclusive, to exclusive, None
+        open ends), overlapping allowed, empty buckets kept — the
+        agg_ranges contract over the ip field's sortable uint32 form.
+        Range parsing is driver-side (ipaddress stdlib); the per-row
+        work is one Column split/arithmetic + the broadcast conditional
+        join."""
+        import ipaddress
+
+        from kafka_es_spark.functions.textstats import ipv4_to_long
+
+        rows = []
+        for r in ranges:
+            if isinstance(r, str):
+                net = ipaddress.ip_network(r, strict=True)
+                rows.append((r, int(net.network_address),
+                             int(net.network_address) + net.num_addresses))
+            else:
+                lo, hi = r
+                key = (
+                    f"{lo if lo is not None else '*'}-"
+                    f"{hi if hi is not None else '*'}"
+                )
+                rows.append((
+                    key,
+                    None if lo is None else int(ipaddress.IPv4Address(lo)),
+                    None if hi is None else int(ipaddress.IPv4Address(hi)),
+                ))
+        rdf = self.spark.createDataFrame(
+            rows, "range_key string, lo long, hi long"
+        )
+        j = self._hit_fields(query, field_values, field, mode=mode)
+        v = ipv4_to_long(F.col(field))
+        cond = (
+            (F.col("lo").isNull() | (v >= F.col("lo")))
+            & (F.col("hi").isNull() | (v < F.col("hi")))
+        )
+        counts = (
+            j.join(F.broadcast(rdf), cond)
+            .groupBy("range_key")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return (
+            rdf.select("range_key")
+            .join(counts, "range_key", "left")
+            .select(
+                "range_key",
+                F.coalesce("doc_count", F.lit(0)).cast("long").alias("doc_count"),
+            )
+            .orderBy("range_key")
+        )
+
+    def field_caps(self) -> DataFrame:
+        """The ES ``_field_caps`` API: one row per queryable field —
+        (field, type, searchable, aggregatable, stored). The analyzed
+        ``text`` field is searchable but not aggregatable (no doc
+        values, exactly ES's text type); docmap stored columns are
+        aggregatable doc-values fields. Pure metadata: one docmap
+        schema read, no data scan."""
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        rows = [("text", "text", True, False, False),
+                ("url", "keyword", True, True, True),
+                ("dl", "long", False, True, True)]
+        for f_ in dm.schema.fields:
+            if f_.name in ("doc_id", "url", "dl"):
+                continue
+            rows.append((f_.name, f_.dataType.simpleString(),
+                         False, True, True))
+        return self.spark.createDataFrame(
+            rows,
+            "field string, type string, searchable boolean, "
+            "aggregatable boolean, stored boolean",
+        )
+
+    def validate_query(self, query: str, mode: str = "or") -> dict:
+        """The ES ``_validate/query?explain=true`` API: analyze the query
+        without running it — returns validity, the analyzed terms, which
+        are present in the term dictionary, and the Lucene-style
+        rewrite description. Driver-side only (one ≤|q|-row term_stats
+        probe), never a postings scan."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        if mode not in ("or", "and"):
+            return {"valid": False, "error": f"unknown mode {mode!r}"}
+        terms = sorted(set(tokenize_py(query)))
+        if not terms:
+            return {"valid": False, "error": "query analyzes to no terms"}
+        present = sorted(
+            r["term"] for r in
+            self.term_stats.filter(F.col("term").isin(terms)).collect()
+        )
+        op = " +" if mode == "and" else " "
+        return {
+            "valid": True,
+            "terms": terms,
+            "indexed_terms": present,
+            "explanation": op.join(f"text:{t}" for t in terms).strip(),
+        }
+
     def agg_filters(
         self,
         query: str,

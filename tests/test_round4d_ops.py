@@ -489,3 +489,150 @@ def test_fingerprint_analyzer_normalizes(spark):
         fingerprint_analyzer("text").alias("f")).collect()]
     # both rows normalize to the same clustering key
     assert got[0] == got[1] == "brown fox quick the"
+
+
+# --- ip_range agg / field_caps / validate_query ---------------------------
+
+
+def test_ipv4_to_long_parity(spark):
+    from kafka_es_spark.functions.textstats import (
+        duckdb_ipv4_sql, ipv4_to_long, ipv4_to_long_py,
+    )
+    import duckdb
+
+    ips = ["0.0.0.0", "10.128.3.7", "255.255.255.255", "192.168.1.1"]
+    df = spark.createDataFrame([(i,) for i in ips], "ip string")
+    got = [r.v for r in df.select(ipv4_to_long("ip").alias("v")).collect()]
+    want = [ipv4_to_long_py(i) for i in ips]
+    assert got == want
+    con = duckdb.connect()
+    dd = [
+        con.sql(
+            f"SELECT {duckdb_ipv4_sql('ip')} AS v FROM (SELECT ? AS ip)",
+            params=[i],
+        ).fetchone()[0]
+        for i in ips
+    ]
+    assert dd == want
+    import ipaddress
+    assert want == [int(ipaddress.IPv4Address(i)) for i in ips]
+
+
+def test_agg_ip_range_buckets(spark, searcher, pages):
+    fv = pages.select(
+        "url",
+        F.concat_ws(
+            ".", F.lit("10"),
+            (F.pmod(F.xxhash64("url"), F.lit(128)) + 128).cast("string"),  # 128..255
+            F.lit("0"), F.lit("1"),
+        ).alias("ip"),
+    )
+    out = {r.range_key: r.doc_count for r in searcher.agg_ip_range(
+        "data", fv, "ip",
+        ["10.0.0.0/9", ("10.128.0.0", None), ("10.0.0.0", "10.128.0.0")],
+    ).collect()}
+    n = searcher.match_count("data").collect()[0].n_hits
+    # all synthesized ips are >= 10.128.0.0: CIDR /9 covers 10.0-10.127
+    assert out["10.0.0.0/9"] == 0
+    assert out["10.128.0.0-*"] == n
+    assert out["10.0.0.0-10.128.0.0"] == 0
+
+
+def test_field_caps_and_validate_query(searcher):
+    caps = {r.field: r for r in searcher.field_caps().collect()}
+    assert caps["text"].searchable and not caps["text"].aggregatable
+    assert caps["url"].stored and caps["dl"].aggregatable
+    assert caps["lang"].aggregatable  # stored at build in this fixture
+
+    v = searcher.validate_query("Data AND Search", mode="and")
+    assert v["valid"] and "data" in v["terms"] and "and" in v["terms"]
+    assert set(v["indexed_terms"]) <= set(v["terms"])
+    assert v["explanation"].startswith("text:")
+    bad = searcher.validate_query("!!! ...")
+    assert not bad["valid"] and "no terms" in bad["error"]
+
+
+# --- BPE tokenizer training ------------------------------------------------
+
+
+def _py_bpe_reference(word_counts, n_merges, min_count=2):
+    """Straight-line Sennrich reference for parity (no Spark)."""
+    vocab = {}
+    for w, n in word_counts.items():
+        if n >= min_count:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + n
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for seq, n in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append(pair)
+        a, b = pair
+        nv = {}
+        for seq, n in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(seq[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+    return merges
+
+
+def test_train_bpe_matches_reference_and_is_deterministic(spark):
+    from collections import Counter
+
+    from kafka_es_spark.operators.cooccur import train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news low",
+        "wider wide widest newer lower",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want = _py_bpe_reference(wc, n_merges=12)
+    got = train_bpe(docs, n_merges=12)
+    assert got == want and len(got) == 12
+    # parallelism invariance (the corpus pass is one hash agg)
+    got13 = train_bpe(docs.repartition(13), n_merges=12)
+    assert got13 == got
+
+
+def test_train_bpe_vocab_cap_raises(spark):
+    from kafka_es_spark.operators.cooccur import train_bpe
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b") for i in range(30)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        train_bpe(docs, n_merges=2, min_count=1, max_vocab_rows=10)
+
+
+def test_bpe_encode_applies_merge_ranks(spark):
+    from kafka_es_spark.operators.cooccur import bpe_encode, train_bpe
+
+    texts = ["aaab aaab aaab", "ab ab aaab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=3, min_count=1)
+    out = {r.doc_id: r.pieces for r in bpe_encode(docs, merges).collect()}
+    # encoding is greedy by merge RANK; pieces re-concatenate to the text
+    for i, t in enumerate(texts):
+        assert "".join(out[i]) == t.replace(" ", "")
+    # the most frequent pair merged first => 'aaab' compresses
+    assert len(out[0]) < 4 * 3
+    # no merges -> raw characters
+    raw = {r.doc_id: r.pieces for r in bpe_encode(docs, []).collect()}
+    assert raw[1] == list("ab") + list("ab") + list("aaab")
