@@ -3466,6 +3466,56 @@ def _q_agg_random_sampler(spark, sf_dir):
     )
 
 
+DSL_LO, DSL_HI = 30, 120
+
+
+def _q_search_dsl(spark, sf_dir):
+    """The ES _search request body, interpreted: bool with a scoring
+    must match, a dl range filter (filter context — stats untouched),
+    and a must_not term, compiled onto the engine's relational-BM25 and
+    posting-algebra primitives."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": " ".join(QUERY_TERMS)}}],
+            "filter": [{"range": {"dl": {"gte": DSL_LO, "lt": DSL_HI}}}],
+            "must_not": [{"term": {"text": "data"}}],
+        }},
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+GL_SIZE = 10
+
+
+def _q_geo_line(spark, sf_dir):
+    """ES geo_line agg: per-user LineString ordered by ts, capped at
+    GL_SIZE points (truncated flagged) — coordinates synthesized from
+    event_id (the events table has none; the agg plumbing is real)."""
+    from kafka_es_spark.operators.sessions import geo_line
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 5
+    )
+    pts = ev.select(
+        "user_id", "ts",
+        (((F.col("event_id") * 7919) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("event_id") * 104729) % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    out = geo_line(pts, key_col="user_id", size=GL_SIZE)
+    return out.select(
+        "key", "line", F.col("n_points").cast("long").alias("n_points"),
+        "truncated",
+    )
+
+
 BPE_MERGES = 40
 
 
@@ -3518,6 +3568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_agg_ip_range": _q_agg_ip_range,
         "tk1_bpe_word_counts": _q_bpe_word_counts,
         "tk2_bpe_merges": _q_bpe_merges,
+        "x13_geo_line": _q_geo_line,
+        "x15_search_dsl": _q_search_dsl,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -4530,6 +4582,27 @@ FROM r LEFT JOIN counts USING (range_key) ORDER BY range_key
 def oracle_sql() -> dict[str, str]:
     return {
         "x8_agg_ip_range": _ip_range_oracle(),
+        # _search DSL: bool must (scoring) + dl range filter + must_not
+        "x15_search_dsl": _bm25_sql(
+            "documents",
+            must_not_terms=["data"],
+            filter_where=f"len({_TOKS}) >= {DSL_LO} AND len({_TOKS}) < {DSL_HI}",
+        ),
+        # geo_line: per-user ts-ordered LineString, first GL_SIZE points
+        "x13_geo_line": f"""
+WITH pts AS (
+  SELECT user_id AS key, ts,
+         ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon,
+         ((event_id * 104729) % 18000) / 100.0 - 90.0 AS lat
+  FROM events WHERE user_id < 5
+)
+SELECT key,
+       list_slice(list([lon, lat] ORDER BY ts, lon, lat), 1, {GL_SIZE})
+         AS line,
+       CAST(least(count(*), {GL_SIZE}) AS BIGINT) AS n_points,
+       count(*) > {GL_SIZE} AS truncated
+FROM pts GROUP BY key
+""",
         # BPE corpus pass: plain word frequencies (tk2's merge loop is
         # iterative — intentionally no oracle, rows-only check)
         "tk1_bpe_word_counts": (

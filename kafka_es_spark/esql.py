@@ -305,6 +305,7 @@ _SCALAR_FNS: dict = {
     "replace": (3, 3, lambda s, pat, rep: F.regexp_replace(s, pat, rep)),
     "split": (2, 2, lambda s, d: F.split(s, d)),
     "to_string": (1, 1, lambda x: x.cast("string")),
+    "to_datetime": (1, 1, lambda x: x.cast("timestamp")),
     "to_long": (1, 1, lambda x: x.cast("long")),
     "to_integer": (1, 1, lambda x: x.cast("int")),
     "to_double": (1, 1, lambda x: x.cast("double")),
@@ -314,7 +315,48 @@ _SCALAR_FNS: dict = {
     "mv_count": (1, 1, F.size),
     "mv_min": (1, 1, F.array_min),
     "mv_max": (1, 1, F.array_max),
+    "mv_sum": (
+        1, 1,
+        lambda a: F.when(
+            F.size(a) > 0,
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+        ),
+    ),
+    "mv_avg": (
+        1, 1,
+        lambda a: F.when(
+            F.size(a) > 0,
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ) / F.size(a),
+        ),
+    ),
+    "mv_dedupe": (1, 1, F.array_distinct),
+    "mv_sort": (1, 1, F.array_sort),
+    "mv_first": (1, 1, lambda a: F.element_at(a, 1)),
+    "mv_last": (1, 1, lambda a: F.element_at(a, -1)),
+    "mv_slice": (
+        3, 3,
+        # ES|QL mv_slice(list, start, end) is 0-based END-INCLUSIVE;
+        # Spark slice() is 1-based with a length argument
+        lambda a, s, e: F.slice(a, s + F.lit(1), e - s + F.lit(1)),
+    ),
     "case": (2, 99, _fn_case),
+}
+
+# date_diff units, as integer microsecond divisors (ES|QL truncates
+# toward zero; calendar units beyond weeks need calendar math and are
+# intentionally out)
+_DATE_DIFF_US = {
+    "microseconds": 1,
+    "milliseconds": 1_000,
+    "seconds": 1_000_000,
+    "minutes": 60 * 1_000_000,
+    "hours": 3600 * 1_000_000,
+    "days": 86400 * 1_000_000,
+    "weeks": 7 * 86400 * 1_000_000,
 }
 
 _AGG_FNS: dict = {
@@ -388,6 +430,30 @@ def _compile_expr(node) -> Column:
             if args[0][0] != "lit" or not isinstance(args[0][1], str):
                 raise ESQLError("ES|QL: date_format needs a literal format string")
             return F.date_format(_compile_expr(args[1]), args[0][1])
+        if name == "date_diff":
+            # date_diff(unit, start, end): whole units from start to end,
+            # truncated toward zero (integer µs arithmetic — engine-exact)
+            if args[0][0] != "lit" or not isinstance(args[0][1], str):
+                raise ESQLError("ES|QL: date_diff needs a literal unit string")
+            unit = args[0][1].strip().lower()
+            u = unit if unit.endswith("s") else unit + "s"
+            if u not in _DATE_DIFF_US:
+                raise ESQLError(
+                    f"ES|QL: date_diff supports only "
+                    f"{sorted(_DATE_DIFF_US)}, got {unit!r}"
+                )
+            d = F.unix_micros(_compile_expr(args[2])) - F.unix_micros(
+                _compile_expr(args[1])
+            )
+            # integer division truncates toward -inf for negatives; ES
+            # truncates toward zero — route through the sign
+            q = F.abs(d) / F.lit(_DATE_DIFF_US[u])
+            return (F.signum(d.cast("double")).cast("long")
+                    * F.floor(q).cast("long"))
+        if name == "mv_concat":
+            if args[1][0] != "lit" or not isinstance(args[1][1], str):
+                raise ESQLError("ES|QL: mv_concat needs a literal delimiter")
+            return F.array_join(_compile_expr(args[0]), args[1][1])
         if name == "bucket":
             # BUCKET(expr, span) — the direct-span form of ES|QL's grouping
             # function: numeric literal span → floor-aligned lower bound;

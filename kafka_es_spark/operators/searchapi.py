@@ -1,0 +1,332 @@
+"""The ES ``_search`` request body — the JSON Query DSL, interpreted.
+
+Reference parity: this is the request shape every ES client sends
+(``POST index/_search {"query": {...}, "size": ...}``); the reference
+delegates it to ES wholesale (`SURVEY.md §3.3`). Here the DSL compiles
+onto the engine's existing primitives, so every clause inherits the
+plans (and the scale arguments) those operators already carry:
+
+* scoring clauses (``match``, ``term``, ``terms``, ``prefix``) become
+  relational-BM25 (doc_id, score) frames — O(postings of the clause's
+  terms), pruned scans, one hash aggregation each;
+* filter-context clauses (``filter``, ``must_not``, ``exists``,
+  ``ids``, ``range``, ``match_phrase``, ``match_all``) become doc-id
+  sets applied as left-semi/left-anti joins — never touching idf/avgdl
+  (the ES filter contract);
+* ``bool`` composes them with Lucene's semantics: every ``must`` and
+  ``filter`` gates, any ``must_not`` excludes, ``should`` adds score
+  and — when no must/filter exists — at least ``minimum_should_match``
+  (default 1) must match.
+
+Scoring model: the Lucene scoring-boolean sum — a doc's score is the
+BM25 sum over every scoring clause it matches (must clauses score too).
+``match_phrase`` is supported in FILTER context (the constant-score
+shape); in scoring context it raises with a pointer to
+``positions.phrase_topk``, which owns phrase-weighted BM25 — a
+deliberate seam, not an accident.
+
+Everything driver-side here is query-sized (clause lists, term
+expansions); the data-sized work all happens inside the delegated
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DSLError(ValueError):
+    pass
+
+
+def _single(d: dict, what: str) -> tuple[str, object]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise DSLError(f"{what} must be a single-key object, got {d!r}")
+    return next(iter(d.items()))
+
+
+def _as_clauses(v) -> list[dict]:
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+class _Compiled:
+    """A compiled clause: optional score frame (doc_id, score) and an
+    optional gate set (doc_id). A scoring clause used in filter context
+    keeps only its gate."""
+
+    def __init__(self, scores: DataFrame | None, gate: DataFrame | None):
+        self.scores = scores
+        self.gate = gate
+
+
+def _field_ids(searcher, field: str, pred) -> DataFrame:
+    """Doc ids whose STORED field satisfies a Column predicate."""
+    import os
+
+    dm = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "docmap")
+    )
+    if field not in dm.columns:
+        raise DSLError(
+            f"field {field!r} is not stored in this index's docmap "
+            f"(stored: {sorted(set(dm.columns) - {'doc_id'})})"
+        )
+    return dm.filter(pred(F.col(field))).select("doc_id")
+
+
+def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
+    kind, body = _single(clause, "query clause")
+
+    if kind == "match_all":
+        return _Compiled(None, searcher.match_all_ids())
+
+    if kind == "match":
+        field, spec = _single(body, "match")
+        if field != "text":
+            raise DSLError("match targets the analyzed 'text' field only")
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        q = spec["query"]
+        op = spec.get("operator", "or")
+        msm = spec.get("minimum_should_match")
+        gate = None
+        if op == "and":
+            gate = searcher.matching_doc_ids(q, mode="and")
+        elif msm is not None:
+            gate = searcher.matching_doc_ids(q, min_should_match=int(msm))
+        if not scoring:
+            return _Compiled(
+                None, gate if gate is not None else searcher.matching_doc_ids(q)
+            )
+        scores = searcher.relational_scores(q)
+        return _Compiled(scores, gate)
+
+    if kind in ("term", "terms"):
+        field, spec = _single(body, kind)
+        vals = spec if isinstance(spec, list) else [
+            spec["value"] if isinstance(spec, dict) else spec
+        ]
+        if field == "text":
+            q = " ".join(str(v) for v in vals)
+            if not scoring:
+                return _Compiled(None, searcher.matching_doc_ids(q))
+            return _Compiled(searcher.relational_scores(q), None)
+        # keyword path: exact match on a stored field (no analysis) —
+        # filter context regardless (keyword hits score 1.0 in ES only
+        # via constant_score; keep the honest subset)
+        return _Compiled(
+            None, _field_ids(searcher, field, lambda c: c.isin(list(vals)))
+        )
+
+    if kind == "prefix":
+        field, spec = _single(body, "prefix")
+        if field != "text":
+            raise DSLError("prefix targets the analyzed 'text' field only")
+        value = spec["value"] if isinstance(spec, dict) else spec
+        rows = (
+            searcher.term_stats.filter(F.col("term").startswith(value))
+            .select("term").orderBy("term").limit(50).collect()
+        )
+        terms = [r["term"] for r in rows]
+        if not terms:
+            empty = searcher.spark.createDataFrame([], "doc_id long")
+            return _Compiled(None, empty)
+        q = " ".join(terms)
+        if not scoring:
+            return _Compiled(None, searcher.matching_doc_ids(q))
+        return _Compiled(searcher.relational_scores(q), None)
+
+    if kind == "match_phrase":
+        if scoring:
+            raise DSLError(
+                "match_phrase in scoring context is served by "
+                "positions.phrase_topk (phrase-weighted BM25); inside "
+                "bool it is supported under filter/must_not"
+            )
+        field, spec = _single(body, "match_phrase")
+        if field != "text":
+            raise DSLError("match_phrase targets the analyzed 'text' field")
+        from kafka_es_spark.operators.positions import phrase_match_ids
+
+        q = spec["query"] if isinstance(spec, dict) else spec
+        slop = spec.get("slop", 0) if isinstance(spec, dict) else 0
+        return _Compiled(
+            None,
+            phrase_match_ids(searcher.spark, searcher.index_dir, q, slop=slop),
+        )
+
+    if kind == "exists":
+        return _Compiled(None, searcher.exists_ids(body["field"]))
+
+    if kind == "ids":
+        import os
+
+        req = searcher.spark.createDataFrame(
+            [(u,) for u in body["values"]], "url string"
+        )
+        dm = searcher.spark.read.parquet(
+            os.path.join(searcher.index_dir, "docmap")
+        ).select("url", "doc_id")
+        return _Compiled(
+            None, dm.join(F.broadcast(req), "url").select("doc_id")
+        )
+
+    if kind == "range":
+        field, spec = _single(body, "range")
+        if not isinstance(spec, dict):
+            raise DSLError("range needs {gte/gt/lte/lt: value}")
+
+        def pred(c):
+            p = F.lit(True)
+            if "gte" in spec:
+                p = p & (c >= spec["gte"])
+            if "gt" in spec:
+                p = p & (c > spec["gt"])
+            if "lte" in spec:
+                p = p & (c <= spec["lte"])
+            if "lt" in spec:
+                p = p & (c < spec["lt"])
+            return p
+
+        return _Compiled(None, _field_ids(searcher, field, pred))
+
+    if kind == "constant_score":
+        inner = _compile(searcher, body["filter"], scoring=False)
+        boost = float(body.get("boost", 1.0))
+        gate = inner.gate
+        if gate is None:
+            raise DSLError("constant_score filter produced no hit set")
+        return _Compiled(
+            gate.select("doc_id", F.lit(boost).alias("score")), None
+        )
+
+    if kind == "bool":
+        return _compile_bool(searcher, body, scoring)
+
+    raise DSLError(f"unsupported query clause {kind!r}")
+
+
+def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
+    must = [_compile(searcher, c, scoring) for c in _as_clauses(body.get("must"))]
+    should = [
+        _compile(searcher, c, scoring) for c in _as_clauses(body.get("should"))
+    ]
+    filt = [
+        _compile(searcher, c, scoring=False)
+        for c in _as_clauses(body.get("filter"))
+    ]
+    nots = [
+        _compile(searcher, c, scoring=False)
+        for c in _as_clauses(body.get("must_not"))
+    ]
+    if not (must or should or filt):
+        raise DSLError("bool needs at least one of must/should/filter")
+
+    # score = sum over every scoring clause matched (Lucene boolean sum);
+    # a clause carrying its own gate (match operator=and / msm) only
+    # contributes where that gate passes — partial matches of an AND
+    # clause must not leak score (ES semantics)
+    score_frames = [
+        c.scores if c.gate is None
+        else c.scores.join(c.gate.select("doc_id"), "doc_id", "left_semi")
+        for c in must + should
+        if c.scores is not None
+    ]
+    scores = None
+    for f_ in score_frames:
+        scores = f_ if scores is None else scores.unionByName(f_)
+    if scores is not None:
+        scores = scores.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    # hit set: every must matches (its gate if present, else its scores'
+    # doc set), every filter matches
+    base = scores
+    if base is None:
+        # pure filter-context bool: hits from the first gate
+        gates = [c.gate for c in must if c.gate is not None] + [
+            c.gate for c in filt if c.gate is not None
+        ]
+        if not gates:
+            raise DSLError("bool resolved to no concrete hit set")
+        base = gates[0].select("doc_id").distinct()
+        for g in gates[1:]:
+            base = base.join(g.select("doc_id"), "doc_id", "left_semi")
+        base = base.select("doc_id", F.lit(0.0).alias("score"))
+        # minimum_should_match over filter-context should clauses
+        msm = int(body.get("minimum_should_match", 1)) if should else 0
+        if should and msm > 0:
+            union = None
+            for c in should:
+                ids = c.gate if c.gate is not None else c.scores.select("doc_id")
+                part = ids.select("doc_id").distinct()
+                union = part if union is None else union.unionByName(part)
+            ok = (
+                union.groupBy("doc_id").agg(F.count("*").alias("m"))
+                .filter(F.col("m") >= msm).select("doc_id")
+            )
+            base = base.join(ok, "doc_id", "left_semi")
+        for c in nots:
+            base = base.join(c.gate, "doc_id", "left_anti")
+        return _Compiled(None, base.select("doc_id"))
+
+    for c in must:
+        gate = c.gate if c.gate is not None else (
+            c.scores.select("doc_id") if c.scores is not None else None
+        )
+        if gate is None:
+            raise DSLError("must clause resolved to no hit set")
+        base = base.join(gate.select("doc_id"), "doc_id", "left_semi")
+    for c in filt:
+        base = base.join(c.gate.select("doc_id"), "doc_id", "left_semi")
+    # should semantics: scores already added; gating applies only when
+    # there is no must/filter (then >= minimum_should_match must hit)
+    if should and not must and not filt:
+        msm = int(body.get("minimum_should_match", 1))
+        if msm > 1:
+            union = None
+            for c in should:
+                ids = c.gate if c.gate is not None else c.scores.select("doc_id")
+                part = ids.select("doc_id").distinct()
+                union = part if union is None else union.unionByName(part)
+            ok = (
+                union.groupBy("doc_id").agg(F.count("*").alias("m"))
+                .filter(F.col("m") >= msm).select("doc_id")
+            )
+            base = base.join(ok, "doc_id", "left_semi")
+    for c in nots:
+        base = base.join(c.gate.select("doc_id"), "doc_id", "left_anti")
+    return _Compiled(base, None)
+
+
+def search(
+    searcher,
+    body: dict,
+    k: int | None = None,
+    round_to: int | None = 4,
+    fetch_k: int | None = None,
+    with_url: bool = False,
+) -> DataFrame:
+    """Run an ES ``_search`` request body. ``size`` (or ``k``) caps the
+    response; scoring bodies rank (score desc, doc_id asc), pure
+    filter-context bodies (constant 0 scores) order by doc_id — pass a
+    ``constant_score`` wrapper for explicit scores."""
+    query = body.get("query")
+    if query is None:
+        raise DSLError("_search body needs a 'query'")
+    size = int(k if k is not None else body.get("size", 10))
+    comp = _compile(searcher, query, scoring=True)
+    out = comp.scores
+    if out is None:
+        out = comp.gate.select(
+            "doc_id", F.lit(0.0).alias("score")
+        )
+    if comp.gate is not None and comp.scores is not None:
+        out = out.join(comp.gate.select("doc_id"), "doc_id", "left_semi")
+    if searcher.persistent_excluded:
+        out = out.filter(
+            ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
+        )
+    return searcher._finish_topk(out, size, round_to, fetch_k, with_url)

@@ -904,3 +904,46 @@ def change_point(
         .orderBy(F.col("stat").desc(), F.col("change_at").asc())
         .limit(1)
     )
+
+
+def geo_line(
+    events: DataFrame,
+    key_col: str = "user_id",
+    sort_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    size: int = 10_000,
+) -> DataFrame:
+    """ES ``geo_line`` aggregation: per bucket key, the points joined
+    into a LineString ORDERED BY the sort field — the track-building agg
+    (vehicle routes, user paths). Output (key, line array<[lon, lat]>,
+    n_points, truncated); like ES, at most ``size`` points survive
+    (first by sort order) and ``truncated`` flags the cut.
+
+    Plan: ONE hash aggregation — collect_list of (sort, lon, lat)
+    structs with map-side combine, sorted INSIDE the finished bucket
+    (sort_array over an already-grouped array, no window, no second
+    shuffle). Per-key state is bounded by the size cap, which is what
+    makes the collect_list honest at 10^12 events: ES enforces the same
+    cap for the same reason. Ties on the sort value break on (lon, lat)
+    — deterministic at any parallelism."""
+    pts = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(sort_col).alias("s"),
+                F.col(lon_col).cast("double").alias("lon"),
+                F.col(lat_col).cast("double").alias("lat"),
+            )
+        )
+    )
+    g = events.groupBy(F.col(key_col).alias("key")).agg(pts.alias("pts"))
+    line = F.transform(
+        F.slice(F.col("pts"), 1, int(size)),
+        lambda p: F.array(p["lon"], p["lat"]),
+    )
+    return g.select(
+        "key",
+        line.alias("line"),
+        F.least(F.size("pts"), F.lit(int(size))).alias("n_points"),
+        (F.size("pts") > int(size)).alias("truncated"),
+    )

@@ -479,3 +479,54 @@ def test_change_point_as_names_and_unknown_col(spark):
     assert len(rows) == 1 and rows[0].t == 3 and rows[0].cp_kind == "step_change"
     with pytest.raises(ESQLError, match="unknown column"):
         _run(spark, "FROM series | CHANGE_POINT nope ON t", series=series)
+
+
+def test_mv_functions(spark):
+    rows = _run(
+        spark,
+        "ROW a = 1 "
+        "| EVAL xs = split(\"3,1,2,3\", \",\") "
+        "| EVAL n = mv_count(xs), mn = mv_min(xs), mx = mv_max(xs), "
+        "s = mv_sum(xs), av = mv_avg(xs), d = mv_dedupe(xs), "
+        "st = mv_sort(xs), f = mv_first(xs), l = mv_last(xs), "
+        "sl = mv_slice(xs, 1, 2), j = mv_concat(xs, \"-\")",
+    ).collect()
+    r = rows[0]
+    assert r.n == 4 and r.mn == "1" and r.mx == "3"
+    assert r.s == 9.0 and r.av == 2.25
+    assert sorted(r.d) == ["1", "2", "3"] and r.st == ["1", "2", "3", "3"]
+    assert r.f == "3" and r.l == "3"
+    assert r.sl == ["1", "2"] and r.j == "3-1-2-3"
+
+
+def test_mv_sum_null_on_empty(spark):
+    rows = _run(
+        spark,
+        'ROW t = "1,2" | EVAL xs = split(t, ",") '
+        "| EVAL e = mv_slice(xs, 1, 0), s = mv_sum(e), av = mv_avg(e)",
+    ).collect()
+    # an empty multivalue sums/averages to null (ES), never 0 or NaN
+    assert rows[0].e == [] and rows[0].s is None and rows[0].av is None
+
+
+def test_date_diff_truncates_toward_zero(spark):
+    rows = _run(
+        spark,
+        "ROW s = \"2024-01-01 00:00:00\", e = \"2024-01-03 13:00:00\" "
+        "| EVAL sd = to_datetime(s), ed = to_datetime(e), "
+        "d_days = date_diff(\"days\", sd, ed), "
+        "d_hours = date_diff(\"hours\", sd, ed), "
+        "neg = date_diff(\"days\", ed, sd)",
+    ).collect()
+    r = rows[0]
+    assert r.d_days == 2 and r.d_hours == 61
+    assert r.neg == -2  # toward zero, not floor (-3)
+
+
+def test_date_diff_bad_unit_raises(spark):
+    with pytest.raises(ESQLError, match="date_diff supports"):
+        _run(
+            spark,
+            "ROW s = \"2024-01-01\" | EVAL d = date_diff(\"months\", "
+            "to_datetime(s), to_datetime(s))",
+        )

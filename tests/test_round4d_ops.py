@@ -636,3 +636,180 @@ def test_bpe_encode_applies_merge_ranks(spark):
     # no merges -> raw characters
     raw = {r.doc_id: r.pieces for r in bpe_encode(docs, []).collect()}
     assert raw[1] == list("ab") + list("ab") + list("aaab")
+
+
+# --- geo_line ---------------------------------------------------------------
+
+
+def test_geo_line_orders_caps_and_flags(spark):
+    import datetime as dt
+
+    from kafka_es_spark.operators.sessions import geo_line
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, m), float(m), float(-m))
+        for m in range(5)
+    ] + [(2, dt.datetime(2024, 1, 1, 9, 0), 7.0, 8.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lon double, lat double"
+    ).repartition(5)
+    out = {r.key: r for r in geo_line(
+        ev, key_col="user_id", size=3).collect()}
+    # user 1: ts-ordered, capped at 3 of 5, truncated
+    assert out[1].line == [[0.0, -0.0], [1.0, -1.0], [2.0, -2.0]]
+    assert out[1].n_points == 3 and out[1].truncated
+    # user 2: single point, not truncated
+    assert out[2].line == [[7.0, 8.0]] and not out[2].truncated
+
+
+# --- the _search request body (JSON Query DSL) -----------------------------
+
+
+def _dsl(searcher, body, **kw):
+    from kafka_es_spark.operators.searchapi import search
+
+    return search(searcher, body, **kw)
+
+
+def test_dsl_match_or_equals_topk(searcher):
+    got = [(r.doc_id, r.score) for r in _dsl(
+        searcher, {"query": {"match": {"text": "data index"}}, "size": 10}
+    ).collect()]
+    want = [(r.doc_id, r.score) for r in searcher.topk("data index", k=10).collect()]
+    assert got == want
+
+
+def test_dsl_match_operator_and(searcher):
+    got = [(r.doc_id, r.score) for r in _dsl(
+        searcher,
+        {"query": {"match": {"text": {"query": "data index",
+                                      "operator": "and"}}}, "size": 10},
+    ).collect()]
+    want = [(r.doc_id, r.score) for r in
+            searcher.topk("data index", k=10, mode="and").collect()]
+    assert got == want
+
+
+def test_dsl_bool_must_filter_not(spark, searcher):
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "data index"}}],
+            "filter": [{"range": {"dl": {"gte": 20, "lt": 60}}}],
+            "must_not": [{"term": {"text": "search"}}],
+        }},
+        "size": 400,
+    }
+    got = {r.doc_id: r.score for r in _dsl(searcher, body).collect()}
+    full = {r.doc_id: r.score for r in
+            searcher.topk("data index", k=400, must_not="search").collect()}
+    dm = spark.read.parquet(searcher.index_dir + "/docmap").select("doc_id", "dl")
+    dl_ok = {r.doc_id for r in dm.filter("dl >= 20 and dl < 60").collect()}
+    want = {d: s for d, s in full.items() if d in dl_ok}
+    assert got == want and got
+
+
+def test_dsl_bool_should_sums_clauses(searcher):
+    body = {
+        "query": {"bool": {"should": [
+            {"match": {"text": "data"}},
+            {"match": {"text": "index"}},
+        ]}},
+        "size": 10,
+    }
+    got = [(r.doc_id, r.score) for r in _dsl(searcher, body).collect()]
+    want = [(r.doc_id, r.score) for r in searcher.topk("data index", k=10).collect()]
+    assert got == want
+
+
+def test_dsl_should_msm_two_of_three(searcher):
+    body = {
+        "query": {"bool": {
+            "should": [
+                {"match": {"text": "data"}},
+                {"match": {"text": "index"}},
+                {"match": {"text": "search"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": 400,
+    }
+    ids = {r.doc_id for r in _dsl(searcher, body).collect()}
+    want = {r.doc_id for r in searcher.matching_doc_ids(
+        "data index search", min_should_match=2).collect()}
+    assert ids == want and ids
+
+
+def test_dsl_gated_should_no_partial_leak(searcher):
+    """A should clause with operator=and contributes NOTHING to docs
+    matching only one of its terms."""
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "data"}}],
+            "should": [{"match": {"text": {"query": "index search",
+                                           "operator": "and"}}}],
+        }},
+        "size": 400,
+    }
+    got = {r.doc_id: r.score for r in _dsl(searcher, body).collect()}
+    only_data = {r.doc_id: r.score for r in
+                 searcher.topk("data", k=400).collect()}
+    both = {r.doc_id for r in searcher.matching_doc_ids(
+        "index search", mode="and").collect()}
+    has_one = {r.doc_id for r in searcher.matching_doc_ids(
+        "index search").collect()}
+    partial = (has_one - both) & set(only_data)
+    assert partial, "fixture must contain partial matches"
+    for d in partial:
+        assert got[d] == only_data[d]  # no leaked contribution
+    full3 = {r.doc_id: r.score for r in
+             searcher.topk("data index search", k=400).collect()}
+    for d in (both & set(only_data)):
+        assert got[d] == full3[d]  # fully-matched should adds both terms
+
+
+def test_dsl_constant_score_exists_ids_match_all(spark, searcher, pages, sparse_field):
+    # constant_score over exists
+    body = {"query": {"constant_score": {
+        "filter": {"exists": {"field": "lang"}}, "boost": 2.5}},
+        "size": 500}
+    got = _dsl(searcher, body).collect()
+    assert len(got) == pages.count() and all(r.score == 2.5 for r in got)
+    # ids in filter context
+    dm = spark.read.parquet(searcher.index_dir + "/docmap")
+    urls = [r.url for r in dm.limit(3).collect()]
+    body = {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"ids": {"values": urls}}],
+    }}}
+    assert _dsl(searcher, body).count() == 3
+
+
+def test_dsl_phrase_filter_and_scoring_raise(spark, pages, tmp_path_factory):
+    from kafka_es_spark.operators.positions import (
+        build_position_index, phrase_match_ids,
+    )
+    from kafka_es_spark.operators.searchapi import DSLError
+
+    d = str(tmp_path_factory.mktemp("idxdsl"))
+    build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8)
+    build_position_index(spark, pages, d)
+    s = Searcher(spark, d, cache=False)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"match_phrase": {"text": "index search"}}],
+    }}, "size": 400}
+    ids = {r.doc_id for r in _dsl(s, body).collect()}
+    pm = {r.doc_id for r in phrase_match_ids(spark, d, "index search").collect()}
+    dd = {r.doc_id for r in s.matching_doc_ids("data").collect()}
+    assert ids == (pm & dd)
+    with pytest.raises(DSLError, match="phrase_topk"):
+        _dsl(s, {"query": {"match_phrase": {"text": "index search"}}})
+
+
+def test_dsl_unsupported_clause_raises(searcher):
+    from kafka_es_spark.operators.searchapi import DSLError
+
+    with pytest.raises(DSLError, match="unsupported"):
+        _dsl(searcher, {"query": {"fancy_new_clause": {}}})
+    with pytest.raises(DSLError, match="query"):
+        _dsl(searcher, {"size": 3})
