@@ -308,14 +308,46 @@ def search(
     round_to: int | None = 4,
     fetch_k: int | None = None,
     with_url: bool = False,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Run an ES ``_search`` request body. ``size`` (or ``k``) caps the
     response; scoring bodies rank (score desc, doc_id asc), pure
     filter-context bodies (constant 0 scores) order by doc_id — pass a
-    ``constant_score`` wrapper for explicit scores."""
+    ``constant_score`` wrapper for explicit scores.
+
+    An ES 8 top-level ``knn`` section routes to the exact-cosine tier
+    (``similarity.cosine_topk``) over the caller-supplied ``embeddings``
+    relation (vec_id, embedding) — the index stores no vectors by
+    design; a body with BOTH query and knn raises (score fusion is the
+    ``rrf_fuse``/``linear_fuse`` operators' job, kept explicit)."""
+    knn = body.get("knn")
     query = body.get("query")
+    if knn is not None:
+        if query is not None:
+            raise DSLError(
+                "query + knn hybrid fusion is explicit in this engine: "
+                "run both and combine with similarity.rrf_fuse / "
+                "linear_fuse"
+            )
+        if embeddings is None:
+            raise DSLError("knn search needs the embeddings relation")
+        from kafka_es_spark.operators.similarity import cosine_topk
+
+        qv = knn["query_vector"]
+        # query_id -1: cosine_topk excludes self by id, and an external
+        # query vector must never mask a corpus vector's id
+        qdf = searcher.spark.createDataFrame(
+            [(-1, [float(x) for x in qv])],
+            "query_id long, qvec array<double>",
+        )
+        return cosine_topk(
+            embeddings, qdf,
+            k=int(knn.get("k", body.get("size", 10))),
+            similarity=knn.get("similarity"),
+            round_to=round_to if round_to is not None else 4,
+        ).drop("query_id")
     if query is None:
-        raise DSLError("_search body needs a 'query'")
+        raise DSLError("_search body needs a 'query' (or 'knn')")
     size = int(k if k is not None else body.get("size", 10))
     comp = _compile(searcher, query, scoring=True)
     out = comp.scores
@@ -329,4 +361,54 @@ def search(
         out = out.filter(
             ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
         )
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        return _run_aggs(searcher, out, aggs)
     return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
+
+
+def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
+    """The body's ``aggs`` section over the query's FULL hit set (never
+    the size-capped page — ES aggregates all matching docs). Supported:
+    one terms/histogram/stats agg over a stored field; richer shapes
+    stay on the dedicated Searcher methods this routes to."""
+    import os
+
+    if len(aggs) != 1:
+        raise DSLError("exactly one top-level agg is supported per request")
+    _, spec = _single(aggs, "aggs")
+    kind, params = _single(spec, "agg spec")
+    field = params["field"]
+    dm = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "docmap")
+    )
+    if field not in dm.columns:
+        raise DSLError(
+            f"agg field {field!r} is not stored in this index's docmap"
+        )
+    j = hits.select("doc_id").join(dm.select("doc_id", field), "doc_id")
+    if kind == "terms":
+        size = int(params.get("size", 10))
+        return (
+            j.groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            .limit(size)
+        )
+    if kind == "histogram":
+        iv = float(params["interval"])
+        bucket = (F.floor(F.col(field) / iv) * iv).alias("bucket_key")
+        return (
+            j.groupBy(bucket)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("bucket_key")
+        )
+    if kind == "stats":
+        return j.agg(
+            F.count(field).alias("n_docs_agg"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.round(F.avg(field), 4).alias("avg_v"),
+        )
+    raise DSLError(f"unsupported agg type {kind!r}")

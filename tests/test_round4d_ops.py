@@ -813,3 +813,49 @@ def test_dsl_unsupported_clause_raises(searcher):
         _dsl(searcher, {"query": {"fancy_new_clause": {}}})
     with pytest.raises(DSLError, match="query"):
         _dsl(searcher, {"size": 3})
+
+
+def test_dsl_knn_and_hybrid_guard(spark, searcher):
+    from kafka_es_spark.operators.searchapi import DSLError
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = _dsl(
+        searcher,
+        {"knn": {"query_vector": [1.0, 0.0], "k": 2}},
+        embeddings=emb,
+    ).collect()
+    assert [r.vec_id for r in got] == [0, 1] and got[0].cos == 1.0
+    with pytest.raises(DSLError, match="rrf_fuse"):
+        _dsl(
+            searcher,
+            {"query": {"match": {"text": "data"}},
+             "knn": {"query_vector": [1.0, 0.0]}},
+            embeddings=emb,
+        )
+    with pytest.raises(DSLError, match="embeddings"):
+        _dsl(searcher, {"knn": {"query_vector": [1.0, 0.0]}})
+
+
+def test_dsl_aggs_over_full_hit_set(spark, searcher):
+    body = {
+        "query": {"match": {"text": "data index"}},
+        "size": 2,  # aggs must ignore the page size
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}},
+    }
+    got = {r.value: r.doc_count for r in _dsl(searcher, body).collect()}
+    want = {
+        r.lang: r.doc_count
+        for r in searcher.facet_terms(
+            "data index", None, "lang", size=5
+        ).collect()
+    }
+    assert got == want and sum(got.values()) > 2
+    stats = _dsl(
+        searcher,
+        {"query": {"match": {"text": "data"}},
+         "aggs": {"s": {"stats": {"field": "dl"}}}},
+    ).collect()[0]
+    assert stats.n_docs_agg == searcher.match_count("data").collect()[0].n_hits
