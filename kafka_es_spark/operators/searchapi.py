@@ -139,6 +139,36 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             return _Compiled(None, searcher.matching_doc_ids(q))
         return _Compiled(searcher.relational_scores(q), None)
 
+    if kind in ("wildcard", "fuzzy", "regexp"):
+        field, spec = _single(body, kind)
+        if field != "text":
+            raise DSLError(f"{kind} targets the analyzed 'text' field only")
+        value = spec["value"] if isinstance(spec, dict) else spec
+        cap = int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50
+        ts = searcher.term_stats
+        if kind == "wildcard":
+            like = value.replace("%", r"\%").replace("_", r"\_")
+            like = like.replace("*", "%").replace("?", "_")
+            exp = ts.filter(F.col("term").like(like))
+        elif kind == "regexp":
+            exp = ts.filter(F.col("term").rlike(f"^(?:{value})$"))
+        else:  # fuzzy
+            fuzz = int(spec.get("fuzziness", 2)) if isinstance(spec, dict) else 2
+            exp = ts.filter(
+                (F.abs(F.length(F.col("term")) - len(value)) <= fuzz)
+                & (F.levenshtein(F.col("term"), F.lit(value)) <= fuzz)
+            )
+        rows = exp.select("term").orderBy("term").limit(cap).collect()
+        terms = [r["term"] for r in rows]
+        if not terms:
+            return _Compiled(
+                None, searcher.spark.createDataFrame([], "doc_id long")
+            )
+        q = " ".join(terms)
+        if not scoring:
+            return _Compiled(None, searcher.matching_doc_ids(q))
+        return _Compiled(searcher.relational_scores(q), None)
+
     if kind == "match_phrase":
         if scoring:
             raise DSLError(
@@ -364,6 +394,40 @@ def search(
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         return _run_aggs(searcher, out, aggs)
+    offset = int(body.get("from", 0))
+    sort = body.get("sort")
+    if sort:
+        # sort-by-stored-field (doc-values sort, track_scores=false):
+        # hit set -> field join -> TakeOrdered; deterministic doc_id
+        # tie-break; `from` pages the same total order (search_after is
+        # the deep-pagination tier)
+        import os
+
+        spec = sort[0] if isinstance(sort, list) else sort
+        if isinstance(spec, str):
+            field, order = spec, "asc"
+        else:
+            field, o = _single(spec, "sort")
+            order = o.get("order", "asc") if isinstance(o, dict) else o
+        dm = searcher.spark.read.parquet(
+            os.path.join(searcher.index_dir, "docmap")
+        )
+        if field not in dm.columns:
+            raise DSLError(f"sort field {field!r} is not stored")
+        j = out.select("doc_id").join(dm.select("doc_id", field), "doc_id")
+        key = F.col(field).desc() if order == "desc" else F.col(field).asc()
+        j = j.orderBy(key, F.col("doc_id").asc())
+        if offset:
+            j = j.offset(offset)
+        return j.limit(size)
+    if offset:
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return (
+            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .offset(offset)
+            .limit(size)
+        )
     return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
 
 

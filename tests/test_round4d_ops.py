@@ -859,3 +859,40 @@ def test_dsl_aggs_over_full_hit_set(spark, searcher):
          "aggs": {"s": {"stats": {"field": "dl"}}}},
     ).collect()[0]
     assert stats.n_docs_agg == searcher.match_count("data").collect()[0].n_hits
+
+
+def test_dsl_wildcard_fuzzy_regexp_and_sort_from(spark, searcher):
+    # wildcard == wildcard_topk expansion semantics
+    got = {r.doc_id: r.score for r in _dsl(
+        searcher, {"query": {"wildcard": {"text": "sea*"}}, "size": 400}
+    ).collect()}
+    want_ids = {r.doc_id for r in searcher.matching_doc_ids("search").collect()}
+    assert want_ids <= set(got)
+    # fuzzy: 1-edit neighbors of 'dat' include 'data'
+    f = {r.doc_id for r in _dsl(
+        searcher,
+        {"query": {"fuzzy": {"text": {"value": "dat", "fuzziness": 1}}},
+         "size": 400},
+    ).collect()}
+    assert {r.doc_id for r in searcher.matching_doc_ids("data").collect()} <= f
+    # regexp anchored
+    rx = {r.doc_id for r in _dsl(
+        searcher, {"query": {"regexp": {"text": "se.rch"}}, "size": 400}
+    ).collect()}
+    assert rx == {r.doc_id for r in searcher.matching_doc_ids("search").collect()}
+    # sort by stored dl desc + from pagination: page2 continues page1
+    body = {"query": {"match": {"text": "data"}},
+            "sort": [{"dl": {"order": "desc"}}], "size": 5}
+    p1 = _dsl(searcher, body).collect()
+    p2 = _dsl(searcher, {**body, "from": 5}).collect()
+    allr = _dsl(searcher, {**body, "size": 10}).collect()
+    assert [(r.doc_id, r.dl) for r in p1 + p2] == [
+        (r.doc_id, r.dl) for r in allr]
+    assert all(p1[i].dl >= p1[i + 1].dl for i in range(len(p1) - 1))
+    # from without sort pages the score ranking
+    s1 = _dsl(searcher, {"query": {"match": {"text": "data"}}, "size": 3})
+    s2 = _dsl(searcher, {"query": {"match": {"text": "data"}},
+                         "from": 3, "size": 3})
+    both = [(r.doc_id, r.score) for r in s1.collect() + s2.collect()]
+    top6 = [(r.doc_id, r.score) for r in searcher.topk("data", k=6).collect()]
+    assert both == top6
