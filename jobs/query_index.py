@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--facet", default=None, metavar="FIELD:PARQUET",
                    help="terms aggregation: bucket hits by FIELD joined "
                         "from a (url, FIELD) parquet relation")
+    p.add_argument("--dsl", action="store_true",
+                   help="treat each query arg as an ES _search request "
+                        "body (JSON string, or @file.json) — the JSON "
+                        "Query DSL interpreter")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
 
@@ -82,6 +86,20 @@ def main(argv: list[str] | None = None) -> None:
                                   "hits": [r.asDict() for r in rows]}))
             return
         s = Searcher(spark, args.index)
+        if args.dsl:
+            from kafka_es_spark.operators.searchapi import search
+
+            for q in args.queries:
+                body = json.loads(
+                    open(q[1:]).read() if q.startswith("@") else q
+                )
+                rows = search(
+                    s, body, k=args.k, with_url=not args.no_url
+                ).collect()
+                print(json.dumps({"dsl": body.get("query", body),
+                                  "hits": [r.asDict() for r in rows]}))
+            s.close()
+            return
         if args.prefix:
             for q in args.queries:
                 rows = s.prefix_topk(q, k=args.k, with_url=not args.no_url).collect()
