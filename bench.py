@@ -131,6 +131,31 @@ def main() -> None:
         t0 = time.time()
         searcher.facet_terms(qs[0], None, "lang").collect()
         queries["facet_lang_stored"] = round(time.time() - t0, 3)
+        # --- ES _search DSL interpreter (round-5 user surface) -------------
+        # parse+compile+serve a representative body: scoring bool with a
+        # filter-context range, sorted by score, first page
+        from kafka_es_spark.operators.searchapi import search as dsl_search
+
+        dsl_body = {
+            "query": {"bool": {
+                "must": [{"match": {"text": qs[0]}}],
+                "filter": [{"range": {"dl": {"gte": 5}}}],
+            }},
+            "size": 10,
+        }
+        dsl_search(searcher, dsl_body).collect()  # warm the compile path
+        t0 = time.time()
+        dsl_search(searcher, dsl_body).collect()
+        queries["search_dsl"] = round(time.time() - t0, 3)
+        # --- phrase suggester served from index-time bigram stats ----------
+        from kafka_es_spark.plans.build_index import build_bigram_stats
+
+        t0 = time.time()
+        build_bigram_stats(spark, pages, idx)
+        queries["bigram_stats_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        searcher.phrase_suggest("dita indek", size=5).collect()
+        queries["phrase_suggest"] = round(time.time() - t0, 3)
         searcher.close()
 
         # positional relation: one-time build cost + phrase serving latency
@@ -156,6 +181,22 @@ def main() -> None:
             lambda: lsh_candidate_pairs(minhash_signatures(docs, n_perm=8, w=3), bands=4).count(),
         )
         timed("quality_features", lambda: quality_features(docs).count())
+
+        # --- ES|QL compile + execute (round-5 user surface): a realistic
+        # filter → eval → grouped-stats → sort pipeline over documents
+        from kafka_es_spark.esql import esql_query
+
+        esql_text = (
+            "FROM documents | WHERE n_chars > 200 "
+            "| EVAL kchars = n_chars / 1000.0 "
+            "| STATS n = count(*), avg_k = avg(kchars) BY lang, source "
+            "| SORT n DESC, lang ASC | LIMIT 20"
+        )
+        esql_query(spark, esql_text, {"documents": docs}).collect()  # warm
+        timed(
+            "esql_pipeline",
+            lambda: esql_query(spark, esql_text, {"documents": docs}).collect(),
+        )
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
         qv = emb.filter(F.col("vec_id") < 5).select(

@@ -265,6 +265,16 @@ def _fn_substring(s: Column, start: Column, length: Column | None = None) -> Col
     return s.substr(start, length)
 
 
+def _fn_mv_slice(a: Column, s: Column, e: Column) -> Column:
+    # Resolve ES|QL's 0-based end-inclusive (and possibly negative)
+    # indices to a 1-based (start, length) window for Spark slice().
+    n = F.size(a)
+    s0 = F.greatest(F.when(s < 0, s + n).otherwise(s), F.lit(0))
+    e0 = F.least(F.when(e < 0, e + n).otherwise(e), n - 1)
+    length = F.greatest(e0 - s0 + F.lit(1), F.lit(0))
+    return F.slice(a, s0 + F.lit(1), length)
+
+
 def _fn_case(*args: Column) -> Column:
     # case(cond1, v1, cond2, v2, ..., [default])
     if len(args) < 2:
@@ -339,9 +349,13 @@ _SCALAR_FNS: dict = {
     "mv_last": (1, 1, lambda a: F.element_at(a, -1)),
     "mv_slice": (
         3, 3,
-        # ES|QL mv_slice(list, start, end) is 0-based END-INCLUSIVE;
-        # Spark slice() is 1-based with a length argument
-        lambda a, s, e: F.slice(a, s + F.lit(1), e - s + F.lit(1)),
+        # ES|QL mv_slice(list, start, end) is 0-based END-INCLUSIVE and
+        # accepts NEGATIVE indices counted from the end (-1 = last);
+        # Spark slice() is 1-based with a length argument, and its own
+        # negative-start convention differs, so indices are resolved
+        # against size() first (then clamped to the array bounds — the
+        # result is empty when the resolved window is empty)
+        lambda a, s, e: _fn_mv_slice(a, s, e),
     ),
     "case": (2, 99, _fn_case),
 }
@@ -1035,29 +1049,38 @@ def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
         # values join back onto the rows they summarize (ES|QL 8.16).
         # Plan: one hash aggregate to a #groups-row table, broadcast
         # back; same-named columns are shadowed (EVAL-style).
-        aggs = [
-            _compile_agg(expr).alias(name) for name, expr in cmd.payload["aggs"]
-        ]
+        # aggregate under reserved internal names and shadow AFTER the
+        # join-back: an agg alias that equals a BY key (INLINESTATS
+        # n = count(*) BY n) must group on the original column and then
+        # replace it, not delete the key before grouping
         agg_names = [name for name, _ in cmd.payload["aggs"]]
+        aggs = [
+            _compile_agg(expr).alias(f"__inlinestats_{name}")
+            for name, expr in cmd.payload["aggs"]
+        ]
         keys = cmd.payload["keys"]
-        for name in agg_names:
-            if name in df.columns:
-                df = df.drop(name)
         if not keys:
-            return df.crossJoin(broadcast(df.agg(*aggs)))
-        key_cols = []
-        for name, expr in keys:
-            if expr[0] != "col" or name != expr[1]:
-                raise ESQLError(
-                    "ES|QL: INLINESTATS BY supports bare column keys only"
-                )
-            if name not in df.columns:
-                raise ESQLError(
-                    f"ES|QL: INLINESTATS BY references unknown column {name!r}"
-                )
-            key_cols.append(name)
-        grouped = df.groupBy(*key_cols).agg(*aggs)
-        return df.join(broadcast(grouped), on=key_cols, how="left")
+            out = df.crossJoin(broadcast(df.agg(*aggs)))
+        else:
+            key_cols = []
+            for name, expr in keys:
+                if expr[0] != "col" or name != expr[1]:
+                    raise ESQLError(
+                        "ES|QL: INLINESTATS BY supports bare column keys only"
+                    )
+                if name not in df.columns:
+                    raise ESQLError(
+                        "ES|QL: INLINESTATS BY references unknown column "
+                        f"{name!r}"
+                    )
+                key_cols.append(name)
+            grouped = df.groupBy(*key_cols).agg(*aggs)
+            out = df.join(broadcast(grouped), on=key_cols, how="left")
+        for name in agg_names:
+            out = out.drop(name).withColumnRenamed(
+                f"__inlinestats_{name}", name
+            )
+        return out
     if cmd.name == "change_point":
         # CHANGE_POINT value [ON key] [AS type_name, pvalue_name]
         # (ES|QL 8.18): appends two columns, non-null only on the detected

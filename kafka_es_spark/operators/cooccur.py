@@ -172,6 +172,32 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(prev, cur, n): corpus bigram (adjacent-token transition) counts —
+    the relation the phrase suggester's bigram LM and lm_perplexity both
+    score against. Unigram transition counts fall out for free:
+    U(prev) = Σ_cur B(prev, cur), so callers never need a second pass.
+
+    Plan: transitions are built ARRAY-side (zip_with over two slices of
+    the token array — no posexplode + lag window, so no per-doc shuffle
+    at all), then one hash aggregation with map-side combine. At 10^12
+    docs this is exactly the word_counts shape: Zipf collapses the
+    stream to a vocab²-bounded (in practice vastly smaller) relation."""
+    tk = tokens(text_col)
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))  # 0-length slices for <2 toks
+    prs = F.zip_with(
+        F.slice(tk, 1, n1),
+        F.slice(tk, 2, n1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return (
+        docs.select(F.explode(prs).alias("p"))
+        .select("p.prev", "p.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 BPE_MAX_VOCAB_ROWS = 1_000_000
 
 

@@ -16,8 +16,11 @@ hides deleted docs from search until segment merge. Spark-first equivalents
   scorer, corpus stats stay those of the built index (exactly ES's
   behavior between delete and segment merge).
 
-Painless-script updates (BulkActionTests.kt:193-201) are out of scope
-(documented).
+Painless-script updates (BulkActionTests.kt:193-201): the common
+``ctx._source`` subset compiles to Column expressions in
+``operators.painless`` and plugs in via ``update_by_query(script=...)``
+/ ``painless.script_update``; painless constructs outside that subset
+(loops, defs, java interop) raise PainlessError (documented).
 """
 
 from __future__ import annotations
@@ -166,18 +169,23 @@ def update_by_query(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    set_fields: dict,
+    set_fields: dict | None = None,
     mode: str = "or",
     min_should_match: int | None = None,
     must_not: str | None = None,
+    script: str | None = None,
+    script_params: dict | None = None,
 ) -> int:
-    """ES ``_update_by_query`` with literal field assignments (the common
-    ``ctx._source.field = value`` script shape; general painless stays
-    out of scope): rewrite the docmap's STORED field columns for every
-    doc matching the query. Analyzed text is untouched — assigning to an
-    indexed field would require reindexing those docs (use ``reindex``) —
-    so only ``store_fields`` columns are assignable; anything else raises
+    """ES ``_update_by_query``: rewrite the docmap's STORED field columns
+    for every doc matching the query, either via literal ``set_fields``
+    assignments or a painless-lite ``script`` (operators.painless — the
+    compiled ``ctx._source`` subset, executed as Column expressions).
+    Analyzed text is untouched — assigning to an indexed field would
+    require reindexing those docs (use ``reindex``) — so only
+    ``store_fields`` columns are assignable; anything else raises
     instead of silently diverging the docmap from the schema contract.
+    ``ctx.op`` is rejected here: a script deciding deletes belongs to
+    ``delete_by_query`` (tombstones), not a docmap rewrite.
 
     One doc_id-keyed join (matching ids × docmap) and one partitioned
     rewrite; the swap reuses compaction's crash-recoverable rename
@@ -189,9 +197,26 @@ def update_by_query(
     from kafka_es_spark.operators.compaction import _swap_in, recover_swap_dirs
     from kafka_es_spark.operators.wand import Searcher
 
+    if (set_fields is None) == (script is None):
+        raise ValueError(
+            "update_by_query takes exactly one of set_fields / script"
+        )
+    plan = None
+    if script is not None:
+        from kafka_es_spark.operators.painless import PainlessError, ScriptPlan
+
+        plan = ScriptPlan(script, script_params)
+        if plan.sets_op:
+            raise PainlessError(
+                "update_by_query scripts cannot set ctx.op; use "
+                "delete_by_query for scripted deletes"
+            )
+        assigned = set(plan.assigned_fields)
+    else:
+        assigned = set(set_fields)
     with open(os.path.join(index_dir, "stats.json")) as f:
         stored = set(json.load(f).get("store_fields", []))
-    bad = sorted(set(set_fields) - stored)
+    bad = sorted(assigned - stored)
     if bad:
         raise ValueError(
             f"update_by_query can only assign stored fields {sorted(stored)}; "
@@ -207,10 +232,13 @@ def update_by_query(
         ).withColumn("_hit", F.lit(True))
         dm_dir = os.path.join(index_dir, "docmap")
         upd = spark.read.parquet(dm_dir).join(ids, "doc_id", "left")
-        for c, v in set_fields.items():
-            upd = upd.withColumn(
-                c, F.when(F.col("_hit"), F.lit(v)).otherwise(F.col(c))
-            )
+        if plan is not None:
+            upd = plan.apply(upd, where=F.col("_hit"))
+        else:
+            for c, v in set_fields.items():
+                upd = upd.withColumn(
+                    c, F.when(F.col("_hit"), F.lit(v)).otherwise(F.col(c))
+                )
         from pyspark.sql import Observation
 
         obs = Observation()

@@ -245,6 +245,26 @@ def write_bulk_ndjson(bulks: DataFrame, path: str) -> None:
 
 # --- S3/S4 protobuf converters (gated: spark-protobuf jar not bundled) -------
 
+def protobuf_jar_present(spark) -> bool:
+    """True iff the JVM classpath carries the spark-protobuf connector.
+    The *python* wrapper (pyspark.sql.protobuf.functions) always imports
+    — only the JVM side is optional — so an ImportError gate never
+    fires; the honest probe is a JVM class lookup."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.functions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _spark_pkg(artifact: str) -> str:
+    import pyspark
+
+    return f"org.apache.spark:{artifact}_2.13:{pyspark.__version__}"
+
+
 def decode_protobuf_actions(
     df: DataFrame,
     value_col: str,
@@ -253,16 +273,20 @@ def decode_protobuf_actions(
 ):
     """S3 — protobuf value decode via Spark's native from_protobuf
     (ProtobufConverter.kt:62-116 analogue). Requires the spark-protobuf
-    module + a compiled descriptor set; raises a clear error when the
-    runtime lacks it (this sandbox does not bundle it)."""
-    try:
-        from pyspark.sql.protobuf.functions import from_protobuf
-    except ImportError as e:  # pragma: no cover
+    connector jar + a compiled descriptor set; raises NotImplementedError
+    naming the exact maven coordinate when the runtime lacks the jar
+    (this sandbox does not bundle it), so the wiring below activates
+    with zero code changes the moment the jar is present
+    (``--packages`` or spark.jars.packages)."""
+    from pyspark.sql.protobuf.functions import from_protobuf
+
+    if not protobuf_jar_present(df.sparkSession):
         raise NotImplementedError(
-            "spark-protobuf is not available in this runtime; on a real "
-            "cluster add org.apache.spark:spark-protobuf and a descriptor set "
-            "(reference: ProtobufConverter.kt, bulk_action.proto)"
-        ) from e
+            "spark-protobuf is not on the JVM classpath in this runtime; "
+            f"on a real cluster add {_spark_pkg('spark-protobuf')} and a "
+            "compiled descriptor set (reference: ProtobufConverter.kt, "
+            "bulk_action.proto)"
+        )
     return df.withColumn(
         "action", from_protobuf(F.col(value_col), message_name, descFilePath=descriptor_file)
     )

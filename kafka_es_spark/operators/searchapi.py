@@ -265,6 +265,18 @@ def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
         for c in must + should
         if c.scores is not None
     ]
+    # a filter-context clause inside should (range/exists/ids/terms —
+    # gate-only, no scores) still ADMITS its docs to the hit set in ES;
+    # it just contributes 0 to the score sum. Without this, a doc
+    # matching only such a should clause silently vanishes. Scoring
+    # context only — in filter context the bool must stay a pure gate
+    # (callers like constant_score require inner.gate).
+    if scoring:
+        score_frames += [
+            c.gate.select("doc_id", F.lit(0.0).alias("score"))
+            for c in should
+            if c.scores is None and c.gate is not None
+        ]
     scores = None
     for f_ in score_frames:
         scores = f_ if scores is None else scores.unionByName(f_)
@@ -275,29 +287,45 @@ def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
     # doc set), every filter matches
     base = scores
     if base is None:
-        # pure filter-context bool: hits from the first gate
+        # pure filter-context bool: hits from the must/filter gates
         gates = [c.gate for c in must if c.gate is not None] + [
             c.gate for c in filt if c.gate is not None
         ]
-        if not gates:
-            raise DSLError("bool resolved to no concrete hit set")
-        base = gates[0].select("doc_id").distinct()
-        for g in gates[1:]:
-            base = base.join(g.select("doc_id"), "doc_id", "left_semi")
-        base = base.select("doc_id", F.lit(0.0).alias("score"))
-        # minimum_should_match over filter-context should clauses
+        # minimum_should_match over filter-context should clauses (ES
+        # default: 1 when should is the only content, i.e. no gates)
         msm = int(body.get("minimum_should_match", 1)) if should else 0
-        if should and msm > 0:
-            union = None
+        should_union = None
+        if should:
             for c in should:
                 ids = c.gate if c.gate is not None else c.scores.select("doc_id")
                 part = ids.select("doc_id").distinct()
-                union = part if union is None else union.unionByName(part)
-            ok = (
-                union.groupBy("doc_id").agg(F.count("*").alias("m"))
-                .filter(F.col("m") >= msm).select("doc_id")
+                should_union = (
+                    part if should_union is None
+                    else should_union.unionByName(part)
+                )
+        if not gates:
+            if should_union is None:
+                raise DSLError("bool resolved to no concrete hit set")
+            # should-only bool of pure filter clauses (e.g.
+            # {bool:{should:[{range:...}]}}): the hit set IS the docs
+            # satisfying >= msm should clauses — ES does not reject it
+            base = (
+                should_union.groupBy("doc_id")
+                .agg(F.count("*").alias("m"))
+                .filter(F.col("m") >= max(msm, 1))
+                .select("doc_id")
             )
-            base = base.join(ok, "doc_id", "left_semi")
+        else:
+            base = gates[0].select("doc_id").distinct()
+            for g in gates[1:]:
+                base = base.join(g.select("doc_id"), "doc_id", "left_semi")
+            if should_union is not None and msm > 0:
+                ok = (
+                    should_union.groupBy("doc_id")
+                    .agg(F.count("*").alias("m"))
+                    .filter(F.col("m") >= msm).select("doc_id")
+                )
+                base = base.join(ok, "doc_id", "left_semi")
         for c in nots:
             base = base.join(c.gate, "doc_id", "left_anti")
         return _Compiled(None, base.select("doc_id"))
@@ -421,13 +449,18 @@ def search(
             j = j.offset(offset)
         return j.limit(size)
     if offset:
-        if round_to is not None:
-            out = out.withColumn("score", F.round("score", round_to))
-        return (
+        # one total order for ALL pages: rank by the RAW score (exactly
+        # like page 0's _finish_topk) and round only after the cut —
+        # rounding first lets near-tied docs swap rank between pages,
+        # duplicating/omitting hits across a paged scroll
+        out = (
             out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .offset(offset)
             .limit(size)
         )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out
     return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
 
 

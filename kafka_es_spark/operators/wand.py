@@ -1495,7 +1495,7 @@ class Searcher:
     def phrase_suggest(
         self,
         text: str,
-        docs_text: DataFrame,
+        docs_text: DataFrame | None = None,
         max_edits: int = 1,
         per_slot: int = 5,
         max_errors: int = 1,
@@ -1517,13 +1517,16 @@ class Searcher:
         trains — rounded for engine portability.
 
         Plan at 10^12 docs: the dictionary scan is pruned by prefix +
-        length band exactly as ``suggest``; the corpus pass joins its
-        transition stream against a BROADCAST candidate-pair dimension
-        (≤ per_slot² · slots rows) so only matching bigrams aggregate;
-        everything collected is query-sized (candidates, pair counts,
-        source counts, one scalar V). Phrase enumeration is driver-side
-        over ≤ Σ|candᵢ|^max_errors combos — bounded by the input length,
-        never the corpus.
+        length band exactly as ``suggest``. LM counts come from the
+        index-time ``bigram_stats`` relation when the index carries one
+        (build_bigram_stats — each suggest call is then a candidate-pair
+        lookup against a (prev, cur)-sorted parquet relation, NO corpus
+        scan); otherwise from a per-query corpus pass over ``docs_text``
+        joined against a BROADCAST candidate-pair dimension (≤ per_slot²
+        · slots rows). Everything collected is query-sized (candidates,
+        pair counts, source counts, one scalar V). Phrase enumeration is
+        driver-side over ≤ Σ|candᵢ|^max_errors combos — bounded by the
+        input length, never the corpus.
 
         Output: (suggestion, score, n_changed), score desc."""
         from kafka_es_spark.functions.tokenize import tokenize_py, tokens
@@ -1575,7 +1578,7 @@ class Searcher:
                 key=lambda e: (e[1], e[0]),
             )
 
-        # corpus bigram/unigram counts for ONLY the candidate pairs
+        # bigram/unigram counts for ONLY the candidate pairs
         pairs = sorted({
             (a, b)
             for i in range(len(toks) - 1)
@@ -1583,28 +1586,55 @@ class Searcher:
             for b, _ in by_slot[i + 1]
         })
         pair_dim = spark.createDataFrame(pairs, "prev string, cur string")
-        tk = docs_text.select(
-            "url", F.posexplode(tokens("text")).alias("pos", "cur")
-        )
-        winp = Window.partitionBy("url").orderBy("pos")
-        tr = tk.withColumn("prev", F.lag("cur").over(winp)).filter(
-            F.col("prev").isNotNull()
-        )
-        big = {
-            (r["prev"], r["cur"]): int(r["n"])
-            for r in tr.join(F.broadcast(pair_dim), ["prev", "cur"])
-            .groupBy("prev", "cur").agg(F.count("*").alias("n")).collect()
-        }
         srcs = sorted({a for a, _ in pairs})
-        uni = {
-            r["prev"]: int(r["n"])
-            for r in tr.filter(F.col("prev").isin(srcs))
-            .groupBy("prev").agg(F.count("*").alias("n")).collect()
-        }
-        v = int(
-            docs_text.select(F.explode(tokens("text")).alias("t"))
-            .agg(F.countDistinct("t")).collect()[0][0]
-        )
+        bs_dir = os.path.join(self.index_dir, "bigram_stats")
+        if os.path.isdir(bs_dir):
+            # index-time LM (build_bigram_stats): candidate-pair lookups
+            # against the persisted partials — the `prev IN srcs` filter
+            # pushes into the (prev, cur)-sorted parquet scan, so a
+            # suggest call reads a few row groups, never the corpus.
+            # U(prev) = Σ_cur B(prev, cur) by construction.
+            rel = spark.read.parquet(bs_dir).filter(F.col("prev").isin(srcs))
+            big = {
+                (r["prev"], r["cur"]): int(r["n"])
+                for r in rel.join(F.broadcast(pair_dim), ["prev", "cur"])
+                .groupBy("prev", "cur").agg(F.sum("n").alias("n")).collect()
+            }
+            uni = {
+                r["prev"]: int(r["n"])
+                for r in rel.groupBy("prev")
+                .agg(F.sum("n").alias("n")).collect()
+            }
+            # V = dictionary size; term_stats is already per-term unique
+            v = int(self.term_stats.count())
+        elif docs_text is not None:
+            tk = docs_text.select(
+                "url", F.posexplode(tokens("text")).alias("pos", "cur")
+            )
+            winp = Window.partitionBy("url").orderBy("pos")
+            tr = tk.withColumn("prev", F.lag("cur").over(winp)).filter(
+                F.col("prev").isNotNull()
+            )
+            big = {
+                (r["prev"], r["cur"]): int(r["n"])
+                for r in tr.join(F.broadcast(pair_dim), ["prev", "cur"])
+                .groupBy("prev", "cur").agg(F.count("*").alias("n")).collect()
+            }
+            uni = {
+                r["prev"]: int(r["n"])
+                for r in tr.filter(F.col("prev").isin(srcs))
+                .groupBy("prev").agg(F.count("*").alias("n")).collect()
+            }
+            v = int(
+                docs_text.select(F.explode(tokens("text")).alias("t"))
+                .agg(F.countDistinct("t")).collect()[0][0]
+            )
+        else:
+            raise ValueError(
+                "phrase_suggest needs the index's bigram_stats relation "
+                "(plans.build_index.build_bigram_stats) or a docs_text "
+                "corpus to derive the LM from"
+            )
 
         import math
 
@@ -4465,14 +4495,34 @@ class Searcher:
                 continue
             groups.append((neg, terms, phrases))
 
+        from kafka_es_spark.operators.positions import phrase_match_ids
+
         positive = sorted(
             {t for neg, ts, _ in groups for t in ts
              if not neg and t != "\x00nomatch"}
         )
         if not positive:
-            return spark.createDataFrame([], TOPK_SCHEMA)
-        out = self.relational_scores(" ".join(positive))
-        from kafka_es_spark.operators.positions import phrase_match_ids
+            # no positive terms, but quoted phrases may still carry the
+            # query (qs='"exact phrase"'): ES returns the phrase matches.
+            # Build the hit set from the positional relation at constant
+            # 0 score (phrases are filter-context in this engine); the
+            # group loop below still applies negations and AND gating.
+            pos_phrases = sorted(
+                {p for neg, _, phs in groups if not neg for p in phs}
+            )
+            if not pos_phrases:
+                return spark.createDataFrame([], TOPK_SCHEMA)
+            ids = None
+            for p in pos_phrases:
+                pm = phrase_match_ids(spark, self.index_dir, p).select(
+                    "doc_id"
+                )
+                ids = pm if ids is None else ids.unionByName(pm)
+            out = ids.distinct().select(
+                "doc_id", F.lit(0.0).alias("score")
+            )
+        else:
+            out = self.relational_scores(" ".join(positive))
 
         for neg, ts, phrases in groups:
             ts = [t for t in ts if t != "\x00nomatch"]

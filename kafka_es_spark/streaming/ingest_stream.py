@@ -362,10 +362,13 @@ def kafka_pages_stream(
         raw = r.load()
     except Exception as e:  # missing spark-sql-kafka jar
         if "kafka" in str(e).lower():
+            from kafka_es_spark.operators.ingest import _spark_pkg
+
             raise NotImplementedError(
                 "spark-sql-kafka is not bundled in this runtime; on a real "
-                "cluster add org.apache.spark:spark-sql-kafka-0-10 "
-                "(reference: ElasticsearchSinkTask.kt consumption loop)"
+                f"cluster add {_spark_pkg('spark-sql-kafka-0-10')} via "
+                "--packages or spark.jars.packages (reference: "
+                "ElasticsearchSinkTask.kt consumption loop)"
             ) from e
         raise
     return pages_from_kafka(raw)
