@@ -3533,6 +3533,61 @@ def _q_search_dsl(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+SS_BOOST, DFS_WEIGHT, DFS_DL_GATE, DFS_FACTOR = 2, 3.0, 30, 0.01
+
+
+def _q_script_score(spark, sf_dir):
+    """ES script_score query: the inner match's hit set rescored by a
+    painless expression over _score and doc['dl'].value — compiled ONCE
+    to Column arithmetic (operators/painless.ScoreScript), no per-row
+    interpreter; the script's doc fields join from the docmap only."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "script": {
+            "source": "_score * params.boost + doc['dl'].value / 100.0",
+            "params": {"boost": SS_BOOST},
+        },
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_function_score(spark, sf_dir):
+    """ES function_score request-body clause: a weight function gated on a dl range filter
+    plus a field_value_factor(sqrt) — per-doc function values summed
+    (score_mode=sum, unmatched functions excluded) then multiplied into
+    the query score (boost_mode=multiply). Function filters become
+    boolean flags joined onto the hit set; one columnar projection."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "functions": [
+            {"filter": {"range": {"dl": {"gte": DFS_DL_GATE}}},
+             "weight": DFS_WEIGHT},
+            {"field_value_factor": {
+                "field": "dl", "factor": DFS_FACTOR, "modifier": "sqrt",
+            }},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 GL_SIZE = 10
 
 
@@ -3609,7 +3664,7 @@ _R5_WINDOW = [
     "x8_agg_range", "x8_agg_filters", "x8_agg_rare_terms",
     "x8_agg_multi_terms", "x8_agg_adjacency", "x8_agg_top_metrics",
     "x8_agg_composite", "x8_agg_extended_stats", "x8_agg_weighted_avg",
-    "x8_agg_value_count", "x8_agg_sampler", "x8_agg_div_sampler",
+    "x8_agg_value_count", "x15_script_score", "x15_function_score",
     "x8_agg_cardinality_hll", "x8_agg_percentile_ranks",
     "x11_hybrid_rrf", "x11_hybrid_linear", "x9_script_update",
 ]
@@ -3641,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tk1_bpe_word_counts": _q_bpe_word_counts,
         "x13_geo_line": _q_geo_line,
         "x15_search_dsl": _q_search_dsl,
+        "x15_script_score": _q_script_score,
+        "x15_function_score": _q_dsl_function_score,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -3843,6 +3900,7 @@ def _bm25_sql(
     boosts: dict[str, float] | None = None,
     offset: int | None = None,
     filter_where: str | None = None,
+    score_expr: str | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
@@ -3898,8 +3956,9 @@ s AS (
   FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
   GROUP BY 1 {having}
 )
-SELECT doc_id, round(score, 4) AS score FROM s {neg}
-ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}{
+SELECT doc_id, round({score_expr or "score"}, 4) AS score
+FROM s JOIN dl USING (doc_id) {neg}
+ORDER BY round({score_expr or "score"}, 4) DESC, doc_id LIMIT {TOPK}{
     f" OFFSET {int(offset)}" if offset else ""}
 """
 
@@ -4662,6 +4721,21 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             must_not_terms=["data"],
             filter_where=f"len({_TOKS}) >= {DSL_LO} AND len({_TOKS}) < {DSL_HI}",
+        ),
+        # script_score: raw BM25 rescored by the painless expression
+        # (_score * boost + dl/100), rounded only at serving
+        "x15_script_score": _bm25_sql(
+            "documents",
+            score_expr=f"score * {SS_BOOST} + dl / 100.0",
+        ),
+        # function_score: sum(matched function values) * query score;
+        # the weight function fires only where dl >= gate
+        "x15_function_score": _bm25_sql(
+            "documents",
+            score_expr=(
+                f"score * (sqrt(dl * {DFS_FACTOR}) + CASE WHEN dl >= "
+                f"{DFS_DL_GATE} THEN {DFS_WEIGHT} ELSE 0 END)"
+            ),
         ),
         # geo_line: per-user ts-ordered LineString, first GL_SIZE points
         "x13_geo_line": f"""

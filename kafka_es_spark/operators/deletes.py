@@ -254,6 +254,83 @@ def update_by_query(
     return n
 
 
+MAX_SCRIPT_COMBOS = 200
+
+
+def apply_script_actions(
+    docs: DataFrame,
+    actions: DataFrame,
+    id_col: str = "url",
+    seq_col: str = "seq",
+    script_col: str = "script",
+    params_col: str | None = "params",
+) -> DataFrame:
+    """ES bulk Update actions whose body is a SCRIPT
+    (BulkActionTests.kt:193-201's ``{"script": {"source": ...,
+    "params": {...}}}`` shape, the half of BulkAction.kt:55-102's
+    Update op that apply_partial_updates doesn't cover): apply each
+    scripted action to its target doc, in ``seq`` order per doc.
+
+    ``actions`` rows: (id, seq, script source string, optional params
+    as a JSON TEXT column — text, not MapType, so the distinct/equality
+    grouping below stays plain column algebra). Each distinct
+    (seq, script, params) combination compiles ONCE (painless-lite →
+    Column expressions) and applies as a projection gated on a
+    broadcast id set — so the corpus is traversed once per combo, all
+    JVM-side. Bounded by MAX_SCRIPT_COMBOS distinct combinations per
+    call (an ingest epoch's script vocabulary, not the corpus size);
+    past the cap the call raises rather than building an unbounded
+    plan chain — split the epoch. ``ctx.op`` follows script_update
+    semantics ('delete' drops the doc, 'none' keeps the original)."""
+    import json
+
+    from kafka_es_spark.operators.painless import ScriptPlan
+
+    sel = [seq_col, script_col]
+    if params_col and params_col in actions.columns:
+        sel.append(params_col)
+    combos = (
+        actions.select(*sel).distinct()
+        .orderBy(seq_col, script_col).collect()
+    )
+    if len(combos) > MAX_SCRIPT_COMBOS:
+        raise ValueError(
+            f"{len(combos)} distinct (seq, script, params) combinations "
+            f"exceed MAX_SCRIPT_COMBOS ({MAX_SCRIPT_COMBOS}); split the "
+            "epoch or collapse scripts before applying"
+        )
+    out = docs
+    for row in combos:
+        params = row[params_col] if params_col and params_col in actions.columns else None
+        if isinstance(params, str):
+            params = json.loads(params) if params else {}
+        plan = ScriptPlan(row[script_col], dict(params or {}))
+        gate_rows = actions.filter(
+            (F.col(seq_col) == row[seq_col])
+            & (F.col(script_col) == row[script_col])
+        )
+        if params_col and params_col in actions.columns:
+            if row[params_col] is None:
+                gate_rows = gate_rows.filter(F.col(params_col).isNull())
+            else:
+                gate_rows = gate_rows.filter(
+                    F.col(params_col) == row[params_col]
+                )
+        # gate = joined flag, never a driver-side id list: the target
+        # set of one combo can be anything from 1 doc to a broadcast
+        # epoch — AQE picks broadcast vs shuffle join from size stats
+        flag = "__script_hit"
+        out = plan.apply(
+            out.join(
+                gate_rows.select(id_col).distinct()
+                .withColumn(flag, F.lit(True)),
+                id_col, "left",
+            ),
+            where=F.col(flag),
+        ).drop(flag)
+    return out
+
+
 def apply_partial_updates(
     docs: DataFrame,
     updates: DataFrame,

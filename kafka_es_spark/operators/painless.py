@@ -125,6 +125,18 @@ class _Assign:
     expr: object
 
 
+@dataclass
+class _ScoreRef:
+    """``_score`` inside a script_score expression."""
+
+
+@dataclass
+class _DocRef:
+    """``doc['field'].value`` inside a script_score expression."""
+
+    name: str
+
+
 _MATH_FNS = {"max", "min", "abs", "floor", "ceil", "round"}
 _OP_TARGET = "\x00op"
 
@@ -271,6 +283,23 @@ class _Parser:
                 if kk != "ident":
                     raise PainlessError(f"painless: bad field ref {name!r}")
                 return _Field(name)
+            if v == "_score":
+                return _ScoreRef()
+            if v == "doc":
+                # doc['field'].value — the script_score field accessor
+                self._expect("[")
+                kk, s = self._next()
+                if kk != "str":
+                    raise PainlessError("painless: doc[...] takes a string")
+                self._expect("]")
+                self._expect(".")
+                kk, attr = self._next()
+                if attr != "value":
+                    raise PainlessError(
+                        f"painless: only doc[...].value supported, got "
+                        f".{attr}"
+                    )
+                return _DocRef(_unquote(s))
             if v == "Math":
                 self._expect(".")
                 _, fn = self._next()
@@ -320,7 +349,7 @@ def _unquote(s: str) -> str:
 def _is_stringy(node, env_types: dict) -> bool:
     if isinstance(node, _Lit):
         return isinstance(node.value, str)
-    if isinstance(node, _Field):
+    if isinstance(node, (_Field, _DocRef)):
         return env_types.get(node.name) == "string"
     if isinstance(node, _Bin) and node.op == "+":
         return _is_stringy(node.left, env_types) or _is_stringy(
@@ -340,6 +369,17 @@ def _compile(node, env: dict, env_types: dict) -> Column:
         if node.name not in env:
             raise PainlessError(
                 f"painless: ctx._source.{node.name} is not a column of the "
+                "target relation"
+            )
+        return env[node.name]
+    if isinstance(node, _ScoreRef):
+        if "\x00score" not in env:
+            raise PainlessError("painless: _score is not available here")
+        return env["\x00score"]
+    if isinstance(node, _DocRef):
+        if node.name not in env:
+            raise PainlessError(
+                f"painless: doc[{node.name!r}] is not a stored field of the "
                 "target relation"
             )
         return env[node.name]
@@ -445,6 +485,58 @@ class ScriptPlan:
             F.when(scoped, op_col).otherwise(F.lit("index")).alias("__op"),
         )
         return out.filter(F.col("__op") != "delete").drop("__op")
+
+
+def _walk_doc_fields(node, out: set) -> None:
+    if isinstance(node, _DocRef):
+        out.add(node.name)
+    elif isinstance(node, _Bin):
+        _walk_doc_fields(node.left, out)
+        _walk_doc_fields(node.right, out)
+    elif isinstance(node, _Un):
+        _walk_doc_fields(node.operand, out)
+    elif isinstance(node, _Tern):
+        for n in (node.cond, node.then, node.other):
+            _walk_doc_fields(n, out)
+    elif isinstance(node, _Math):
+        for n in node.args:
+            _walk_doc_fields(n, out)
+
+
+class ScoreScript:
+    """A compiled script_score EXPRESSION (ES ``script_score`` query /
+    ``function_score`` script function): ``_score`` is the inner query's
+    BM25 score, ``doc['field'].value`` reads a stored field. Compiled
+    once to a Column; ``doc_fields`` is known up front so the caller can
+    join exactly the stored columns the script touches — nothing more."""
+
+    def __init__(self, source: str, params: dict | None = None):
+        self.source = source
+        p = _Parser(_tokenize(source), params or {})
+        self.ast = p.parse_expr()
+        if p.i != len(p.toks):
+            raise PainlessError(
+                f"painless: trailing tokens after expression: "
+                f"{[t[1] for t in p.toks[p.i:]][:5]}"
+            )
+        fields: set = set()
+        _walk_doc_fields(self.ast, fields)
+        self.doc_fields = sorted(fields)
+
+    def column(
+        self,
+        score: Column,
+        fields: dict[str, Column] | None = None,
+        field_types: dict[str, str] | None = None,
+    ) -> Column:
+        env = {"\x00score": score, **(fields or {})}
+        missing = [f for f in self.doc_fields if f not in env]
+        if missing:
+            raise PainlessError(
+                f"painless: script references doc fields {missing} the "
+                "caller did not provide"
+            )
+        return _compile(self.ast, env, dict(field_types or {}))
 
 
 def script_update(

@@ -233,10 +233,225 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             gate.select("doc_id", F.lit(boost).alias("score")), None
         )
 
+    if kind == "script_score":
+        return _compile_script_score(searcher, body)
+
+    if kind == "function_score":
+        return _compile_function_score(searcher, body)
+
     if kind == "bool":
         return _compile_bool(searcher, body, scoring)
 
     raise DSLError(f"unsupported query clause {kind!r}")
+
+
+def _inner_scores(searcher, comp: _Compiled) -> DataFrame:
+    """(doc_id, score) for a compiled inner query; a pure filter-context
+    inner query scores 1.0 per doc (ES: _score inside script_score /
+    function_score is 1 for non-scoring queries). A clause-level gate
+    (match operator=and / msm) applies before rescoring."""
+    if comp.scores is None:
+        return comp.gate.select("doc_id", F.lit(1.0).alias("score"))
+    out = comp.scores
+    if comp.gate is not None:
+        out = out.join(comp.gate.select("doc_id"), "doc_id", "left_semi")
+    return out
+
+
+def _join_doc_fields(searcher, scores: DataFrame, fields) -> tuple:
+    """Join exactly the stored docmap columns a script references onto
+    the (doc_id, score) frame; returns (frame, {field: sql type})."""
+    if not fields:
+        return scores, {}
+    import os
+
+    dm = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "docmap")
+    )
+    missing = [f for f in fields if f not in dm.columns]
+    if missing:
+        raise DSLError(
+            f"script references doc fields {missing} not stored in this "
+            f"index's docmap (stored: {sorted(set(dm.columns) - {'doc_id'})})"
+        )
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in dm.schema.fields if f.name in fields
+    }
+    return (
+        scores.join(dm.select("doc_id", *fields), "doc_id", "left"), types
+    )
+
+
+def _compile_script_score(searcher, body: dict) -> _Compiled:
+    """ES ``script_score`` query: the inner query's hit set, rescored by
+    a painless expression over ``_score`` and ``doc['field'].value``
+    (compiled ONCE to a Column — operators/painless.ScoreScript; no
+    per-row interpreter). ``min_score`` drops hits below the cutoff.
+    ES-8 rejects scripts yielding negative scores at runtime; this
+    engine keeps whatever the expression computes (documented)."""
+    from kafka_es_spark.operators.painless import ScoreScript
+
+    script = body.get("script")
+    if not isinstance(script, dict) or "source" not in script:
+        raise DSLError("script_score needs script.source")
+    ss = ScoreScript(script["source"], script.get("params"))
+    inner = _compile(searcher, body["query"], scoring=True)
+    base = _inner_scores(searcher, inner)
+    base, types = _join_doc_fields(searcher, base, ss.doc_fields)
+    col = ss.column(
+        F.col("score"), {f: F.col(f) for f in ss.doc_fields}, types
+    )
+    out = base.select("doc_id", col.cast("double").alias("score"))
+    if body.get("min_score") is not None:
+        out = out.filter(F.col("score") >= float(body["min_score"]))
+    return _Compiled(out, None)
+
+
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log": lambda c: F.log10(c),
+    "log1p": lambda c: F.log10(c + 1),
+    "log2p": lambda c: F.log10(c + 2),
+    "ln": lambda c: F.log(c),
+    "ln1p": lambda c: F.log(c + 1),
+    "ln2p": lambda c: F.log(c + 2),
+    "square": lambda c: c * c,
+    "sqrt": lambda c: F.sqrt(c),
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+
+def _compile_function_score(searcher, body: dict) -> _Compiled:
+    """ES ``function_score``: per-doc function values combined by
+    ``score_mode`` (sum/multiply/avg/max/min/first over the functions
+    whose ``filter`` matched; 1.0 when none matched), capped at
+    ``max_boost``, then merged with the query score by ``boost_mode``
+    (multiply default / sum / avg / max / min / replace). Functions:
+    ``weight``, ``field_value_factor`` (all ES modifiers), and
+    ``script_score``. Everything is Column arithmetic over the inner
+    hit set — function filters become broadcast-joined boolean flags,
+    never a second corpus pass."""
+    from kafka_es_spark.operators.painless import ScoreScript
+
+    inner = _compile(searcher, body["query"], scoring=True)
+    base = _inner_scores(searcher, inner)
+
+    fns = body.get("functions")
+    if fns is None:
+        # single-function shorthand forms at the top level
+        fns = [{
+            k: body[k]
+            for k in ("weight", "field_value_factor", "script_score")
+            if k in body
+        }]
+        if not fns[0]:
+            raise DSLError(
+                "function_score needs functions[] or a top-level "
+                "weight/field_value_factor/script_score"
+            )
+
+    # stored fields any function touches, joined once
+    need_fields: set = set()
+    scripts: list[ScoreScript | None] = []
+    for f_ in fns:
+        if "field_value_factor" in f_:
+            need_fields.add(f_["field_value_factor"]["field"])
+        if "script_score" in f_:
+            sc = f_["script_score"]["script"]
+            ss = ScoreScript(sc["source"], sc.get("params"))
+            need_fields.update(ss.doc_fields)
+            scripts.append(ss)
+        else:
+            scripts.append(None)
+    base, types = _join_doc_fields(searcher, base, sorted(need_fields))
+
+    # function filters -> boolean flag columns (left join against the
+    # filter's gate set; query-sized relative to the hit set)
+    flags: list = []
+    for i, f_ in enumerate(fns):
+        if "filter" in f_:
+            gate = _compile(searcher, f_["filter"], scoring=False).gate
+            if gate is None:
+                raise DSLError("function filter produced no hit set")
+            flag = f"__fs_match_{i}"
+            base = base.join(
+                gate.select("doc_id", F.lit(True).alias(flag)),
+                "doc_id", "left",
+            )
+            flags.append(F.coalesce(F.col(flag), F.lit(False)))
+        else:
+            flags.append(F.lit(True))
+
+    vals: list = []
+    for f_, ss, flag in zip(fns, scripts, flags):
+        if "field_value_factor" in f_:
+            spec = f_["field_value_factor"]
+            c = F.col(spec["field"]).cast("double")
+            if spec.get("missing") is not None:
+                c = F.coalesce(c, F.lit(float(spec["missing"])))
+            c = c * float(spec.get("factor", 1.0))
+            mod = spec.get("modifier", "none")
+            if mod not in _FVF_MODIFIERS:
+                raise DSLError(f"field_value_factor modifier {mod!r}")
+            v = _FVF_MODIFIERS[mod](c)
+        elif ss is not None:
+            v = ss.column(
+                F.col("score"), {f: F.col(f) for f in ss.doc_fields}, types
+            ).cast("double")
+        else:
+            v = F.lit(1.0)
+        if "weight" in f_:
+            # weight alone is a function; weight + another function
+            # multiplies that function's value (ES semantics)
+            v = v * float(f_["weight"])
+        vals.append(F.when(flag, v))
+
+    matched = F.array([v for v in vals])
+    nn = F.filter(matched, lambda x: x.isNotNull())
+    n = F.size(nn)
+    mode = body.get("score_mode", "multiply")
+    if mode == "multiply":
+        fs = F.aggregate(nn, F.lit(1.0), lambda acc, x: acc * x)
+    elif mode == "sum":
+        fs = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+    elif mode == "avg":
+        fs = F.when(
+            n > 0,
+            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x) / n,
+        ).otherwise(F.lit(1.0))
+    elif mode == "max":
+        fs = F.coalesce(F.array_max(nn), F.lit(1.0))
+    elif mode == "min":
+        fs = F.coalesce(F.array_min(nn), F.lit(1.0))
+    elif mode == "first":
+        fs = F.coalesce(F.element_at(nn, 1), F.lit(1.0))
+    else:
+        raise DSLError(f"score_mode {mode!r}")
+    if mode in ("multiply", "sum"):
+        # no matching function -> neutral 1.0 (ES)
+        fs = F.when(n > 0, fs).otherwise(F.lit(1.0))
+    if body.get("max_boost") is not None:
+        fs = F.least(fs, F.lit(float(body["max_boost"])))
+
+    bmode = body.get("boost_mode", "multiply")
+    sc = F.col("score")
+    merged = {
+        "multiply": lambda: sc * fs,
+        "sum": lambda: sc + fs,
+        "avg": lambda: (sc + fs) / 2,
+        "max": lambda: F.greatest(sc, fs),
+        "min": lambda: F.least(sc, fs),
+        "replace": lambda: fs,
+    }
+    if bmode not in merged:
+        raise DSLError(f"boost_mode {bmode!r}")
+    out = base.select(
+        "doc_id", merged[bmode]().cast("double").alias("score")
+    )
+    if body.get("min_score") is not None:
+        out = out.filter(F.col("score") >= float(body["min_score"]))
+    return _Compiled(out, None)
 
 
 def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
@@ -424,6 +639,11 @@ def search(
         return _run_aggs(searcher, out, aggs)
     offset = int(body.get("from", 0))
     sort = body.get("sort")
+    resc = body.get("rescore")
+    if resc is not None:
+        if sort:
+            raise DSLError("rescore cannot combine with sort (ES contract)")
+        out = _apply_rescore(searcher, out, resc)
     if sort:
         # sort-by-stored-field (doc-values sort, track_scores=false):
         # hit set -> field join -> TakeOrdered; deterministic doc_id
@@ -462,6 +682,56 @@ def search(
             out = out.withColumn("score", F.round("score", round_to))
         return out
     return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
+
+
+def _apply_rescore(searcher, out: DataFrame, resc) -> DataFrame:
+    """The body's ``rescore`` section: re-rank the top ``window_size``
+    hits by a second query — the classic use is a cheap OR-match first
+    pass then a phrase / script second pass over the window only. ES
+    semantics kept exactly: window docs score ``query_weight * orig
+    [+|*|…] rescore_query_weight * rescore_score`` (docs the rescore
+    query misses keep query_weight * orig), docs OUTSIDE the window
+    keep their ORIGINAL score (the documented ES discontinuity when
+    query_weight != 1), and everything re-sorts together. Multiple
+    rescores chain, each over the previous result. The rescore query's
+    cost is bounded by its own clause (e.g. phrase_match_ids' pruned
+    positional scan), never window_size × corpus."""
+    specs = resc if isinstance(resc, list) else [resc]
+    for spec in specs:
+        w = int(spec.get("window_size", 10))
+        q = spec.get("query")
+        if not isinstance(q, dict) or "rescore_query" not in q:
+            raise DSLError("rescore needs query.rescore_query")
+        qw = float(q.get("query_weight", 1.0))
+        rqw = float(q.get("rescore_query_weight", 1.0))
+        mode = q.get("score_mode", "total")
+        rcomp = _compile(searcher, q["rescore_query"], scoring=True)
+        rs = _inner_scores(searcher, rcomp).withColumnRenamed(
+            "score", "_rescore"
+        )
+        window = out.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(w)
+        rest = out.join(window.select("doc_id"), "doc_id", "left_anti")
+        j = window.join(rs, "doc_id", "left")
+        base = F.col("score") * qw
+        radd = F.col("_rescore") * rqw
+        combined = {
+            "total": base + radd,
+            "multiply": base * radd,
+            "avg": (base + radd) / 2,
+            "max": F.greatest(base, radd),
+            "min": F.least(base, radd),
+        }.get(mode)
+        if combined is None:
+            raise DSLError(f"rescore score_mode {mode!r}")
+        j = j.select(
+            "doc_id",
+            F.when(F.col("_rescore").isNotNull(), combined)
+            .otherwise(base).alias("score"),
+        )
+        out = j.unionByName(rest.select("doc_id", "score"))
+    return out
 
 
 def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:

@@ -356,3 +356,246 @@ def test_update_by_query_script(spark, pages, tmp_path):
         update_by_query(spark, d, "data", script="ctx.op = 'delete'")
     with pytest.raises(ValueError, match="exactly one"):
         update_by_query(spark, d, "data")
+
+
+# --- script_score / function_score queries ---------------------------------
+
+
+def _match_scores(searcher):
+    return {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("data").collect()
+    }
+
+
+def test_dsl_script_score(searcher, docmap):
+    body = {
+        "query": {"match": {"text": "data"}},
+        "script": {
+            "source": "_score * params.boost + doc['dl'].value / 100.0",
+            "params": {"boost": 2},
+        },
+    }
+    got = {
+        r.doc_id: r.score
+        for r in search(
+            searcher, {"query": {"script_score": body}, "size": 500}
+        ).collect()
+    }
+    dl = {r.doc_id: r.dl for r in docmap.collect()}
+    want = {
+        d: round(s * 2 + dl[d] / 100.0, 4)
+        for d, s in _match_scores(searcher).items()
+    }
+    assert got == want and got
+
+
+def test_dsl_script_score_min_score_and_filter_inner(searcher, docmap):
+    """Filter-context inner query scores 1.0; min_score drops hits."""
+    body = {
+        "query": {"range": {"dl": {"gte": 10}}},
+        "script": {"source": "_score * doc['dl'].value"},
+        "min_score": 25,
+    }
+    got = {
+        r.doc_id: r.score
+        for r in search(
+            searcher, {"query": {"script_score": body}, "size": 500}
+        ).collect()
+    }
+    want = {
+        r.doc_id: float(r.dl)
+        for r in docmap.filter("dl >= 25").collect()
+    }
+    assert got == want and got
+
+
+def test_dsl_function_score_sum_multiply(searcher, docmap):
+    body = {
+        "query": {"match": {"text": "data"}},
+        "functions": [
+            {"filter": {"range": {"dl": {"gte": 30}}}, "weight": 3.0},
+            {"field_value_factor": {
+                "field": "dl", "factor": 0.01, "modifier": "sqrt",
+            }},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+    }
+    got = {
+        r.doc_id: r.score
+        for r in search(
+            searcher, {"query": {"function_score": body}, "size": 500}
+        ).collect()
+    }
+    import math
+
+    dl = {r.doc_id: r.dl for r in docmap.collect()}
+    want = {}
+    for d, s in _match_scores(searcher).items():
+        fs = math.sqrt(dl[d] * 0.01) + (3.0 if dl[d] >= 30 else 0.0)
+        want[d] = round(s * fs, 4)
+    assert got == want and got
+
+
+def test_dsl_function_score_script_fn_max_boost_replace(searcher, docmap):
+    body = {
+        "query": {"match": {"text": "data"}},
+        "functions": [
+            {"script_score": {
+                "script": {"source": "doc['dl'].value % 7"},
+            }, "weight": 2.0},
+        ],
+        "score_mode": "multiply",
+        "max_boost": 9.0,
+        "boost_mode": "replace",
+    }
+    got = {
+        r.doc_id: r.score
+        for r in search(
+            searcher, {"query": {"function_score": body}, "size": 500}
+        ).collect()
+    }
+    dl = {r.doc_id: r.dl for r in docmap.collect()}
+    want = {
+        d: round(min((dl[d] % 7) * 2.0, 9.0), 4)
+        for d in _match_scores(searcher)
+    }
+    assert got == want and got
+
+
+def test_dsl_function_score_no_match_neutral(searcher):
+    """A doc matched by the query but by NO function keeps fs=1.0."""
+    body = {
+        "query": {"match": {"text": "data"}},
+        "functions": [
+            {"filter": {"range": {"dl": {"gte": 10000}}}, "weight": 5.0},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+    }
+    got = {
+        r.doc_id: r.score
+        for r in search(
+            searcher, {"query": {"function_score": body}, "size": 500}
+        ).collect()
+    }
+    want = {d: round(s, 4) for d, s in _match_scores(searcher).items()}
+    assert got == want and got
+
+
+# --- rescore section --------------------------------------------------------
+
+
+def test_dsl_rescore_window_semantics(searcher):
+    """Top-window docs get qw*orig + rqw*rescore (or qw*orig when the
+    rescore query misses them); docs outside the window keep their
+    ORIGINAL score; everything re-sorts together (ES semantics)."""
+    body = {
+        "query": {"match": {"text": "data"}},
+        "rescore": {
+            "window_size": 5,
+            "query": {
+                "rescore_query": {"match": {"text": "index"}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+                "score_mode": "total",
+            },
+        },
+        "size": 500,
+    }
+    got = [
+        (r.doc_id, r.score) for r in search(searcher, body).collect()
+    ]
+    orig = {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("data").collect()
+    }
+    rsc = {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("index").collect()
+    }
+    window = sorted(orig, key=lambda d: (-orig[d], d))[:5]
+    want = {}
+    for d, s in orig.items():
+        if d in window:
+            want[d] = 0.7 * s + (1.2 * rsc[d] if d in rsc else 0.0)
+        else:
+            want[d] = s
+    expect = sorted(
+        ((d, round(s, 4)) for d, s in want.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == expect and len(got) > 5
+
+
+def test_dsl_rescore_rejects_sort(searcher):
+    from kafka_es_spark.operators.searchapi import DSLError
+
+    body = {
+        "query": {"match": {"text": "data"}},
+        "sort": [{"dl": "asc"}],
+        "rescore": {"window_size": 5, "query": {
+            "rescore_query": {"match": {"text": "index"}},
+        }},
+    }
+    with pytest.raises(DSLError, match="rescore"):
+        search(searcher, body)
+
+
+# --- bulk Update actions with script bodies --------------------------------
+
+
+def test_apply_script_actions_seq_order_and_params(spark):
+    """The reference's scripted bulk Update shape applied at build time:
+    per-doc seq order respected across different scripts; per-action
+    params bind at compile time; untargeted docs pass through."""
+    from kafka_es_spark.operators.deletes import apply_script_actions
+
+    docs = spark.createDataFrame(
+        [("a", 10, "x"), ("b", 100, "y"), ("c", 7, "z")],
+        "url string, counter long, tag string",
+    )
+    actions = spark.createDataFrame(
+        [
+            # a: seq1 += 5  then seq2 *= 2  -> (10+5)*2 = 30
+            ("a", 1, "ctx._source.counter += params.p", '{"p": 5}'),
+            ("a", 2, "ctx._source.counter *= 2", None),
+            # b: seq1 *= 2  then seq2 += 5  -> 100*2+5 = 205
+            ("b", 1, "ctx._source.counter *= 2", None),
+            ("b", 2, "ctx._source.counter += params.p", '{"p": 5}'),
+        ],
+        "url string, seq long, script string, params string",
+    )
+    got = {
+        r.url: (r.counter, r.tag)
+        for r in apply_script_actions(docs, actions).collect()
+    }
+    assert got == {"a": (30, "x"), "b": (205, "y"), "c": (7, "z")}
+
+
+def test_apply_script_actions_delete_and_cap(spark):
+    from kafka_es_spark.operators import deletes as dmod
+    from kafka_es_spark.operators.deletes import apply_script_actions
+
+    docs = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "url string, n long"
+    )
+    actions = spark.createDataFrame(
+        [("a", 1, "ctx.op = 'delete'", None)],
+        "url string, seq long, script string, params string",
+    )
+    got = {r.url for r in apply_script_actions(docs, actions).collect()}
+    assert got == {"b"}
+
+    many = spark.createDataFrame(
+        [("a", i, f"ctx._source.n += {i}", None) for i in range(5)],
+        "url string, seq long, script string, params string",
+    )
+    old = dmod.MAX_SCRIPT_COMBOS
+    dmod.MAX_SCRIPT_COMBOS = 3
+    try:
+        with pytest.raises(ValueError, match="MAX_SCRIPT_COMBOS"):
+            apply_script_actions(docs, many)
+    finally:
+        dmod.MAX_SCRIPT_COMBOS = old
