@@ -358,6 +358,63 @@ _SCALAR_FNS: dict = {
         lambda a, s, e: _fn_mv_slice(a, s, e),
     ),
     "case": (2, 99, _fn_case),
+    # trig / math constants (ES|QL 8.x scalar surface)
+    "sin": (1, 1, F.sin),
+    "cos": (1, 1, F.cos),
+    "tan": (1, 1, F.tan),
+    "asin": (1, 1, F.asin),
+    "acos": (1, 1, F.acos),
+    "atan": (1, 1, F.atan),
+    "atan2": (2, 2, F.atan2),
+    "sinh": (1, 1, F.sinh),
+    "cosh": (1, 1, F.cosh),
+    "tanh": (1, 1, F.tanh),
+    "cbrt": (1, 1, F.cbrt),
+    "signum": (1, 1, F.signum),
+    "pi": (0, 0, lambda: F.lit(3.141592653589793)),
+    "tau": (0, 0, lambda: F.lit(6.283185307179586)),
+    "e": (0, 0, lambda: F.lit(2.718281828459045)),
+    # string / binary extras
+    "reverse": (1, 1, F.reverse),
+    "repeat": (2, 2, F.repeat),
+    "space": (1, 1, lambda n: F.repeat(F.lit(" "), n)),
+    "to_base64": (1, 1, lambda s: F.base64(s.cast("binary"))),
+    "from_base64": (1, 1, lambda s: F.unbase64(s).cast("string")),
+    "md5": (1, 1, F.md5),
+    "sha1": (1, 1, F.sha1),
+    "sha256": (1, 1, lambda s: F.sha2(s, 256)),
+    "bit_length": (1, 1, F.bit_length),
+    "byte_length": (1, 1, F.octet_length),
+    # multivalue extras
+    "mv_concat": (2, 2, lambda a, d: F.array_join(a, d)),
+    "mv_append": (2, 2, F.array_append),
+    "mv_zip": (
+        2, 3,
+        # ES|QL mv_zip joins element-wise with a delimiter (default ",")
+        lambda a, b, d=None: F.zip_with(
+            a, b,
+            lambda x, y: F.concat_ws(
+                "", x, d if d is not None else F.lit(","), y
+            ),
+        ),
+    ),
+    "mv_median": (
+        1, 1,
+        # even-length arrays average the two middle values (ES|QL)
+        lambda a: F.when(
+            F.size(a) > 0,
+            (
+                F.element_at(
+                    F.array_sort(a),
+                    F.floor((F.size(a) + 1) / 2).cast("int"),
+                ).cast("double")
+                + F.element_at(
+                    F.array_sort(a),
+                    F.floor((F.size(a) + 2) / 2).cast("int"),
+                ).cast("double")
+            ) / 2,
+        ),
+    ),
 }
 
 # date_diff units, as integer microsecond divisors (ES|QL truncates

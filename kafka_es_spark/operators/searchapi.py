@@ -597,10 +597,20 @@ def search(
     query = body.get("query")
     if knn is not None:
         if query is not None:
+            rank = body.get("rank")
+            if isinstance(rank, dict) and "rrf" in rank:
+                # ES-8 hybrid: the body's rank.rrf section fuses the
+                # query retriever's and the knn retriever's top windows
+                # by reciprocal-rank (the rrf_fuse operator); anything
+                # else stays an explicit operator choice
+                return _hybrid_rrf(
+                    searcher, body, embeddings, round_to,
+                    k if k is not None else None,
+                )
             raise DSLError(
-                "query + knn hybrid fusion is explicit in this engine: "
-                "run both and combine with similarity.rrf_fuse / "
-                "linear_fuse"
+                "query + knn hybrid fusion needs the body's rank.rrf "
+                "section (ES 8), or run both and combine with "
+                "similarity.rrf_fuse / linear_fuse explicitly"
             )
         if embeddings is None:
             raise DSLError("knn search needs the embeddings relation")
@@ -682,6 +692,59 @@ def search(
             out = out.withColumn("score", F.round("score", round_to))
         return out
     return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
+
+
+def _hybrid_rrf(
+    searcher, body: dict, embeddings, round_to, k
+) -> DataFrame:
+    """ES-8 ``rank: {rrf: {...}}`` hybrid search: the lexical query's
+    top rank_window_size and the knn retriever's top window fuse by
+    reciprocal rank (Σ 1/(rank_constant + rank), missing lists
+    contribute nothing — similarity.rrf_fuse). Both rank relations are
+    window-sized, so fusion is reduce-phase work; the knn side requires
+    the embeddings relation to be keyed by doc_id (the retrievers must
+    rank one id space, exactly ES's _id contract)."""
+    from pyspark.sql import Window
+
+    from kafka_es_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    if embeddings is None:
+        raise DSLError("knn search needs the embeddings relation")
+    rrf = body["rank"]["rrf"] or {}
+    size = int(k if k is not None else body.get("size", 10))
+    window = int(rrf.get("rank_window_size", max(size, 10)))
+    k_rrf = int(rrf.get("rank_constant", 60))
+
+    comp = _compile(searcher, body["query"], scoring=True)
+    lex = _inner_scores(searcher, comp)
+    if searcher.persistent_excluded:
+        lex = lex.filter(
+            ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
+        )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_rank = (
+        lex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= window)
+        .select("doc_id", "rank")
+    )
+
+    knn = body["knn"]
+    qdf = searcher.spark.createDataFrame(
+        [(-1, [float(x) for x in knn["query_vector"]])],
+        "query_id long, qvec array<double>",
+    )
+    knn_rank = cosine_topk(
+        embeddings, qdf, k=int(knn.get("k", window)),
+        similarity=knn.get("similarity"),
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+
+    fused = rrf_fuse([lex_rank, knn_rank], k=size, k_rrf=k_rrf)
+    out = fused.select(
+        "doc_id", F.col("rrf_score").alias("score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
 
 def _apply_rescore(searcher, out: DataFrame, resc) -> DataFrame:

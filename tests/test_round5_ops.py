@@ -599,3 +599,84 @@ def test_apply_script_actions_delete_and_cap(spark):
             apply_script_actions(docs, many)
     finally:
         dmod.MAX_SCRIPT_COMBOS = old
+
+
+# --- ES|QL round-5 scalar functions ----------------------------------------
+
+
+def test_esql_new_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("abc", [3, 1, 2, 4], [10, 20])],
+        "s string, xs array<int>, ys array<int>",
+    )
+    rows = esql_query(
+        spark,
+        "FROM t | EVAL r = reverse(s), rep = repeat(s, 2), "
+        "b64 = to_base64(s), rt = from_base64(to_base64(s)), "
+        "h = md5(s), bl = bit_length(s), "
+        'med = mv_median(xs), mc = mv_concat(mv_sort(xs), "-"), '
+        'ap = mv_append(ys, 30), z = mv_zip(ys, ys, ":"), '
+        "sg = signum(-7.0), c = round(cos(0.0), 4), p = round(pi(), 4)",
+        {"t": df},
+    ).collect()
+    r = rows[0]
+    assert r.r == "cba" and r.rep == "abcabc"
+    assert r.rt == "abc" and len(r.h) == 32 and r.bl == 24
+    assert r.med == 2.5 and r.mc == "1-2-3-4"
+    assert r.ap == [10, 20, 30] and r.z == ["10:10", "20:20"]
+    assert r.sg == -1.0 and r.c == 1.0 and r.p == 3.1416
+
+
+# --- ES-8 rank.rrf hybrid (query + knn in one body) ------------------------
+
+
+def test_dsl_rank_rrf_hybrid(spark, searcher):
+    """query + knn + rank.rrf fuses the two retrievers' top windows by
+    reciprocal rank; doc ids are the shared id space."""
+    import math
+
+    from kafka_es_spark.operators.searchapi import search
+
+    lex = {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("data").collect()
+    }
+    lex_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(lex, key=lambda d: (-lex[d], d))[:20])
+    }
+    docs = sorted(lex)[:6]
+    vecs = {d: [math.cos(d), math.sin(d)] for d in docs}
+    emb = spark.createDataFrame(
+        [(d, v) for d, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [1.0, 0.0]
+    cos = {
+        d: v[0] / math.hypot(*v) for d, v in vecs.items()
+    }
+    knn_rank = {
+        d: i + 1
+        for i, d in enumerate(sorted(cos, key=lambda d: (-cos[d], d))[:4])
+    }
+    want = {}
+    for d in set(lex_rank) | set(knn_rank):
+        s = 0.0
+        if d in lex_rank:
+            s += 1.0 / (60 + lex_rank[d])
+        if d in knn_rank:
+            s += 1.0 / (60 + knn_rank[d])
+        want[d] = round(s, 4)
+    top = sorted(want.items(), key=lambda t: (-t[1], t[0]))[:5]
+
+    body = {
+        "query": {"match": {"text": "data"}},
+        "knn": {"query_vector": qv, "k": 4},
+        "rank": {"rrf": {"rank_window_size": 20}},
+        "size": 5,
+    }
+    got = [
+        (r.doc_id, r.score)
+        for r in search(searcher, body, embeddings=emb).collect()
+    ]
+    assert got == top
