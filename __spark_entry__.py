@@ -3588,6 +3588,50 @@ def _q_dsl_function_score(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+BQ_NEG_TERM, BQ_NEG_BOOST = "data", 0.4
+
+
+def _q_dsl_boosting(spark, sf_dir):
+    """ES boosting query: positive match ranks, docs also matching the
+    negative term keep their rank slot but score × negative_boost (the
+    demote-don't-exclude contract — must_not would drop them). One flag
+    join against the negative gate; the negative clause never scores."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "negative": {"term": {"text": BQ_NEG_TERM}},
+        "negative_boost": BQ_NEG_BOOST,
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_collapse(spark, sf_dir):
+    """ES field collapsing: one hit per distinct stored-field value
+    (lang), each group ranked by its best BM25 score. The entry emits
+    (lang, best_score) — the group key and its representative score —
+    because the representative DOC at an exact score tie is internal-id
+    ordered (url-lexicographic dense ids), which no portable SQL oracle
+    can reproduce; the group ranking itself is the collapse semantics."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "collapse": {"field": "lang"},
+        "size": 100,
+    }
+    out = search(Searcher(spark, idx, cache=False), body)
+    return out.select("lang", F.col("score").alias("best_score"))
+
+
 GL_SIZE = 10
 
 
@@ -3698,6 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_search_dsl": _q_search_dsl,
         "x15_script_score": _q_script_score,
         "x15_function_score": _q_dsl_function_score,
+        "x15_boosting": _q_dsl_boosting,
+        "x15_collapse": _q_dsl_collapse,
         "x10_reindex_topk": _q_reindex_topk,
         "x8_phrase_suggest": _q_phrase_suggest,
         "x8_msm_topk": _q_wand_msm_topk,
@@ -4737,6 +4783,37 @@ def oracle_sql() -> dict[str, str]:
                 f"{DFS_DL_GATE} THEN {DFS_WEIGHT} ELSE 0 END)"
             ),
         ),
+        # boosting: positive BM25, × negative_boost where the negative
+        # term matches (demote, never exclude)
+        "x15_boosting": _bm25_sql(
+            "documents",
+            score_expr=(
+                f"score * (CASE WHEN doc_id IN (SELECT DISTINCT doc_id "
+                f"FROM toks WHERE term = '{BQ_NEG_TERM}') "
+                f"THEN {BQ_NEG_BOOST} ELSE 1 END)"
+            ),
+        ),
+        # collapse: per-lang best BM25 score over the full hit set
+        # (max of raw scores, rounded after — the engine rounds at
+        # serving, after the collapse aggregation)
+        "x15_collapse": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT d.lang, round(max(s.score), 4) AS best_score
+FROM s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
         # geo_line: per-user ts-ordered LineString, first GL_SIZE points
         "x13_geo_line": f"""
 WITH pts AS (

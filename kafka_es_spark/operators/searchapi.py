@@ -233,6 +233,31 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             gate.select("doc_id", F.lit(boost).alias("score")), None
         )
 
+    if kind == "boosting":
+        # ES boosting query: hit set = positive's matches; docs ALSO
+        # matching negative keep their rank but score × negative_boost
+        # (negative never excludes — that is must_not's job). One left
+        # join of a flag column against the negative gate; the negative
+        # clause is compiled in filter context so it never pays scoring.
+        pos = _compile(searcher, body["positive"], scoring=True)
+        neg = _compile(searcher, body["negative"], scoring=False)
+        nb = float(body.get("negative_boost", 0.5))
+        base = _inner_scores(searcher, pos)
+        if neg.gate is None:
+            raise DSLError("boosting negative clause produced no hit set")
+        flagged = base.join(
+            neg.gate.select("doc_id", F.lit(True).alias("__neg")),
+            "doc_id", "left",
+        )
+        return _Compiled(
+            flagged.select(
+                "doc_id",
+                F.when(F.col("__neg"), F.col("score") * nb)
+                .otherwise(F.col("score")).alias("score"),
+            ),
+            None,
+        )
+
     if kind == "script_score":
         return _compile_script_score(searcher, body)
 
@@ -454,6 +479,45 @@ def _compile_function_score(searcher, body: dict) -> _Compiled:
     return _Compiled(out, None)
 
 
+def _apply_collapse(searcher, out: DataFrame, spec) -> DataFrame:
+    """ES field collapsing: one hit per distinct value of a stored
+    field, each group represented by its best-scoring doc (score desc,
+    doc_id asc tie-break — ES's order), groups then ranked by that
+    score. Docs missing the field form one null group (ES collapses on
+    doc-values; absent values group together).
+
+    Plan shape: hit set → docmap field join → ONE hash aggregation
+    (``max_by`` on a (score, −doc_id) ordering struct). No global
+    window — group count bounds the output, so this holds at any hit
+    count; the expensive side stays the already-bounded hit relation."""
+    import os
+
+    field = spec["field"] if isinstance(spec, dict) else spec
+    dm = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "docmap")
+    )
+    if field not in dm.columns:
+        raise DSLError(
+            f"collapse field {field!r} is not stored in this index's "
+            f"docmap (stored: {sorted(set(dm.columns) - {'doc_id'})})"
+        )
+    j = out.join(dm.select("doc_id", field), "doc_id", "left")
+    order = F.struct(
+        F.col("score").alias("s"), (-F.col("doc_id")).alias("nd")
+    )
+    top = F.max_by(
+        F.struct(F.col("doc_id"), F.col("score")), order
+    ).alias("__top")
+    return (
+        j.groupBy(field).agg(top)
+        .select(
+            F.col("__top.doc_id").alias("doc_id"),
+            F.col("__top.score").alias("score"),
+            field,
+        )
+    )
+
+
 def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
     must = [_compile(searcher, c, scoring) for c in _as_clauses(body.get("must"))]
     should = [
@@ -654,6 +718,14 @@ def search(
         if sort:
             raise DSLError("rescore cannot combine with sort (ES contract)")
         out = _apply_rescore(searcher, out, resc)
+    collapse = body.get("collapse")
+    if collapse is not None:
+        if sort:
+            raise DSLError(
+                "collapse with sort-by-field is not supported; collapse "
+                "ranks groups by their best score (the ES default order)"
+            )
+        out = _apply_collapse(searcher, out, collapse)
     if sort:
         # sort-by-stored-field (doc-values sort, track_scores=false):
         # hit set -> field join -> TakeOrdered; deterministic doc_id

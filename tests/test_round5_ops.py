@@ -680,3 +680,100 @@ def test_dsl_rank_rrf_hybrid(spark, searcher):
         for r in search(searcher, body, embeddings=emb).collect()
     ]
     assert got == top
+
+
+# --- boosting query ---------------------------------------------------------
+
+
+def test_dsl_boosting_demotes_not_excludes(searcher):
+    """Docs matching the negative clause stay in the hit set with their
+    score × negative_boost; everyone else keeps the plain match score."""
+    base = {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("spark query").collect()
+    }
+    neg = {r.doc_id for r in searcher.matching_doc_ids("data").collect()}
+    body = {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "spark query"}},
+            "negative": {"term": {"text": "data"}},
+            "negative_boost": 0.25,
+        }},
+        "size": 500,
+    }
+    got = {r.doc_id: r.score for r in search(searcher, body).collect()}
+    assert set(got) == set(base)
+    demoted = set(base) & neg
+    assert demoted, "fixture must contain docs matching both clauses"
+    for d, s in base.items():
+        want = s * 0.25 if d in neg else s
+        assert got[d] == pytest.approx(round(want, 4), abs=1e-4)
+
+
+def test_dsl_boosting_default_negative_boost(searcher):
+    """negative_boost defaults to 0.5 (the ES default is mandatory in the
+    API but 0.5 is this engine's documented default)."""
+    body = {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "spark"}},
+            "negative": {"range": {"dl": {"gte": 40}}},
+        }},
+        "size": 500,
+    }
+    base = {
+        r.doc_id: r.score for r in searcher.relational_scores("spark").collect()
+    }
+    got = {r.doc_id: r.score for r in search(searcher, body).collect()}
+    assert set(got) == set(base)
+    assert any(
+        got[d] == pytest.approx(round(s * 0.5, 4), abs=1e-4)
+        for d, s in base.items() if got[d] != pytest.approx(s, abs=1e-4)
+    )
+
+
+# --- field collapse ---------------------------------------------------------
+
+
+def test_dsl_collapse_one_hit_per_group(searcher, docmap):
+    """collapse.field=lang: one hit per distinct lang, the group's
+    best-scoring doc (score desc, doc_id asc tie-break), ranked by that
+    score."""
+    scores = {
+        r.doc_id: r.score
+        for r in searcher.relational_scores("spark query join").collect()
+    }
+    lang = {r.doc_id: r.lang for r in docmap.collect()}
+    groups: dict = {}
+    for d, s in scores.items():
+        g = lang[d]
+        cur = groups.get(g)
+        # engine tie-break: max_by (score, -doc_id) — highest score, then
+        # lowest doc_id
+        if cur is None or (s, -d) > (scores[cur], -cur):
+            groups[g] = d
+    body = {
+        "query": {"match": {"text": "spark query join"}},
+        "collapse": {"field": "lang"},
+        "size": 100,
+    }
+    got = [(r.lang, r.doc_id, r.score) for r in search(searcher, body).collect()]
+    assert len(got) == len(groups)
+    assert {g for g, _, _ in got} == set(groups)
+    for g, d, s in got:
+        assert d == groups[g]
+        assert s == pytest.approx(round(scores[d], 4), abs=1e-4)
+    # ranked by the representative score desc
+    vals = [s for _, _, s in got]
+    assert vals == sorted(vals, reverse=True) or len(set(vals)) < len(vals)
+
+
+def test_dsl_collapse_rejects_sort(searcher):
+    from kafka_es_spark.operators.searchapi import DSLError
+
+    body = {
+        "query": {"match": {"text": "spark"}},
+        "collapse": {"field": "lang"},
+        "sort": [{"dl": "asc"}],
+    }
+    with pytest.raises(DSLError, match="collapse"):
+        search(searcher, body)
