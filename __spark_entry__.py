@@ -3114,6 +3114,11 @@ ESQL8 = (
     "| STATS n = count(*), lang_avg = max(lang_avg) BY lang "
     "| SORT lang ASC"
 )
+ESQL9 = (
+    "FROM documents "
+    "| FORK ( WHERE n_chars > 400 | STATS n = count(*) BY lang ) "
+    "       ( STATS n = count(*), total_chars = sum(n_chars) BY source )"
+)
 
 
 def _esql_tables(spark, sf_dir):
@@ -3182,6 +3187,17 @@ def _q_esql_bucket(spark, sf_dir):
     from kafka_es_spark.esql import esql_query
 
     return esql_query(spark, ESQL7, _esql_tables(spark, sf_dir))
+
+
+def _q_esql_fork(spark, sf_dir):
+    """ES|QL pipeline 9: FORK runs two branch sub-plans over one input
+    (a filtered per-lang count beside a per-source rollup), unioned by
+    name with the _fork discriminator — plan-level fan-out, one shared
+    scan, missing columns null-filled."""
+    from kafka_es_spark.esql import esql_query
+
+    out = esql_query(spark, ESQL9, _esql_tables(spark, sf_dir))
+    return out.withColumn("total_chars", F.col("total_chars").cast("long"))
 
 
 def _q_esql_inlinestats(spark, sf_dir):
@@ -3918,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql6_enrich": _q_esql_enrich,
         "esql7_bucket": _q_esql_bucket,
         "esql8_inlinestats": _q_esql_inlinestats,
+        "esql9_fork": _q_esql_fork,
         "ev23_downsample": _q_downsample,
         "ev24_moving_fn": _q_moving_fn,
         "ev25_change_point": _q_change_point,
@@ -7572,6 +7589,15 @@ f AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n, max(lang_avg) AS lang_avg, lang
 FROM f GROUP BY lang ORDER BY lang
+""",
+        "esql9_fork": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n, 'fork1' AS _fork,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 400 GROUP BY lang
+UNION ALL
+SELECT CAST(NULL AS VARCHAR) AS lang, CAST(count(*) AS BIGINT) AS n,
+       'fork2' AS _fork, source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
 """,
         "ev23_downsample": """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,

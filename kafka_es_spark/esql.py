@@ -98,7 +98,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
     | (?P<bq>`[^`]+`)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>==|!=|<=|>=|->|\|\||&&|[|(),=<>+\-*/%])
+    | (?P<op>==|!=|<=|>=|->|\|\||&&|[|(),=<>+\-*/%\[\]])
     """,
     re.X,
 )
@@ -109,7 +109,7 @@ _KEYWORDS = {
     "last", "and", "or", "not", "in", "like", "rlike", "is", "null",
     "true", "false", "mv_expand", "lookup", "join", "on",
     "dissect", "grok", "sample", "enrich", "with",
-    "inlinestats", "change_point",
+    "inlinestats", "change_point", "fork",
 }
 
 
@@ -390,11 +390,20 @@ _SCALAR_FNS: dict = {
     "mv_append": (2, 2, F.array_append),
     "mv_zip": (
         2, 3,
-        # ES|QL mv_zip joins element-wise with a delimiter (default ",")
+        # ES|QL mv_zip joins element-wise with a delimiter (default ",");
+        # unequal lengths: the unpaired tail values appear ALONE (no
+        # dangling delimiter) — zip_with null-pads the shorter side, so
+        # guard both ends before concatenating
         lambda a, b, d=None: F.zip_with(
             a, b,
-            lambda x, y: F.concat_ws(
-                "", x, d if d is not None else F.lit(","), y
+            # mv_zip always yields keyword — cast the lone-tail branches
+            # so when/otherwise type unification stays string-typed
+            lambda x, y: F.when(x.isNull(), y.cast("string"))
+            .when(y.isNull(), x.cast("string"))
+            .otherwise(
+                F.concat_ws(
+                    "", x, d if d is not None else F.lit(","), y
+                )
             ),
         ),
     ),
@@ -448,6 +457,8 @@ def _compile_expr(node) -> Column:
         return F.lit(node[1])
     if kind == "col":
         return F.col("`" + node[1] + "`") if "." in node[1] else F.col(node[1])
+    if kind == "arr":
+        return F.array(*[_compile_expr(it) for it in node[1]])
     if kind == "neg":
         return -_compile_expr(node[1])
     if kind == "not":
@@ -785,6 +796,26 @@ class _Parser:
                         continue
                     break
             return _Cmd("enrich", {"policy": policy, "on": on, "with": withs})
+        if word == "fork":
+            # FORK ( cmd | cmd | ... ) ( ... ) — each parenthesised branch
+            # is a sub-pipeline over the SAME input; outputs union by name
+            # with a _fork discriminator (ES|QL 8.16 semantics, max 8)
+            branches: list[list[_Cmd]] = []
+            while self.peek().kind == "op" and self.peek().value == "(":
+                self.next()
+                branch = [self.parse_command()]
+                while self.peek().kind == "op" and self.peek().value == "|":
+                    self.next()
+                    branch.append(self.parse_command())
+                self.eat_op(")")
+                branches.append(branch)
+            if len(branches) < 2:
+                raise ESQLError(
+                    f"ES|QL: FORK needs at least two (...) branches at {t.pos}"
+                )
+            if len(branches) > 8:
+                raise ESQLError("ES|QL: FORK supports at most 8 branches")
+            return _Cmd("fork", {"branches": branches})
         raise ESQLError(f"ES|QL: unknown command {word.upper()} at {t.pos}")
 
     # -- pieces -------------------------------------------------------------
@@ -976,6 +1007,19 @@ class _Parser:
         if t.kind == "op" and t.value == "*":
             self.next()
             return ("star",)
+        if t.kind == "op" and t.value == "[":
+            # ES|QL multivalue literal: [expr, expr, ...]
+            self.next()
+            items = []
+            if not (self.peek().kind == "op" and self.peek().value == "]"):
+                while True:
+                    items.append(self.parse_expr())
+                    if self.peek().kind == "op" and self.peek().value == ",":
+                        self.next()
+                        continue
+                    break
+            self.eat_op("]")
+            return ("arr", items)
         if t.kind in ("num", "str"):
             return self.parse_literal()
         if t.kind == "kw" and t.value.lower() in ("true", "false", "null"):
@@ -1085,6 +1129,22 @@ def _expand_patterns(patterns: list[str], columns: list[str], cmd: str) -> list[
 
 
 def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
+    if cmd.name == "fork":
+        # Each branch is an independent sub-plan over the same input —
+        # Catalyst sees one DAG with a shared scan, so the input is read
+        # once per branch at worst and the fan-out is plan-level, never
+        # materialized. Outputs union BY NAME (missing columns null) with
+        # the _fork discriminator, exactly ES|QL's fork1..forkN labels.
+        outs = []
+        for i, branch in enumerate(cmd.payload["branches"], start=1):
+            b = df
+            for c in branch:
+                b = _apply(b, c, resolve)
+            outs.append(b.withColumn("_fork", F.lit(f"fork{i}")))
+        out = outs[0]
+        for b in outs[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        return out
     if cmd.name == "where":
         return df.filter(_compile_expr(cmd.payload["expr"]))
     if cmd.name == "eval":

@@ -793,10 +793,14 @@ def _hybrid_rrf(
         lex = lex.filter(
             ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
         )
+    # TakeOrdered the big hit relation down to the window FIRST, then
+    # rank the ≤window-row result — a row_number window straight over
+    # the full hit set would drag every hit through one partition
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     lex_rank = (
-        lex.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= window)
+        lex.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(window)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "rank")
     )
 

@@ -2968,11 +2968,13 @@ class Searcher:
                 .filter(F.col("_rn") <= int(max_docs_per_value))
                 .drop("_rn")
             )
-        ws = Window.orderBy(F.col("score").desc(), F.col("url").asc())
-        sample = (
-            j.withColumn("_rk", F.row_number().over(ws))
-            .filter(F.col("_rk") <= int(shard_size))
-        )
+        # top shard_size of the de-biased candidates: TakeOrdered, not a
+        # global row_number window — with a high-cardinality dedup field
+        # the per-value cap still leaves ~n_values rows, and a single
+        # unpartitioned WindowExec would pull them all through one task
+        sample = j.orderBy(
+            F.col("score").desc(), F.col("url").asc()
+        ).limit(int(shard_size))
         x = F.col(field).cast("double")
         return sample.agg(
             F.count(F.lit(1)).cast("long").alias("doc_count"),

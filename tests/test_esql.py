@@ -530,3 +530,61 @@ def test_date_diff_bad_unit_raises(spark):
             "ROW s = \"2024-01-01\" | EVAL d = date_diff(\"months\", "
             "to_datetime(s), to_datetime(s))",
         )
+
+
+# --- FORK -------------------------------------------------------------------
+
+
+def test_fork_two_branches_union_by_name(spark, docs):
+    """FORK runs each parenthesised branch over the same input; outputs
+    union by name (missing columns null) with _fork discriminators."""
+    out = esql_query(
+        spark,
+        "FROM docs "
+        "| FORK ( WHERE n_chars > 8 | STATS n = count(*) BY lang ) "
+        "       ( STATS n = count(*), chars = sum(n_chars) BY source )",
+        {"docs": docs},
+    )
+    rows = {
+        (r["_fork"], r["lang"], r["source"]): (r["n"], r["chars"])
+        for r in out.collect()
+    }
+    # branch 1: n_chars > 8 → docs 0 (en), 1 (en), 3 (fr)
+    assert rows[("fork1", "en", None)] == (2, None)
+    assert rows[("fork1", "fr", None)] == (1, None)
+    # branch 2: all docs by source
+    assert rows[("fork2", None, "web")] == (3, 57)
+    assert rows[("fork2", None, "book")] == (2, 29)
+    assert len(rows) == 4
+
+
+def test_fork_single_branch_rejected(spark, docs):
+    with pytest.raises(ESQLError, match="two"):
+        esql_query(
+            spark, "FROM docs | FORK ( WHERE n_chars > 8 )", {"docs": docs}
+        )
+
+
+def test_fork_branch_pipelines_compose(spark, docs):
+    """Commands after FORK apply to the fused relation (e.g. a WHERE on
+    _fork keeps one branch)."""
+    out = esql_query(
+        spark,
+        "FROM docs "
+        '| FORK ( WHERE lang == "en" | STATS n = count(*) ) '
+        "       ( WHERE n_chars < 8 | STATS n = count(*) ) "
+        '| WHERE _fork == "fork2"',
+        {"docs": docs},
+    )
+    assert [(r["n"], r["_fork"]) for r in out.collect()] == [(2, "fork2")]
+
+
+def test_mv_zip_unpaired_tail_values_stand_alone(spark):
+    """mv_zip with unequal lengths: the unpaired tail appears alone, no
+    dangling delimiter (ES|QL semantics)."""
+    out = esql_query(
+        spark,
+        'ROW a = 1 | EVAL z = mv_zip(["x", "y", "q"], ["1"], "-") | KEEP z',
+        {},
+    )
+    assert out.collect()[0]["z"] == ["x-1", "y", "q"]
