@@ -1888,6 +1888,23 @@ def _q_span_not(spark, sf_dir):
     return _topk_by_corpus_id(out)
 
 
+SO_TERMS = ("data", "query")
+
+
+def _q_span_or(spark, sf_dir):
+    """ES span_or over two span_terms: Lucene scores the union with ONE
+    combined SimScorer — span freq tf_a+tf_b, idf summed over clauses —
+    not the per-term BooleanQuery OR (kafka_es_spark.operators.wand
+    Searcher.span_or_topk)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    out = Searcher(spark, idx).span_or_topk(
+        list(SO_TERMS), k=TOPK * 3, with_url=True
+    )
+    return _topk_by_corpus_id(out)
+
+
 NESTED_PRED = "x.kind = 'a' AND x.size >= 70"
 
 
@@ -3841,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_span_first": _q_span_first,
         "x8_combined_fields": _q_combined_fields,
         "x8_span_not": _q_span_not,
+        "x8_span_or": _q_span_or,
         "x13_geo_distance": _q_geo_distance,
         "x13_geotile_grid": _q_geotile_grid,
         "x8_agg_cardinality_hll": _q_cardinality_hll,
@@ -5460,6 +5478,33 @@ s AS (
            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
            AS score
   FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfq
+)
+SELECT doc_id, round(score, 4) AS score FROM s
+ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}
+""",
+        # span_or: union span freq tf_a+tf_b, idf summed over clauses
+        "x8_span_or": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS arr FROM documents),
+p AS (SELECT doc_id, unnest(arr) AS term FROM t),
+dl AS (SELECT doc_id, len(arr) AS dl FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM p
+  WHERE term IN ({", ".join(f"'{t}'" for t in SO_TERMS)}) GROUP BY 1
+),
+w AS (
+  SELECT sum(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats
+),
+m AS (
+  SELECT doc_id, count(*) AS tf FROM p
+  WHERE term IN ({", ".join(f"'{t}'" for t in SO_TERMS)}) GROUP BY 1
+),
+s AS (
+  SELECT m.doc_id,
+         w.w * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN w
 )
 SELECT doc_id, round(score, 4) AS score FROM s
 ORDER BY round(score, 4) DESC, doc_id LIMIT {TOPK}

@@ -2900,6 +2900,80 @@ class Searcher:
             .limit(int(k))
         )
 
+    def span_or_topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        round_to: int | None = 4,
+        with_url: bool = False,
+    ) -> DataFrame:
+        """ES span_or query over span_term clauses: a doc matches when ANY
+        clause's term occurs, and Lucene's SpanOrQuery scores it with ONE
+        combined SimScorer — sloppy freq = total matching spans in the doc
+        (for single-term clauses exactly tf_a + tf_b + …) and idf = the SUM
+        of the clause terms' idfs (SpanWeight.buildSimWeight collects every
+        clause's TermStatistics into one Similarity.scorer). That is NOT
+        the BooleanQuery OR score (which saturates each term's tf
+        separately); a doc with 5×'data' + 5×'query' scores like 10
+        occurrences of one pseudo-term. Terms absent from the index
+        contribute no idf (their TermStates carry docFreq 0).
+
+        Plan: posting segments of the clause terms only (bucket-pruned
+        scan), decode to (doc_id, term, tf) rows, ONE hash aggregation to
+        tf totals, dl joined from the same segments' range_dls, TakeOrdered
+        for the k cut — cost O(postings of the clause terms), no corpus
+        scan, no positions relation needed (single-term spans never
+        overlap, so span freq is exactly the postings tf sum)."""
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        spark = self.spark
+        toks: list[str] = []
+        for t in terms:
+            a = tokenize_py(t)
+            if len(a) != 1:
+                raise ValueError(
+                    f"span_or clauses must each analyze to one term (got "
+                    f"{t!r} -> {a})"
+                )
+            toks.append(a[0])
+        toks = sorted(set(toks))
+        empty = (
+            "doc_id long, url string, score double" if with_url
+            else "doc_id long, score double"
+        )
+        if len(toks) < 1 or self.n_docs == 0 or self.avgdl == 0:
+            return spark.createDataFrame([], empty)
+        ts = self.term_stats.filter(F.col("term").isin(toks)).collect()
+        w = sum(idf(self.n_docs, int(r["df"])) for r in ts)
+        if not ts:
+            return spark.createDataFrame([], empty)
+        segs = self._query_segs(toks)
+        out = (
+            self._postings_rows(segs)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("tf"))
+            .join(self._dl_rows(segs), "doc_id")
+            .withColumn("w", F.lit(float(w)))
+        )
+        if self.persistent_excluded:
+            out = out.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        score = self._bm25_contrib_col()
+        if round_to is not None:
+            score = F.round(score, round_to)
+        cols = ["doc_id", "url"] if with_url else ["doc_id"]
+        if with_url:
+            dm = spark.read.parquet(
+                os.path.join(self.index_dir, "docmap")
+            ).select("doc_id", "url")
+            out = out.join(dm, "doc_id")
+        return (
+            out.select(*cols, score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k))
+        )
+
     def agg_sampler(
         self,
         query: str,

@@ -777,3 +777,55 @@ def test_dsl_collapse_rejects_sort(searcher):
     }
     with pytest.raises(DSLError, match="collapse"):
         search(searcher, body)
+
+
+# --- span_or: one combined SimScorer over the clause union ----------------
+
+
+def test_span_or_matches_python_recompute(spark, searcher, pages):
+    """span_or('data','query') scores every union doc with summed idf and
+    tf_a+tf_b span freq — recomputed in python from the raw pages."""
+    import math
+
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    rows = pages.select("url", "text").collect()
+    toks = {r["url"]: tokenize_py(r["text"]) for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = ["data", "query"]
+    w = 0.0
+    for t in terms:
+        df = sum(1 for tk in toks.values() if t in tk)
+        if df:
+            w += math.log(1 + (n - df + 0.5) / (df + 0.5))
+    exp = {}
+    for url, tk in toks.items():
+        tf = sum(tk.count(t) for t in terms)
+        if tf:
+            dl = len(tk)
+            exp[url] = round(
+                w * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4
+            )
+    got = {
+        r["url"]: r["score"]
+        for r in searcher.span_or_topk(terms, k=len(exp), with_url=True)
+        .collect()
+    }
+    top = dict(sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)])
+    assert got and got == {u: top[u] for u in got}
+
+
+def test_span_or_differs_from_boolean_or(searcher):
+    """The union SimScorer saturates tf jointly — a doc heavy in both
+    terms must NOT score like the per-term BooleanQuery OR sum."""
+    so = {r.doc_id: r.score for r in
+          searcher.span_or_topk(["data", "query"], k=5).collect()}
+    bo = {r.doc_id: r.score for r in
+          searcher.topk("data query", k=5).collect()}
+    assert so and bo and so != bo
+
+
+def test_span_or_rejects_multi_token_clause(searcher):
+    with pytest.raises(ValueError, match="one term"):
+        searcher.span_or_topk(["data query"])
