@@ -1940,6 +1940,47 @@ def _q_nested(spark, sf_dir):
     )
 
 
+def _q_children_agg(spark, sf_dir):
+    """ES children aggregation: from the AND-mode parent hit set, step
+    down to the join-field children and bucket them by event_type —
+    doc_count counts CHILD docs (the agg switches document context)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    ch = _events_as_children(spark, sf_dir, s.n_docs)
+    return s.children_agg(
+        " ".join(QUERY_TERMS), ch, "event_type", size=TOPK, mode="and"
+    )
+
+
+def _q_parent_agg(spark, sf_dir):
+    """ES parent aggregation: from the child-side filter, step up to the
+    distinct parents owning >= 1 matching child, bucketed by the parent's
+    lang — each parent counts once however many children hit."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    ch = _events_as_children(spark, sf_dir, s.n_docs)
+    return s.parent_agg(
+        ch, HC_FILTER, _docs_url_fields(spark, sf_dir), "lang", size=TOPK
+    )
+
+
+def _q_reverse_nested(spark, sf_dir):
+    """ES nested agg + terms + reverse_nested: hit docs' nested items
+    bucketed by kind, reporting the element count AND the distinct
+    root-doc count per bucket (the reverse_nested jump)."""
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    return Searcher(spark, idx, cache=False).nested_terms_reverse_nested(
+        " ".join(QUERY_TERMS), _nested_fields(spark, sf_dir), "items",
+        "x.kind", size=TOPK,
+    )
+
+
 CS_PREFIX, CS_SIZE, CS_FUZZ = "da", 5, 1
 
 
@@ -3859,6 +3900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_combined_fields": _q_combined_fields,
         "x8_span_not": _q_span_not,
         "x8_span_or": _q_span_or,
+        "x12_children_agg": _q_children_agg,
+        "x12_parent_agg": _q_parent_agg,
+        "x12_reverse_nested": _q_reverse_nested,
         "x13_geo_distance": _q_geo_distance,
         "x13_geotile_grid": _q_geotile_grid,
         "x8_agg_cardinality_hll": _q_cardinality_hll,
@@ -6547,6 +6591,45 @@ n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT event_id, user_id % (SELECT n_docs FROM n) AS parent_doc_id
 FROM events
 WHERE user_id % (SELECT n_docs FROM n) IN (SELECT doc_id FROM hits)
+""",
+        # children agg: AND-mode parents → their children by event_type
+        "x12_children_agg": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (
+  SELECT doc_id FROM toks WHERE term IN ({_QT})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+kids AS (
+  SELECT event_type FROM events
+  WHERE user_id % (SELECT n_docs FROM n) IN (SELECT doc_id FROM hits)
+)
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS doc_count
+FROM kids GROUP BY 1 ORDER BY doc_count DESC, key LIMIT {TOPK}
+""",
+        # parent agg: distinct parents of matching children, by lang
+        "x12_parent_agg": f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+  SELECT DISTINCT user_id % (SELECT n_docs FROM n) AS doc_id
+  FROM events WHERE {HC_FILTER}
+)
+SELECT d.lang AS key, CAST(count(*) AS BIGINT) AS doc_count
+FROM p JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY doc_count DESC, key LIMIT {TOPK}
+""",
+        # reverse_nested: element buckets + distinct root docs per bucket
+        "x12_reverse_nested": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+items AS (
+  SELECT h.doc_id,
+         ['a','b','c'][CAST((h.doc_id + i.i) % 3 AS INT) + 1] AS key
+  FROM hits h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+)
+SELECT key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS parent_count
+FROM items GROUP BY 1 ORDER BY doc_count DESC, key LIMIT {TOPK}
 """,
         # mixture plan: per-source token totals × weights × budget
         "tr3_mix_plan": f"""

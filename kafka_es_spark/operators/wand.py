@@ -3361,6 +3361,45 @@ class Searcher:
             F.col("score").desc(), F.col("url").asc()
         ).limit(int(k))
 
+    def nested_terms_reverse_nested(
+        self,
+        query: str,
+        field_values: DataFrame,
+        nested_col: str,
+        key_expr: str,
+        size: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``nested`` agg + ``terms`` + ``reverse_nested``: bucket the
+        hit docs' nested elements by ``key_expr`` (SQL over the element
+        bound as ``x``), reporting per bucket BOTH document contexts —
+        ``doc_count`` = nested elements in the bucket (the nested agg's
+        context) and ``parent_count`` = distinct ROOT docs owning >= 1
+        such element (the reverse_nested jump back up). Buckets rank
+        element count desc then key asc, top ``size``.
+
+        Plan: the hit set joins the nested relation, ONE in-row explode
+        (Generate — no shuffle), then one hash aggregation computing
+        count + approx-free count(DISTINCT url) together; the distinct
+        rides the same aggregate, bounded by #buckets × #parents."""
+        hits = self.matching_doc_ids(query, mode=mode)
+        dm = self.spark.read.parquet(os.path.join(self.index_dir, "docmap"))
+        base = (
+            hits.join(dm.select("doc_id", "url"), "doc_id")
+            .join(field_values, "url")
+            .select("url", F.explode(nested_col).alias("x"))
+            .select("url", F.expr(key_expr).alias("key"))
+        )
+        return (
+            base.groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count"),
+                F.countDistinct("url").cast("long").alias("parent_count"),
+            )
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+        )
+
     def geo_distance(
         self,
         query: str,
@@ -3929,6 +3968,75 @@ class Searcher:
             F.col("url").alias(parent_col)
         )
         return children.join(urls, parent_col, "left_semi")
+
+    def children_agg(
+        self,
+        parent_query: str,
+        children: DataFrame,
+        child_field: str,
+        parent_col: str = "parent_url",
+        size: int = 10,
+        mode: str = "or",
+    ) -> DataFrame:
+        """ES ``children`` aggregation (join field): inside a parent-side
+        query, step DOWN to the matching parents' children and bucket
+        them by ``child_field`` — doc_count counts CHILD docs (the agg
+        switches document context; ES children agg semantics). Buckets
+        rank count desc then key asc (ES terms order), top ``size``.
+
+        Plan: parent hit set → docmap urls (bounded by #hits) → LEFT
+        SEMI into the child relation on the routing key → one hash
+        aggregation over ≤ #distinct child_field values. The child side
+        shuffles once, for the count agg."""
+        kids = self.has_parent_children(
+            parent_query, children, parent_col=parent_col, mode=mode
+        )
+        return (
+            kids.groupBy(F.col(child_field).alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+        )
+
+    def parent_agg(
+        self,
+        children: DataFrame,
+        child_filter: str,
+        field_values: DataFrame,
+        field: str,
+        parent_col: str = "parent_url",
+        size: int = 10,
+    ) -> DataFrame:
+        """ES ``parent`` aggregation (join field): from a child-side
+        filter, step UP to the distinct live parents owning >= 1 matching
+        child and bucket them by a parent field — doc_count counts
+        PARENT docs, each parent once no matter how many children hit
+        (the dedup is the whole point of the context switch).
+        ``field_values`` is a (url, field) parent relation.
+
+        Plan: child predicate pushes into the child scan → distinct
+        routing keys (bounded by #parents with matches) → docmap join
+        drops tombstoned parents → field join → one small hash agg."""
+        parents = (
+            children.filter(child_filter)
+            .select(F.col(parent_col).alias("url"))
+            .distinct()
+        )
+        dm = self.spark.read.parquet(
+            os.path.join(self.index_dir, "docmap")
+        ).select("doc_id", "url")
+        live = parents.join(dm, "url")
+        if self.persistent_excluded:
+            live = live.filter(
+                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+            )
+        return (
+            live.join(field_values.select("url", field), "url")
+            .groupBy(F.col(field).alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+        )
 
     def collapse_topk(
         self,

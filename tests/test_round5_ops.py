@@ -829,3 +829,76 @@ def test_span_or_differs_from_boolean_or(searcher):
 def test_span_or_rejects_multi_token_clause(searcher):
     with pytest.raises(ValueError, match="one term"):
         searcher.span_or_topk(["data query"])
+
+
+# --- join-field and nested AGGREGATIONS (children / parent / reverse) ------
+
+
+@pytest.fixture(scope="module")
+def children(spark, docmap):
+    """Synthesized join-field children: 3 rows per parent url, kind
+    cycling x/y by row, val = doc_id*10 + i."""
+    return (
+        docmap.select("doc_id", "url")
+        .selectExpr(
+            "url AS parent_url",
+            "explode(transform(sequence(0, 2), i -> named_struct("
+            "'kind', IF((doc_id + i) % 2 = 0, 'x', 'y'),"
+            "'val', doc_id * 10 + i))) AS c",
+        )
+        .select("parent_url", "c.kind", "c.val")
+        .cache()
+    )
+
+
+def test_children_agg_counts_child_docs(searcher, docmap, children):
+    """children agg doc_count = CHILD rows under matching parents — every
+    parent has exactly 3 children, so totals are 3 × parent hits split
+    by the kind cycle."""
+    out = {
+        r.key: r.doc_count
+        for r in searcher.children_agg("data", children, "kind").collect()
+    }
+    n_parents = searcher.matching_doc_ids("data").count()
+    assert sum(out.values()) == 3 * n_parents
+    assert set(out) == {"x", "y"} and min(out.values()) > 0
+
+
+def test_parent_agg_counts_each_parent_once(spark, searcher, docmap, children):
+    """parent agg doc_count = DISTINCT parents with >= 1 matching child;
+    a parent with two matching children still counts once."""
+    fv = docmap.selectExpr(
+        "url", "IF(doc_id % 2 = 0, 'even', 'odd') AS par"
+    )
+    out = {
+        r.key: r.doc_count
+        for r in searcher.parent_agg(
+            children, "kind = 'x'", fv, "par"
+        ).collect()
+    }
+    # every parent owns >= 1 'x' child (3 consecutive i hit both parities)
+    want = {
+        r.par: r.cnt
+        for r in fv.groupBy("par").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert out == want
+
+
+def test_reverse_nested_parent_vs_element_counts(searcher, docmap):
+    """nested terms + reverse_nested: element count can exceed the
+    distinct-parent count, parent_count never exceeds doc_count."""
+    fv = docmap.selectExpr(
+        "url",
+        "transform(sequence(0, 3), i -> named_struct("
+        "'kind', element_at(array('a','b','c'), "
+        "CAST((doc_id + i) % 3 AS INT) + 1), 'size', i)) AS items",
+    )
+    rows = searcher.nested_terms_reverse_nested(
+        "data", fv, "items", "x.kind"
+    ).collect()
+    n_hits = searcher.matching_doc_ids("data").count()
+    assert {r.key for r in rows} == {"a", "b", "c"}
+    for r in rows:
+        assert r.parent_count == n_hits  # 4 elems over mod-3 → all kinds
+        assert r.doc_count >= r.parent_count
+    assert sum(r.doc_count for r in rows) == 4 * n_hits
