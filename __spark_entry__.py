@@ -3706,6 +3706,136 @@ def _q_dsl_collapse(spark, sf_dir):
     return out.select("lang", F.col("score").alias("best_score"))
 
 
+def _q_dsl_source(spark, sf_dir):
+    """ES _source filtering in the request body: ``"_source": ["lang"]``
+    fetches the named STORED docmap column (the doc-values tier) onto
+    each hit — a k-row broadcast-side join, never a corpus scan."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "_source": ["lang"],
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+            .alias("doc_id"),
+            "score", "lang",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _q_dsl_track_total(spark, sf_dir):
+    """ES track_total_hits: every returned hit row carries the FULL
+    matching-doc count (pre-paging), counted in-plan (one agg over the
+    hit set, broadcast onto the k rows) — never collected driver-side."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "track_total_hits": True,
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+            .alias("doc_id"),
+            "score", "total_hits",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
+    )
+
+
+def _q_dsl_search_after(spark, sf_dir):
+    """Body-level search_after: page 1's last (rounded score, doc_id) is
+    the cursor, page 2 = the next TOPK strictly after it. Equals the
+    oracle's OFFSET page under the no-boundary-tie condition documented
+    at _q_search_after (same query, same corpus)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    s = Searcher(spark, idx, cache=False)
+    body = {"query": {"match": {"text": " ".join(QUERY_TERMS)}}}
+    p1 = search(s, body, k=TOPK).collect()
+    if len(p1) < TOPK:
+        return search(s, body, k=TOPK, with_url=True)
+    last = p1[-1]
+    out = search(
+        s, {**body, "search_after": [last["score"], last["doc_id"]]},
+        k=TOPK, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_terms_subagg(spark, sf_dir):
+    """Body ``aggs`` with nested metric sub-aggs: terms buckets over the
+    stored lang field, each bucket carrying avg/sum of the stored dl —
+    all computed in ONE hash aggregation over the FULL hit set (never
+    the size-capped page; sub-aggs add expressions, not passes)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "avg_dl": {"avg": {"field": "dl"}},
+                "sum_dl": {"sum": {"field": "dl"}},
+            },
+        }},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_highlight(spark, sf_dir):
+    """Body ``highlight`` section: fragment_size-bounded snippet centered
+    on the first occurrence of any query text term, computed over the
+    PAGE rows only (instr probes on k rows, never the corpus)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "highlight": {"fields": {"text": {"fragment_size": 2 * HL_WINDOW}}},
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True, docs_text=dt,
+    )
+    return (
+        out.select(
+            F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+            .alias("doc_id"),
+            "score", "snippet",
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(TOPK)
+    )
+
+
 GL_SIZE = 10
 
 
@@ -4003,6 +4133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts9_pii_scrub": _q_pii_scrub,
         "ts10_url_canonicalize": _q_url_canonicalize,
         "sp3_blocklist_filter": _q_blocklist_filter,
+        "x15_source_fields": _q_dsl_source,
+        "x15_track_total": _q_dsl_track_total,
+        "x15_search_after": _q_dsl_search_after,
+        "x15_highlight": _q_dsl_highlight,
+        "x15_terms_subagg": _q_dsl_terms_subagg,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -4892,6 +5027,59 @@ s AS (
 SELECT d.lang, round(max(s.score), 4) AS best_score
 FROM s JOIN documents d USING (doc_id)
 GROUP BY d.lang
+""",
+        # _source field fetch: the top-k page joined with its stored lang
+        "x15_source_fields": f"""
+WITH page AS ({_BM25_SQL})
+SELECT p.doc_id, p.score, d.lang
+FROM page p JOIN documents d USING (doc_id)
+""",
+        # track_total_hits: every page row carries the FULL hit-set size
+        # (docs matching >= 1 query term, pre-paging)
+        "x15_track_total": f"""
+WITH page AS ({_BM25_SQL}),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tot AS (SELECT count(DISTINCT doc_id) AS total_hits FROM toks WHERE term IN ({_QT}))
+SELECT p.doc_id, p.score, t.total_hits FROM page p CROSS JOIN tot t
+""",
+        # body-level search_after page 2 == OFFSET page (no rounded-score
+        # tie spans the boundary for this query at driver scales — same
+        # condition as x8_search_after)
+        "x15_search_after": _bm25_sql("documents", offset=TOPK),
+        # body highlight: identical snippet contract to x8_highlight
+        # (fragment_size = 2*window, first-occurrence least-instr probe)
+        "x15_highlight": f"""
+WITH page AS ({_BM25_SQL}),
+j AS (SELECT p.doc_id, p.score, d.text FROM page p JOIN documents d USING (doc_id)),
+m AS (
+  SELECT doc_id, score, text,
+         least({", ".join(
+             f"CASE WHEN instr(lower(text), '{t}') > 0 "
+             f"THEN instr(lower(text), '{t}') ELSE 2000000000 END"
+             for t in sorted(QUERY_TERMS)
+         )}) AS first
+  FROM j
+)
+SELECT doc_id, score,
+       CASE WHEN first < 2000000000
+            THEN substr(text, greatest(1, first - {HL_WINDOW}), {2 * HL_WINDOW})
+            ELSE substr(text, 1, {2 * HL_WINDOW}) END AS snippet
+FROM m
+""",
+        # terms buckets + metric sub-aggs over the OR hit set: lang
+        # buckets with avg/sum of the indexed doc length (dl = token
+        # count, the docmap's stored value)
+        "x15_terms_subagg": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)
+SELECT d.lang AS value, count(*) AS doc_count,
+       round(avg(dl.dl), 4) AS avg_dl,
+       CAST(sum(dl.dl) AS BIGINT) AS sum_dl
+FROM hits JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, value ASC
+LIMIT 10
 """,
         # geo_line: per-user ts-ordered LineString, first GL_SIZE points
         "x13_geo_line": f"""

@@ -638,6 +638,118 @@ def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
     return _Compiled(base, None)
 
 
+def _collect_match_terms(clause) -> list[str]:
+    """Analyzed terms of every full-text leaf in a query tree — what the
+    highlighter marks up (ES highlights the query's text terms; pure
+    filter-context leaves like range/ids/exists contribute nothing)."""
+    from kafka_es_spark.functions.tokenize import tokenize_py
+
+    out: list[str] = []
+    if isinstance(clause, dict):
+        for kind, spec in clause.items():
+            if kind in (
+                "match", "match_phrase", "match_phrase_prefix",
+                "match_bool_prefix",
+            ):
+                v = next(iter(spec.values()))
+                q = v.get("query") if isinstance(v, dict) else v
+                out.extend(tokenize_py(str(q)))
+            elif kind in ("multi_match", "combined_fields", "query_string",
+                          "simple_query_string"):
+                out.extend(tokenize_py(str(spec.get("query", ""))))
+            elif kind == "term":
+                fld, v = next(iter(spec.items()))
+                val = v.get("value") if isinstance(v, dict) else v
+                if isinstance(val, str):
+                    out.extend(tokenize_py(val))
+            else:
+                out.extend(_collect_match_terms(spec))
+    elif isinstance(clause, list):
+        for c in clause:
+            out.extend(_collect_match_terms(c))
+    return out
+
+
+def _apply_highlight(searcher, out: DataFrame, body: dict,
+                     docs_text: DataFrame) -> DataFrame:
+    """The body's ``highlight`` section: a snippet column centered on the
+    first occurrence of any query text term, over the PAGE rows only
+    (the join and the instr probes run on k rows, never the corpus).
+    Mirrors Searcher.highlight_topk's deterministic
+    first-occurrence/window discipline."""
+    spec = body["highlight"]
+    fields = spec.get("fields") or {}
+    if list(fields) != ["text"]:
+        raise DSLError(
+            "highlight supports exactly the 'text' field "
+            f"(got {sorted(fields)})"
+        )
+    fragment = int((fields["text"] or {}).get("fragment_size", 80))
+    qterms = sorted(set(_collect_match_terms(body.get("query"))))
+    if not qterms:
+        raise DSLError(
+            "highlight needs at least one full-text leaf in the query "
+            "(filter-context-only bodies have no terms to mark)"
+        )
+    window = max(1, fragment // 2)
+    added_url = "url" not in out.columns
+    if added_url:
+        import os
+
+        dm = searcher.spark.read.parquet(
+            os.path.join(searcher.index_dir, "docmap")
+        ).select("doc_id", "url")
+        out = out.join(dm, "doc_id")
+    j = out.join(docs_text.select("url", "text"), "url")
+    big = F.lit(2_000_000_000)
+    lower_t = F.lower(F.col("text"))
+    ps = [
+        F.when(F.instr(lower_t, F.lit(t)) > 0, F.instr(lower_t, F.lit(t)))
+        .otherwise(big)
+        for t in qterms
+    ]
+    first = ps[0] if len(ps) == 1 else F.least(*ps)
+    start = F.greatest(F.lit(1), first - F.lit(window))
+    snip = F.when(
+        first < big, F.substring(F.col("text"), start, F.lit(fragment))
+    ).otherwise(F.substring(F.col("text"), F.lit(1), F.lit(fragment)))
+    drop = {"text", "url"} if added_url else {"text"}
+    keep = [c for c in out.columns if c not in drop]
+    return j.select(*keep, snip.alias("snippet")).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+def _apply_source(searcher, out: DataFrame, source) -> DataFrame:
+    """The body's ``_source`` section: ``false`` strips everything but
+    the hit identity + score; a list of field names fetches those STORED
+    docmap columns (the doc-values tier — this engine stores no original
+    JSON, so includes resolve against the docmap and unknown names fail
+    loudly rather than returning empty hits)."""
+    if source is False:
+        keep = [c for c in ("doc_id", "score") if c in out.columns]
+        return out.select(*keep)
+    if isinstance(source, str):
+        source = [source]
+    if not isinstance(source, list):
+        raise DSLError("_source must be false or a field-name list")
+    import os
+
+    dm = searcher.spark.read.parquet(
+        os.path.join(searcher.index_dir, "docmap")
+    )
+    missing = [f for f in source if f not in dm.columns]
+    if missing:
+        raise DSLError(
+            f"_source fields {missing} are not stored in this index's "
+            f"docmap (stored: {sorted(set(dm.columns) - {'doc_id'})})"
+        )
+    new = [f for f in source if f not in out.columns]
+    return out.join(dm.select("doc_id", *new), "doc_id", "left").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
 def search(
     searcher,
     body: dict,
@@ -646,6 +758,7 @@ def search(
     fetch_k: int | None = None,
     with_url: bool = False,
     embeddings: DataFrame | None = None,
+    docs_text: DataFrame | None = None,
 ) -> DataFrame:
     """Run an ES ``_search`` request body. ``size`` (or ``k``) caps the
     response; scoring bodies rank (score desc, doc_id asc), pure
@@ -713,6 +826,27 @@ def search(
         return _run_aggs(searcher, out, aggs)
     offset = int(body.get("from", 0))
     sort = body.get("sort")
+    after = body.get("search_after")
+    tth = bool(body.get("track_total_hits", False))
+    src = body.get("_source")
+    hl = body.get("highlight")
+    if sort and (
+        tth
+        or after is not None
+        or hl is not None
+        or (src is not None and src is not True)
+    ):
+        raise DSLError(
+            "sort-by-field combines with none of search_after / "
+            "track_total_hits / highlight / _source here — sorted hits "
+            "already carry the sort field; fetch extras via mget on the "
+            "returned doc_ids"
+        )
+    # total_hits is the FULL hit-set size — matching docs after
+    # excludes, before rescore-window/collapse/paging (ES counts docs,
+    # not collapsed groups) — counted in-plan and broadcast onto every
+    # returned hit row, never collected driver-side
+    tot = out.agg(F.count(F.lit(1)).alias("total_hits")) if tth else None
     resc = body.get("rescore")
     if resc is not None:
         if sort:
@@ -750,20 +884,67 @@ def search(
         if offset:
             j = j.offset(offset)
         return j.limit(size)
-    if offset:
+    if after is not None:
+        # deep pagination keyed on the ROUNDED serving (score, doc_id)
+        # cursor — the cursor a client passes back is what page N-1
+        # showed, so the comparison must round identically (mirrors
+        # Searcher.search_after_topk; `from` is the shallow tier and
+        # the two never combine, per ES)
+        if offset:
+            raise DSLError(
+                "search_after and from are mutually exclusive (ES contract)"
+            )
+        if not isinstance(after, (list, tuple)) or len(after) != 2:
+            raise DSLError("search_after needs a [score, doc_id] cursor")
+        rt = round_to if round_to is not None else 4
+        rs = F.round(F.col("score"), rt)
+        res = (
+            out.withColumn("score", rs)
+            .filter(
+                (F.col("score") < F.lit(float(after[0])))
+                | (
+                    (F.col("score") == F.lit(float(after[0])))
+                    & (F.col("doc_id") > F.lit(int(after[1])))
+                )
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(size)
+        )
+        if with_url:
+            import os
+
+            dm = searcher.spark.read.parquet(
+                os.path.join(searcher.index_dir, "docmap")
+            ).select("doc_id", "url")
+            res = res.join(dm, "doc_id").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+    elif offset:
         # one total order for ALL pages: rank by the RAW score (exactly
         # like page 0's _finish_topk) and round only after the cut —
         # rounding first lets near-tied docs swap rank between pages,
         # duplicating/omitting hits across a paged scroll
-        out = (
+        res = (
             out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .offset(offset)
             .limit(size)
         )
         if round_to is not None:
-            out = out.withColumn("score", F.round("score", round_to))
-        return out
-    return searcher._finish_topk(out, size, round_to, fetch_k, with_url)
+            res = res.withColumn("score", F.round("score", round_to))
+    else:
+        res = searcher._finish_topk(out, size, round_to, fetch_k, with_url)
+    if src is not None and src is not True:
+        res = _apply_source(searcher, res, src)
+    if hl is not None:
+        if docs_text is None:
+            raise DSLError(
+                "highlight needs the docs_text relation (url, text) — "
+                "this index stores no original text by design"
+            )
+        res = _apply_highlight(searcher, res, body, docs_text)
+    if tot is not None:
+        res = res.crossJoin(F.broadcast(tot))
+    return res
 
 
 def _hybrid_rrf(
@@ -873,16 +1054,52 @@ def _apply_rescore(searcher, out: DataFrame, resc) -> DataFrame:
     return out
 
 
+_METRIC_SUBAGGS = {
+    "avg": lambda f: F.round(F.avg(f), 4),
+    "sum": lambda f: F.sum(f).cast("long"),
+    "min": lambda f: F.min(f),
+    "max": lambda f: F.max(f),
+    "value_count": lambda f: F.count(f),
+}
+
+
+def _sub_agg_exprs(spec: dict, dm_cols) -> list:
+    """The ``aggs`` block nested under a bucket agg: named metric
+    sub-aggregations (avg/sum/min/max/value_count over a stored field),
+    each one more expression in the SAME hash aggregation as doc_count —
+    sub-aggs never add a shuffle or a second pass over the hit set."""
+    exprs = []
+    for name, sub in spec.items():
+        skind, sparams = _single(sub, f"sub-agg {name!r}")
+        fn = _METRIC_SUBAGGS.get(skind)
+        if fn is None:
+            raise DSLError(
+                f"sub-agg {name!r}: unsupported type {skind!r} "
+                f"(metric sub-aggs: {sorted(_METRIC_SUBAGGS)})"
+            )
+        sfield = sparams["field"]
+        if sfield not in dm_cols:
+            raise DSLError(
+                f"sub-agg field {sfield!r} is not stored in this "
+                "index's docmap"
+            )
+        exprs.append(fn(sfield).alias(name))
+    return exprs
+
+
 def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
     """The body's ``aggs`` section over the query's FULL hit set (never
     the size-capped page — ES aggregates all matching docs). Supported:
-    one terms/histogram/stats agg over a stored field; richer shapes
-    stay on the dedicated Searcher methods this routes to."""
+    one terms/histogram/stats agg over a stored field, with named
+    metric sub-aggs under terms/histogram buckets; richer shapes stay
+    on the dedicated Searcher methods this routes to."""
     import os
 
     if len(aggs) != 1:
         raise DSLError("exactly one top-level agg is supported per request")
     _, spec = _single(aggs, "aggs")
+    spec = dict(spec)
+    sub_spec = spec.pop("aggs", {})
     kind, params = _single(spec, "agg spec")
     field = params["field"]
     dm = searcher.spark.read.parquet(
@@ -892,12 +1109,18 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
         raise DSLError(
             f"agg field {field!r} is not stored in this index's docmap"
         )
-    j = hits.select("doc_id").join(dm.select("doc_id", field), "doc_id")
+    if sub_spec and kind not in ("terms", "histogram"):
+        raise DSLError(f"sub-aggs nest under terms/histogram, not {kind!r}")
+    subs = _sub_agg_exprs(sub_spec, dm.columns)
+    need = sorted(
+        {field} | {s["field"] for a in sub_spec.values() for s in a.values()}
+    )
+    j = hits.select("doc_id").join(dm.select("doc_id", *need), "doc_id")
     if kind == "terms":
         size = int(params.get("size", 10))
         return (
             j.groupBy(F.col(field).alias("value"))
-            .agg(F.count("*").alias("doc_count"))
+            .agg(F.count("*").alias("doc_count"), *subs)
             .orderBy(F.col("doc_count").desc(), F.col("value").asc())
             .limit(size)
         )
@@ -906,7 +1129,7 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
         bucket = (F.floor(F.col(field) / iv) * iv).alias("bucket_key")
         return (
             j.groupBy(bucket)
-            .agg(F.count("*").alias("doc_count"))
+            .agg(F.count("*").alias("doc_count"), *subs)
             .orderBy("bucket_key")
         )
     if kind == "stats":

@@ -1,0 +1,204 @@
+"""_search body sections added in round 5: ``search_after`` deep
+pagination, ``track_total_hits``, ``_source`` stored-field fetch, and
+``highlight`` snippets — the request-body features an ES client uses to
+page and render results (reference delegates all of this to ES over
+HTTP; here each section compiles onto the hit-set plan).
+
+Semantics pinned:
+- search_after keys on the ROUNDED serving (score, doc_id) cursor
+  exactly like Searcher.search_after_topk — walking pages reproduces
+  the rounded total order with no dups/omissions; combining with
+  ``from`` raises (ES contract).
+- track_total_hits counts the FULL matching-doc set (pre-paging) and
+  every returned hit row carries it.
+- _source: false strips to (doc_id, score); a field list joins those
+  stored docmap columns; an unstored name fails loudly.
+- highlight returns a fragment_size-bounded snippet containing a query
+  term, over the page rows only.
+"""
+
+import pytest
+
+from kafka_es_spark.operators.searchapi import DSLError, search
+from kafka_es_spark.operators.wand import Searcher
+from kafka_es_spark.plans.build_index import build_index
+
+SEG_BITS = 6
+
+
+@pytest.fixture(scope="module")
+def idx(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx5b"))
+    build_index(
+        spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8,
+        store_fields=("lang",),
+    )
+    return d
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, idx):
+    s = Searcher(spark, idx)
+    yield s
+    s.close()
+
+
+BODY = {"query": {"match": {"text": "data index"}}}
+
+
+def _full_rounded_order(searcher, n=100):
+    rows = search(searcher, {**BODY, "size": n}).collect()
+    return sorted(rows, key=lambda r: (-r.score, r.doc_id))
+
+
+def test_body_search_after_walk_reproduces_total_order(searcher):
+    want = _full_rounded_order(searcher, 12)[:12]
+    page1 = search(searcher, {**BODY, "size": 4}).collect()
+    assert len(page1) == 4
+    got = sorted(page1, key=lambda r: (-r.score, r.doc_id))
+    while len(got) < 12:
+        cur = got[-1]
+        page = search(
+            searcher,
+            {**BODY, "size": 4, "search_after": [cur.score, cur.doc_id]},
+        ).collect()
+        assert page
+        got.extend(page)
+    assert [(r.doc_id, r.score) for r in got[:12]] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    assert len({r.doc_id for r in got}) == len(got)
+
+
+def test_body_search_after_rejects_from(searcher):
+    with pytest.raises(DSLError, match="mutually exclusive"):
+        search(
+            searcher,
+            {**BODY, "from": 4, "search_after": [1.0, 0], "size": 4},
+        )
+
+
+def test_body_track_total_hits(searcher):
+    full = search(searcher, {**BODY, "size": 10_000}).count()
+    rows = search(
+        searcher, {**BODY, "size": 3, "track_total_hits": True}
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.total_hits == full for r in rows)
+    assert full > 3
+
+
+def test_body_source_false_strips_to_identity(searcher):
+    df = search(searcher, {**BODY, "size": 5, "_source": False})
+    assert df.columns == ["doc_id", "score"]
+    assert df.count() == 5
+
+
+def test_body_source_field_list_joins_docmap(spark, searcher, idx):
+    rows = search(
+        searcher, {**BODY, "size": 5, "_source": ["lang", "dl"]}
+    ).collect()
+    dm = {
+        r.doc_id: (r.lang, r.dl)
+        for r in spark.read.parquet(idx + "/docmap")
+        .select("doc_id", "lang", "dl").collect()
+    }
+    assert len(rows) == 5
+    for r in rows:
+        assert (r.lang, r.dl) == dm[r.doc_id]
+
+
+def test_body_source_unstored_field_raises(searcher):
+    with pytest.raises(DSLError, match="not stored"):
+        search(searcher, {**BODY, "_source": ["nope"]})
+
+
+def test_body_highlight_snippet(searcher, pages):
+    body = {
+        **BODY,
+        "size": 5,
+        "highlight": {"fields": {"text": {"fragment_size": 60}}},
+    }
+    rows = search(
+        searcher, body, docs_text=pages.select("url", "text")
+    ).collect()
+    plain = search(searcher, {**BODY, "size": 5}).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in plain]
+    for r in rows:
+        assert len(r.snippet) <= 60
+        assert ("data" in r.snippet.lower()) or ("index" in r.snippet.lower())
+
+
+def test_body_highlight_needs_docs_text(searcher):
+    with pytest.raises(DSLError, match="docs_text"):
+        search(
+            searcher,
+            {**BODY, "highlight": {"fields": {"text": {}}}},
+        )
+
+
+def test_body_highlight_composes_with_source_false(searcher, pages):
+    body = {
+        **BODY,
+        "size": 4,
+        "_source": False,
+        "highlight": {"fields": {"text": {"fragment_size": 50}}},
+    }
+    df = search(searcher, body, docs_text=pages.select("url", "text"))
+    assert df.columns == ["doc_id", "score", "snippet"]
+    assert df.count() == 4
+
+
+def test_body_sort_rejects_render_sections(searcher):
+    with pytest.raises(DSLError, match="sort-by-field combines with none"):
+        search(
+            searcher,
+            {**BODY, "sort": [{"dl": "desc"}], "track_total_hits": True},
+        )
+
+
+def test_body_terms_subagg_one_pass(spark, searcher, idx):
+    body = {
+        **BODY,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "avg_dl": {"avg": {"field": "dl"}},
+                "n_dl": {"value_count": {"field": "dl"}},
+            },
+        }},
+    }
+    rows = {r.value: r for r in search(searcher, body).collect()}
+    # recompute from the docmap joined with the full hit set
+    hit_ids = {
+        r.doc_id for r in search(searcher, {**BODY, "size": 10_000}).collect()
+    }
+    dm = [
+        r for r in spark.read.parquet(idx + "/docmap")
+        .select("doc_id", "lang", "dl").collect() if r.doc_id in hit_ids
+    ]
+    langs = {r.lang for r in dm}
+    assert set(rows) == langs
+    for lang in langs:
+        grp = [r.dl for r in dm if r.lang == lang]
+        assert rows[lang].doc_count == len(grp)
+        assert rows[lang].n_dl == len(grp)
+        assert rows[lang].avg_dl == pytest.approx(
+            round(sum(grp) / len(grp), 4)
+        )
+
+
+def test_body_subagg_unstored_field_raises(searcher):
+    with pytest.raises(DSLError, match="not stored"):
+        search(searcher, {**BODY, "aggs": {"a": {
+            "terms": {"field": "lang"},
+            "aggs": {"m": {"avg": {"field": "nope"}}},
+        }}})
+
+
+def test_body_subagg_under_stats_raises(searcher):
+    with pytest.raises(DSLError, match="nest under terms/histogram"):
+        search(searcher, {**BODY, "aggs": {"a": {
+            "stats": {"field": "dl"},
+            "aggs": {"m": {"avg": {"field": "dl"}}},
+        }}})
