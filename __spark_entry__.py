@@ -3804,6 +3804,48 @@ def _q_dsl_terms_subagg(spark, sf_dir):
     return search(Searcher(spark, idx, cache=False), body)
 
 
+def _q_dsl_metrics_aggs(spark, sf_dir):
+    """Sibling metric aggs in one body: ES allows N named top-level
+    aggs; when all are metrics the response is ONE row with one column
+    per agg — still a single hash aggregation over the full hit set."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {
+            "avg_dl": {"avg": {"field": "dl"}},
+            "max_dl": {"max": {"field": "dl"}},
+            "n_dl": {"value_count": {"field": "dl"}},
+        },
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_knn_filter(spark, sf_dir):
+    """ES-8 pre-filtered kNN in the body: the filter-context clause
+    (dl range over the STORED docmap field) gates the candidate set
+    BEFORE scoring — k survivors from the filtered set, never
+    post-filtered holes. The gate maps index-internal ids to embedding
+    rows through the indexed url's corpus id."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    body = {"knn": {
+        "query_vector": qv,
+        "k": 5,
+        "filter": {"range": {"dl": {"gte": DSL_LO}}},
+    }}
+    return search(Searcher(spark, idx, cache=False), body, embeddings=e)
+
+
 def _q_dsl_highlight(spark, sf_dir):
     """Body ``highlight`` section: fragment_size-bounded snippet centered
     on the first occurrence of any query text term, computed over the
@@ -4138,6 +4180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_search_after": _q_dsl_search_after,
         "x15_highlight": _q_dsl_highlight,
         "x15_terms_subagg": _q_dsl_terms_subagg,
+        "x15_metrics_aggs": _q_dsl_metrics_aggs,
+        "x15_knn_filter": _q_dsl_knn_filter,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -5080,6 +5124,36 @@ FROM hits JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, value ASC
 LIMIT 10
+""",
+        # sibling metric aggs: one row, one column per named agg, over
+        # the OR hit set
+        "x15_metrics_aggs": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)
+SELECT round(avg(dl.dl), 4) AS avg_dl,
+       max(dl.dl) AS max_dl,
+       count(dl.dl) AS n_dl
+FROM hits JOIN dl USING (doc_id)
+""",
+        # pre-filtered kNN: exact cosine among docs whose token count
+        # passes the dl gate (vec_id == doc_id by corpus construction);
+        # query vector = embedding 0, no self-exclusion (external-query
+        # semantics, query_id -1 engine-side)
+        "x15_knn_filter": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keep AS (SELECT doc_id FROM documents WHERE len({_TOKS}) >= {DSL_LO}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+  FROM e JOIN keep ON e.vec_id = keep.doc_id CROSS JOIN q
+),
+ranked AS (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5
 """,
         # geo_line: per-user ts-ordered LineString, first GL_SIZE points
         "x13_geo_line": f"""

@@ -793,6 +793,39 @@ def search(
             raise DSLError("knn search needs the embeddings relation")
         from kafka_es_spark.operators.similarity import cosine_topk
 
+        flt = knn.get("filter")
+        if flt is not None:
+            # ES-8 pre-filtered kNN: the filter-context clause gates the
+            # candidate set BEFORE scoring (ES guarantees k hits from
+            # the filtered set — a post-filter of an unfiltered top-k
+            # can return fewer). The gate lives in the index's internal
+            # id space and maps to embedding rows through the docmap's
+            # url: directly when the embeddings relation carries a
+            # `url` column, else via the corpus id in a doc://<id> url
+            # (the build-job convention for the driver corpus). One
+            # semi-join; gate size tracks filter selectivity, so the
+            # join strategy is left to AQE (a selective gate
+            # broadcasts, an unselective one must not).
+            import os
+
+            comp = _compile(searcher, flt, scoring=False)
+            gate = comp.gate
+            if gate is None:
+                gate = _inner_scores(searcher, comp).select("doc_id")
+            dm = searcher.spark.read.parquet(
+                os.path.join(searcher.index_dir, "docmap")
+            ).select("doc_id", "url")
+            urls = gate.select("doc_id").join(dm, "doc_id")
+            if "url" in embeddings.columns:
+                embeddings = embeddings.join(
+                    urls.select("url"), "url", "left_semi"
+                )
+            else:
+                keep = urls.select(
+                    F.regexp_extract("url", r"doc://(\d+)", 1)
+                    .cast("long").alias("vec_id")
+                )
+                embeddings = embeddings.join(keep, "vec_id", "left_semi")
         qv = knn["query_vector"]
         # query_id -1: cosine_topk excludes self by id, and an external
         # query vector must never mask a corpus vector's id
@@ -1095,8 +1128,32 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
     on the dedicated Searcher methods this routes to."""
     import os
 
+    # ES allows N sibling aggs per request; when they are ALL metric
+    # aggs (one or many) the response is one row with one column per
+    # agg name — still a single hash aggregation over the hit set
+    if aggs and all(
+        isinstance(a, dict) and len(a) == 1
+        and next(iter(a)) in _METRIC_SUBAGGS
+        for a in aggs.values()
+    ):
+        dm = searcher.spark.read.parquet(
+            os.path.join(searcher.index_dir, "docmap")
+        )
+        exprs = _sub_agg_exprs(aggs, dm.columns)
+        need = sorted(
+            {s["field"] for a in aggs.values() for s in a.values()}
+        )
+        return (
+            hits.select("doc_id")
+            .join(dm.select("doc_id", *need), "doc_id")
+            .agg(*exprs)
+        )
     if len(aggs) != 1:
-        raise DSLError("exactly one top-level agg is supported per request")
+        raise DSLError(
+            "multiple top-level aggs are supported only when all are "
+            f"metric aggs ({sorted(_METRIC_SUBAGGS)}); bucket aggs go "
+            "one per request"
+        )
     _, spec = _single(aggs, "aggs")
     spec = dict(spec)
     sub_spec = spec.pop("aggs", {})

@@ -202,3 +202,66 @@ def test_body_subagg_under_stats_raises(searcher):
             "stats": {"field": "dl"},
             "aggs": {"m": {"avg": {"field": "dl"}}},
         }}})
+
+
+def test_body_sibling_metric_aggs_one_row(spark, searcher, idx):
+    body = {
+        **BODY,
+        "aggs": {
+            "avg_dl": {"avg": {"field": "dl"}},
+            "max_dl": {"max": {"field": "dl"}},
+            "n_dl": {"value_count": {"field": "dl"}},
+        },
+    }
+    rows = search(searcher, body).collect()
+    assert len(rows) == 1
+    hit_ids = {
+        r.doc_id for r in search(searcher, {**BODY, "size": 10_000}).collect()
+    }
+    dls = [
+        r.dl for r in spark.read.parquet(idx + "/docmap")
+        .select("doc_id", "dl").collect() if r.doc_id in hit_ids
+    ]
+    r = rows[0]
+    assert r.n_dl == len(dls)
+    assert r.max_dl == max(dls)
+    assert r.avg_dl == pytest.approx(round(sum(dls) / len(dls), 4))
+
+
+def test_body_mixed_bucket_aggs_raise(searcher):
+    with pytest.raises(DSLError, match="one per request"):
+        search(searcher, {**BODY, "aggs": {
+            "a": {"terms": {"field": "lang"}},
+            "b": {"terms": {"field": "lang"}},
+        }})
+
+
+def test_body_knn_filter_prefilters_candidates(spark, searcher, idx):
+    import re
+
+    dm = (
+        spark.read.parquet(idx + "/docmap")
+        .select("doc_id", "url", "dl")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    )
+    # embeddings carry the index url as the join key (the general path;
+    # the doc://<id> corpus-id fallback is oracle-checked in the driver
+    # entry) — descending cosine with vec_id
+    emb = spark.createDataFrame(
+        [(i, [1.0 - 0.01 * i, 0.01 * i], r.url) for i, r in enumerate(dm)],
+        "vec_id long, embedding array<double>, url string",
+    )
+    cut = sorted(r.dl for r in dm)[4]
+    body = {"knn": {
+        "query_vector": [1.0, 0.0], "k": 3,
+        "filter": {"range": {"dl": {"gte": cut}}},
+    }}
+    got = search(searcher, body, embeddings=emb).collect()
+    allowed = {i for i, r in enumerate(dm) if r.dl >= cut}
+    assert got and all(r.vec_id in allowed for r in got)
+    # pre-filter, not post-filter: the best ALLOWED ids win, in cosine
+    # order among the allowed set
+    want = sorted(allowed)[:3]
+    assert [r.vec_id for r in got] == want
