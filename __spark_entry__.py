@@ -3804,6 +3804,47 @@ def _q_dsl_terms_subagg(spark, sf_dir):
     return search(Searcher(spark, idx, cache=False), body)
 
 
+MIN_SCORE = 0.9
+
+
+def _q_dsl_min_score(spark, sf_dir):
+    """Top-level min_score: query-phase cutoff on the RAW score —
+    excluded docs vanish from hits and aggregations alike."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "min_score": MIN_SCORE,
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_post_filter(spark, sf_dir):
+    """post_filter: narrows the HITS after the aggregation phase (the
+    faceted-navigation contract — facets see everything, the page sees
+    the current facet selection). Same observable hits as an equivalent
+    filter clause; the entry drives the post_filter code path."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "post_filter": {"range": {"dl": {"gte": DSL_LO, "lt": DSL_HI}}},
+    }
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
 def _q_dsl_metrics_aggs(spark, sf_dir):
     """Sibling metric aggs in one body: ES allows N named top-level
     aggs; when all are metrics the response is ONE row with one column
@@ -4182,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_terms_subagg": _q_dsl_terms_subagg,
         "x15_metrics_aggs": _q_dsl_metrics_aggs,
         "x15_knn_filter": _q_dsl_knn_filter,
+        "x15_min_score": _q_dsl_min_score,
+        "x15_post_filter": _q_dsl_post_filter,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -4205,6 +4248,7 @@ def _bm25_sql(
     offset: int | None = None,
     filter_where: str | None = None,
     score_expr: str | None = None,
+    score_where: str | None = None,
 ) -> str:
     # conjunctive (bool.must): keep only docs matching EVERY query term —
     # tf is already one row per (doc, matched term), so the count(*) per
@@ -4233,6 +4277,10 @@ def _bm25_sql(
         quals.append(
             f"doc_id IN (SELECT doc_id FROM corpus WHERE {filter_where})"
         )
+    if score_where:
+        # predicate over the RAW per-doc score (ES min_score compares
+        # pre-rounding)
+        quals.append(f"({score_where})")
     neg = f"WHERE {' AND '.join(quals)}" if quals else ""
     # term^boost: scale the idf factor, same multiplication order as the
     # engine ((idf*boost)*tf*2.2/...), residual covered by round(4)
@@ -5125,6 +5173,16 @@ GROUP BY d.lang
 ORDER BY doc_count DESC, value ASC
 LIMIT 10
 """,
+        # min_score: raw-score cutoff before serving
+        "x15_min_score": _bm25_sql(
+            "documents", score_where=f"score >= {MIN_SCORE}"
+        ),
+        # post_filter: observable hits equal the same predicate as a
+        # filter clause (filter context never changes scores)
+        "x15_post_filter": _bm25_sql(
+            "documents",
+            filter_where=f"len({_TOKS}) >= {DSL_LO} AND len({_TOKS}) < {DSL_HI}",
+        ),
         # sibling metric aggs: one row, one column per named agg, over
         # the OR hit set
         "x15_metrics_aggs": f"""

@@ -854,9 +854,26 @@ def search(
         out = out.filter(
             ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
         )
+    # top-level min_score excludes docs from hits AND aggregations
+    # (query-phase cutoff, compared on the raw score like ES)
+    if body.get("min_score") is not None:
+        out = out.filter(F.col("score") >= float(body["min_score"]))
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         return _run_aggs(searcher, out, aggs)
+    # post_filter narrows the HITS only, after the aggregation phase —
+    # the faceted-navigation contract: facets show the whole hit set,
+    # the page shows the user's current facet selection. Filter-context
+    # compile (never rescored), one semi-join, applied before
+    # total_hits/paging so hits.total reflects the post-filtered set
+    # (ES behavior).
+    pf = body.get("post_filter")
+    if pf is not None:
+        pcomp = _compile(searcher, pf, scoring=False)
+        pgate = pcomp.gate
+        if pgate is None:
+            pgate = _inner_scores(searcher, pcomp).select("doc_id")
+        out = out.join(pgate.select("doc_id"), "doc_id", "left_semi")
     offset = int(body.get("from", 0))
     sort = body.get("sort")
     after = body.get("search_after")

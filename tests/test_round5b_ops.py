@@ -265,3 +265,55 @@ def test_body_knn_filter_prefilters_candidates(spark, searcher, idx):
     # order among the allowed set
     want = sorted(allowed)[:3]
     assert [r.vec_id for r in got] == want
+
+
+def test_body_min_score_cutoff(searcher):
+    full = search(searcher, {**BODY, "size": 10_000}).collect()
+    # the engine filters the RAW score, the test sees the ROUNDED
+    # serving score — pick a cutoff at the midpoint of two distinct
+    # rounded levels so raw-vs-rounded residue (<5e-5) cannot flip a doc
+    lv = sorted({r.score for r in full}, reverse=True)
+    assert len(lv) >= 4
+    cut = (lv[2] + lv[3]) / 2
+    rows = search(
+        searcher, {**BODY, "size": 10_000, "min_score": cut}
+    ).collect()
+    assert rows and all(r.score >= cut for r in rows)
+    assert len(rows) == sum(1 for r in full if r.score >= cut)
+
+
+def test_body_post_filter_narrows_hits_not_aggs(spark, searcher, idx):
+    dls = sorted(
+        r.dl for r in spark.read.parquet(idx + "/docmap").collect()
+    )
+    cut = dls[len(dls) // 2]
+    pf = {"range": {"dl": {"gte": cut}}}
+    hits = search(
+        searcher, {**BODY, "size": 10_000, "post_filter": pf}
+    ).collect()
+    plain = {
+        r.doc_id: r.score
+        for r in search(searcher, {**BODY, "size": 10_000}).collect()
+    }
+    dm = {
+        r.doc_id: r.dl
+        for r in spark.read.parquet(idx + "/docmap")
+        .select("doc_id", "dl").collect()
+    }
+    assert hits and all(dm[r.doc_id] >= cut for r in hits)
+    # scores untouched (filter context), set = plain hits ∩ gate
+    assert {r.doc_id: r.score for r in hits} == {
+        d: s for d, s in plain.items() if dm[d] >= cut
+    }
+    # aggs phase ignores post_filter: agg over the same body equals the
+    # agg without it
+    a1 = search(
+        searcher,
+        {**BODY, "post_filter": pf,
+         "aggs": {"n": {"value_count": {"field": "dl"}}}},
+    ).collect()
+    a2 = search(
+        searcher,
+        {**BODY, "aggs": {"n": {"value_count": {"field": "dl"}}}},
+    ).collect()
+    assert a1 == a2
