@@ -3887,6 +3887,25 @@ def _q_dsl_knn_filter(spark, sf_dir):
     return search(Searcher(spark, idx, cache=False), body, embeddings=e)
 
 
+def _q_dsl_terms_order(spark, sf_dir):
+    """ES terms agg ``order``: buckets ranked by a metric sub-agg
+    (avg_dl desc, key-asc tie-break) instead of the default doc_count —
+    the order key is one more column of the SAME hash aggregation."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 3,
+                      "order": {"avg_dl": "desc"}},
+            "aggs": {"avg_dl": {"avg": {"field": "dl"}}},
+        }},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
 def _q_dsl_highlight(spark, sf_dir):
     """Body ``highlight`` section: fragment_size-bounded snippet centered
     on the first occurrence of any query text term, computed over the
@@ -4225,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_knn_filter": _q_dsl_knn_filter,
         "x15_min_score": _q_dsl_min_score,
         "x15_post_filter": _q_dsl_post_filter,
+        "x15_terms_order": _q_dsl_terms_order,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -5183,6 +5203,19 @@ LIMIT 10
             "documents",
             filter_where=f"len({_TOKS}) >= {DSL_LO} AND len({_TOKS}) < {DSL_HI}",
         ),
+        # terms order by metric sub-agg: buckets ranked on the rounded
+        # avg_dl (the served value), key-asc tie-break, size cut after
+        "x15_terms_order": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents)
+SELECT d.lang AS value, count(*) AS doc_count,
+       round(avg(dl.dl), 4) AS avg_dl
+FROM hits JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY d.lang
+ORDER BY round(avg(dl.dl), 4) DESC, value ASC
+LIMIT 3
+""",
         # sibling metric aggs: one row, one column per named agg, over
         # the OR hit set
         "x15_metrics_aggs": f"""

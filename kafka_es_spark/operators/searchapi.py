@@ -1192,12 +1192,31 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
     j = hits.select("doc_id").join(dm.select("doc_id", *need), "doc_id")
     if kind == "terms":
         size = int(params.get("size", 10))
-        return (
-            j.groupBy(F.col(field).alias("value"))
-            .agg(F.count("*").alias("doc_count"), *subs)
-            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
-            .limit(size)
+        agg = j.groupBy(F.col(field).alias("value")).agg(
+            F.count("*").alias("doc_count"), *subs
         )
+        # ES terms `order`: _key / _count / a metric sub-agg name;
+        # default doc_count desc. Key asc is always the tie-break —
+        # bucket selection at the size cut stays deterministic.
+        order = params.get("order")
+        if order:
+            oname, direction = _single(order, "terms order")
+            ocol = {"_key": "value", "_count": "doc_count"}.get(oname, oname)
+            if ocol not in agg.columns:
+                raise DSLError(
+                    f"terms order key {oname!r} is neither _key/_count "
+                    "nor a sibling sub-agg name"
+                )
+            if direction not in ("asc", "desc"):
+                raise DSLError("terms order direction must be asc|desc")
+            lead = (
+                F.col(ocol).asc() if direction == "asc"
+                else F.col(ocol).desc()
+            )
+            return agg.orderBy(lead, F.col("value").asc()).limit(size)
+        return agg.orderBy(
+            F.col("doc_count").desc(), F.col("value").asc()
+        ).limit(size)
     if kind == "histogram":
         iv = float(params["interval"])
         bucket = (F.floor(F.col(field) / iv) * iv).alias("bucket_key")

@@ -317,3 +317,31 @@ def test_body_post_filter_narrows_hits_not_aggs(spark, searcher, idx):
         {**BODY, "aggs": {"n": {"value_count": {"field": "dl"}}}},
     ).collect()
     assert a1 == a2
+
+
+def test_body_terms_order_by_subagg(searcher):
+    body = {
+        **BODY,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 10,
+                      "order": {"avg_dl": "desc"}},
+            "aggs": {"avg_dl": {"avg": {"field": "dl"}}},
+        }},
+    }
+    rows = search(searcher, body).collect()
+    assert rows
+    assert [r.avg_dl for r in rows] == sorted(
+        (r.avg_dl for r in rows), reverse=True
+    )
+    # _key asc ordering
+    body["aggs"]["by_lang"]["terms"]["order"] = {"_key": "asc"}
+    rows2 = search(searcher, body).collect()
+    assert [r.value for r in rows2] == sorted(r.value for r in rows2)
+    assert {r.value for r in rows2} == {r.value for r in rows}
+
+
+def test_body_terms_order_unknown_key_raises(searcher):
+    with pytest.raises(DSLError, match="neither _key/_count"):
+        search(searcher, {**BODY, "aggs": {"a": {
+            "terms": {"field": "lang", "order": {"nope": "desc"}},
+        }}})
