@@ -3887,6 +3887,204 @@ def _q_dsl_knn_filter(spark, sf_dir):
     return search(Searcher(spark, idx, cache=False), body, embeddings=e)
 
 
+DX_TB = 0.3  # dis_max tie_breaker
+RF_PIVOT, RF_BOOST = 30.0, 2.0  # rank_feature saturation
+DFQ_PIVOT, DFQ_ORIGIN, DFQ_BOOST = 20.0, 50.0, 3.0  # distance_feature
+
+
+def _q_dsl_dis_max(spark, sf_dir):
+    """ES dis_max query in the _search body: score = best subquery +
+    tie_breaker * (sum of the others), hit set = union of subquery hit
+    sets — each subquery's relational score set is bounded by its own
+    postings, the combine is one union + hash aggregation."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"dis_max": {
+        "queries": [
+            {"match": {"text": QUERY_TERMS[0]}},
+            {"match": {"text": " ".join(QUERY_TERMS[1:])}},
+        ],
+        "tie_breaker": DX_TB,
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_wrapper(spark, sf_dir):
+    """ES wrapper query: the base64-encoded JSON escape hatch — decodes
+    to the inner clause and must be bit-identical to running it inline
+    (here: the flagship match, so the oracle is the plain BM25 SQL)."""
+    import base64
+    import json
+
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    inner = {"match": {"text": " ".join(QUERY_TERMS)}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    out = search(
+        Searcher(spark, idx, cache=False), {"query": {"wrapper": {"query": b64}}},
+        k=TOPK, fetch_k=TOPK * 3, with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_rank_feature(spark, sf_dir):
+    """ES rank_feature query inside bool.should: adds the bounded
+    saturation term boost·x/(x+pivot) over the stored dl column to the
+    must clause's BM25 sum — popularity/recency-style re-ranking that
+    can never swamp text relevance."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(QUERY_TERMS)}}],
+        "should": [{"rank_feature": {
+            "field": "dl", "boost": RF_BOOST,
+            "saturation": {"pivot": RF_PIVOT},
+        }}],
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_distance_feature(spark, sf_dir):
+    """ES distance_feature query inside bool.should: adds
+    boost·pivot/(pivot+|x−origin|) over the stored dl column — the
+    proximity-boost shape (origin = ideal value)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(QUERY_TERMS)}}],
+        "should": [{"distance_feature": {
+            "field": "dl", "pivot": DFQ_PIVOT, "origin": DFQ_ORIGIN,
+            "boost": DFQ_BOOST,
+        }}],
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_terms_set(spark, sf_dir):
+    """ES terms_set query: docs containing >= m of the terms keep their
+    OR-mode BM25 scores — the literal-m form via the body (the per-doc
+    minimum_should_match_field form is pinned in pytest against
+    Searcher.terms_set_topk)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {"query": {"terms_set": {"text": {
+        "terms": QUERY_TERMS, "minimum_should_match": 2,
+    }}}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True,
+    )
+    return _topk_by_corpus_id(out)
+
+
+def _q_dsl_agg_range(spark, sf_dir):
+    """Body range agg: half-open [from, to) buckets over the stored dl
+    column of the hit set — one filtered count per bucket, unioned
+    (buckets may overlap in ES, so they count independently)."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"r": {"range": {"field": "dl", "ranges": [
+            {"to": 40}, {"from": 40, "to": 80}, {"from": 80},
+        ]}}},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_agg_filters(spark, sf_dir):
+    """Body filters agg: named filter-context buckets over the hit set —
+    each named clause compiles like any DSL filter and counts its
+    intersection with the hit set."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"by": {"filters": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "short": {"range": {"dl": {"lt": 40}}},
+        }}}},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_agg_composite(spark, sf_dir):
+    """Body composite agg with an after cursor: terms source over the
+    stored lang column, paginated in key order — the cursor filters
+    lexicographically, so page N never re-aggregates pages < N."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"c": {"composite": {
+            "size": 10,
+            "sources": [{"l": {"terms": {"field": "lang"}}}],
+            "after": {"l": "de"},
+        }}},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_agg_extended_stats(spark, sf_dir):
+    """Body extended_stats agg: stats + sum_of_squares / population
+    variance / std_deviation over the hit set's dl — one hash
+    aggregation."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"s": {"extended_stats": {"field": "dl"}}},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
+def _q_dsl_agg_percentiles(spark, sf_dir):
+    """Body percentiles agg (exact mode — quantile_cont contract, the
+    oracle-checkable tier; percentile_approx is the documented scale
+    path) over the hit set's dl."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    body = {
+        "query": {"match": {"text": " ".join(QUERY_TERMS)}},
+        "aggs": {"p": {"percentiles": {
+            "field": "dl", "percents": [25.0, 50.0, 90.0],
+        }}},
+    }
+    return search(Searcher(spark, idx, cache=False), body)
+
+
 def _q_dsl_terms_order(spark, sf_dir):
     """ES terms agg ``order``: buckets ranked by a metric sub-agg
     (avg_dl desc, key-asc tie-break) instead of the default doc_count —
@@ -4245,6 +4443,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_min_score": _q_dsl_min_score,
         "x15_post_filter": _q_dsl_post_filter,
         "x15_terms_order": _q_dsl_terms_order,
+        "x15_dis_max": _q_dsl_dis_max,
+        "x15_wrapper": _q_dsl_wrapper,
+        "x15_rank_feature": _q_dsl_rank_feature,
+        "x15_distance_feature": _q_dsl_distance_feature,
+        "x15_terms_set": _q_dsl_terms_set,
+        "x15_agg_range": _q_dsl_agg_range,
+        "x15_agg_filters": _q_dsl_agg_filters,
+        "x15_agg_composite": _q_dsl_agg_composite,
+        "x15_agg_extended_stats": _q_dsl_agg_extended_stats,
+        "x15_agg_percentiles": _q_dsl_agg_percentiles,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -5215,6 +5423,116 @@ FROM hits JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY d.lang
 ORDER BY round(avg(dl.dl), 4) DESC, value ASC
 LIMIT 3
+""",
+        # dis_max: per-clause BM25 (clause A = first query term, clause
+        # B = the other two), score = best + tie_breaker * (sum - best)
+        "x15_dis_max": f"""
+WITH corpus AS (SELECT * FROM documents),
+toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM corpus),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM corpus),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT unnest([{_QT}]) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN qt USING (term) GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+clauses AS (
+  SELECT doc_id,
+         coalesce(sum(CASE WHEN term = '{QUERY_TERMS[0]}' THEN c END), 0) AS ca,
+         coalesce(sum(CASE WHEN term != '{QUERY_TERMS[0]}' THEN c END), 0) AS cb
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id,
+       round(greatest(ca, cb) + {DX_TB} * (ca + cb - greatest(ca, cb)), 4) AS score
+FROM clauses
+ORDER BY round(greatest(ca, cb) + {DX_TB} * (ca + cb - greatest(ca, cb)), 4) DESC, doc_id
+LIMIT {TOPK}
+""",
+        # wrapper: decodes to the flagship match — identical to plain BM25
+        "x15_wrapper": _BM25_SQL,
+        # rank_feature in bool.should: BM25 + boost * dl/(dl + pivot)
+        "x15_rank_feature": _bm25_sql(
+            "documents",
+            score_expr=f"score + {RF_BOOST} * dl / (dl + {RF_PIVOT})",
+        ),
+        # distance_feature in bool.should: BM25 + boost * pivot/(pivot+|dl-origin|)
+        "x15_distance_feature": _bm25_sql(
+            "documents",
+            score_expr=(
+                f"score + {DFQ_BOOST} * {DFQ_PIVOT} / "
+                f"({DFQ_PIVOT} + abs(dl - {DFQ_ORIGIN}))"
+            ),
+        ),
+        # terms_set (literal m): OR-mode BM25 gated on >= 2 matched terms
+        "x15_terms_set": _bm25_sql("documents", min_match=2),
+        # range agg: three half-open dl buckets over the OR hit set
+        "x15_agg_range": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+j AS (SELECT dl.dl FROM hits JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT '*-40' AS bucket, count(*) FILTER (dl < 40) AS doc_count FROM j
+  UNION ALL
+  SELECT '40-80', count(*) FILTER (dl >= 40 AND dl < 80) FROM j
+  UNION ALL
+  SELECT '80-*', count(*) FILTER (dl >= 80) FROM j
+) ORDER BY bucket
+""",
+        # filters agg: named filter-context buckets over the OR hit set
+        "x15_agg_filters": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+j AS (SELECT d.lang, dl.dl FROM hits JOIN documents d USING (doc_id) JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT 'en' AS bucket, count(*) FILTER (lang = 'en') AS doc_count FROM j
+  UNION ALL
+  SELECT 'short', count(*) FILTER (dl < 40) FROM j
+) ORDER BY bucket
+""",
+        # composite agg after {{l: 'de'}}: lang buckets strictly after the
+        # cursor in key order
+        "x15_agg_composite": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT}))
+SELECT d.lang AS l, count(*) AS doc_count
+FROM hits JOIN documents d USING (doc_id)
+WHERE d.lang > 'de'
+GROUP BY d.lang ORDER BY l LIMIT 10
+""",
+        # extended_stats: stats + sum_sq / population variance / stddev
+        "x15_agg_extended_stats": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+j AS (SELECT dl.dl FROM hits JOIN dl USING (doc_id))
+SELECT count(dl) AS n_docs_agg, min(dl) AS min_v, max(dl) AS max_v,
+       cast(sum(dl) AS BIGINT) AS sum_v, round(avg(dl), 4) AS avg_v,
+       round(cast(sum(dl * dl) AS DOUBLE), 4) AS sum_sq,
+       round(var_pop(dl), 4) AS variance,
+       round(stddev_pop(dl), 4) AS std_dev
+FROM j
+""",
+        # percentiles (exact): quantile_cont = Spark percentile (linear
+        # interpolation on the sorted values)
+        "x15_agg_percentiles": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_QT})),
+dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+j AS (SELECT dl.dl FROM hits JOIN dl USING (doc_id))
+SELECT * FROM (
+  SELECT CAST(25.0 AS DOUBLE) AS pct,
+         round(quantile_cont(dl, 0.25), 4) AS value FROM j
+  UNION ALL
+  SELECT CAST(50.0 AS DOUBLE), round(quantile_cont(dl, 0.50), 4) FROM j
+  UNION ALL
+  SELECT CAST(90.0 AS DOUBLE), round(quantile_cont(dl, 0.90), 4) FROM j
+) ORDER BY pct
 """,
         # sibling metric aggs: one row, one column per named agg, over
         # the OR hit set

@@ -62,19 +62,33 @@ class _Compiled:
         self.gate = gate
 
 
-def _field_ids(searcher, field: str, pred) -> DataFrame:
-    """Doc ids whose STORED field satisfies a Column predicate."""
+def _docmap(searcher) -> DataFrame:
     import os
 
-    dm = searcher.spark.read.parquet(
+    return searcher.spark.read.parquet(
         os.path.join(searcher.index_dir, "docmap")
     )
+
+
+def _stored_col(searcher, field: str) -> DataFrame:
+    """The docmap restricted to (doc_id, field); unknown fields fail
+    loudly with the stored-field list."""
+    dm = _docmap(searcher)
     if field not in dm.columns:
         raise DSLError(
             f"field {field!r} is not stored in this index's docmap "
             f"(stored: {sorted(set(dm.columns) - {'doc_id'})})"
         )
-    return dm.filter(pred(F.col(field))).select("doc_id")
+    return dm.select("doc_id", field)
+
+
+def _field_ids(searcher, field: str, pred) -> DataFrame:
+    """Doc ids whose STORED field satisfies a Column predicate."""
+    return (
+        _stored_col(searcher, field)
+        .filter(pred(F.col(field)))
+        .select("doc_id")
+    )
 
 
 def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
@@ -263,6 +277,228 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
 
     if kind == "function_score":
         return _compile_function_score(searcher, body)
+
+    if kind == "dis_max":
+        # ES dis_max: score = best subquery + tie_breaker * (sum of the
+        # others); the hit set is the UNION of the subqueries' hit sets.
+        # Each subquery's (doc_id, score) relation is already bounded by
+        # its own postings, so the combine is a union + ONE hash
+        # aggregation — never a corpus pass.
+        subs = _as_clauses(body.get("queries"))
+        if not subs:
+            raise DSLError("dis_max needs queries[]")
+        comps = [_compile(searcher, c, scoring) for c in subs]
+        if not scoring:
+            gate = None
+            for c in comps:
+                ids = c.gate if c.gate is not None else c.scores.select("doc_id")
+                part = ids.select("doc_id").distinct()
+                gate = part if gate is None else gate.unionByName(part)
+            return _Compiled(None, gate.distinct())
+        tb = float(body.get("tie_breaker", 0.0))
+        u = None
+        for c in comps:
+            part = _inner_scores(searcher, c).select("doc_id", "score")
+            u = part if u is None else u.unionByName(part)
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("__mx"), F.sum("score").alias("__sm")
+        )
+        return _Compiled(
+            agg.select(
+                "doc_id",
+                (
+                    F.col("__mx")
+                    + F.lit(tb) * (F.col("__sm") - F.col("__mx"))
+                ).alias("score"),
+            ),
+            None,
+        )
+
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query, decoded and
+        # compiled like any inline clause (the escape hatch clients use
+        # to ship DSL through systems that mangle JSON)
+        import base64
+        import json
+
+        raw = body["query"] if isinstance(body, dict) else body
+        try:
+            inner = json.loads(base64.b64decode(raw))
+        except Exception as e:  # noqa: BLE001 - surface as a DSL error
+            raise DSLError(f"wrapper query is not base64 JSON: {e}") from e
+        return _compile(searcher, inner, scoring)
+
+    if kind == "rank_feature":
+        # ES rank_feature query: matches docs HAVING the feature field,
+        # scored boost * S(x) where S is saturation (default)/log/
+        # sigmoid/linear — bounded contributions meant for bool.should
+        # re-ranking (Searcher.feature_boost_topk documents the same
+        # family; here the feature is a STORED docmap column so the
+        # score is one Column expression over a pruned docmap scan)
+        fld = body["field"]
+        rel = _stored_col(searcher, fld)
+        x = F.col(fld).cast("double")
+        boost = float(body.get("boost", 1.0))
+        if "log" in body:
+            sf = float(body["log"]["scaling_factor"])
+            v = F.log(F.lit(sf) + x)
+        elif "sigmoid" in body:
+            piv = float(body["sigmoid"]["pivot"])
+            ex = float(body["sigmoid"]["exponent"])
+            v = F.pow(x, ex) / (F.pow(x, ex) + F.lit(piv) ** F.lit(ex))
+        elif "linear" in body:
+            v = x
+        else:
+            sat = body.get("saturation")
+            if not isinstance(sat, dict) or "pivot" not in sat:
+                raise DSLError(
+                    "rank_feature needs saturation.pivot (ES computes a "
+                    "default pivot from the index's feature stats; this "
+                    "engine keeps it explicit) or log/sigmoid/linear"
+                )
+            piv = float(sat["pivot"])
+            v = x / (x + F.lit(piv))
+        hits = rel.filter(x.isNotNull())
+        if not scoring:
+            return _Compiled(None, hits.select("doc_id"))
+        return _Compiled(
+            hits.select("doc_id", (F.lit(boost) * v).alias("score")), None
+        )
+
+    if kind == "distance_feature":
+        # ES distance_feature query: score = boost * pivot /
+        # (pivot + |x - origin|) over a stored numeric/date field —
+        # recency/proximity boosting with bounded contribution
+        fld = body["field"]
+        rel = _stored_col(searcher, fld)
+        x = F.col(fld).cast("double")
+        boost = float(body.get("boost", 1.0))
+        piv = float(body["pivot"])
+        org = float(body["origin"])
+        v = F.lit(piv) / (F.lit(piv) + F.abs(x - F.lit(org)))
+        hits = rel.filter(x.isNotNull())
+        if not scoring:
+            return _Compiled(None, hits.select("doc_id"))
+        return _Compiled(
+            hits.select("doc_id", (F.lit(boost) * v).alias("score")), None
+        )
+
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every analyzed term but the last is a
+        # term should clause, the last matches as a prefix — the same
+        # deterministic dictionary rewrite as Searcher.bool_prefix_topk
+        # (first max_expansions terms in alphabetic order), then the
+        # whole disjunction scores as plain BM25 OR
+        from kafka_es_spark.functions.tokenize import tokenize_py
+
+        field, spec = _single(body, "match_bool_prefix")
+        if field != "text":
+            raise DSLError(
+                "match_bool_prefix targets the analyzed 'text' field only"
+            )
+        if isinstance(spec, str):
+            spec = {"query": spec}
+        toks = tokenize_py(str(spec["query"]))
+        if not toks:
+            return _Compiled(
+                None, searcher.spark.createDataFrame([], "doc_id long")
+            )
+        cap = int(spec.get("max_expansions", 50))
+        fixed, pre = toks[:-1], toks[-1]
+        rows = (
+            searcher.term_stats.filter(F.col("term").startswith(pre))
+            .select("term").orderBy("term").limit(cap).collect()
+        )
+        terms = sorted(set(fixed) | {r["term"] for r in rows})
+        if not terms:
+            return _Compiled(
+                None, searcher.spark.createDataFrame([], "doc_id long")
+            )
+        q = " ".join(terms)
+        if not scoring:
+            return _Compiled(None, searcher.matching_doc_ids(q))
+        return _Compiled(searcher.relational_scores(q), None)
+
+    if kind == "terms_set":
+        # ES terms_set query: docs containing >= m of the terms where m
+        # is per-document (minimum_should_match_field, a stored docmap
+        # column) or a literal minimum_should_match; survivors keep
+        # their OR-mode BM25 scores (Searcher.terms_set_topk semantics,
+        # compiled relationally so it composes inside bool)
+        field, spec = _single(body, "terms_set")
+        if field != "text":
+            raise DSLError("terms_set targets the analyzed 'text' field")
+        terms = [str(t) for t in spec["terms"]]
+        q = " ".join(terms)
+        m_field = spec.get("minimum_should_match_field")
+        m_lit = spec.get("minimum_should_match")
+        if m_field is None and m_lit is None:
+            raise DSLError(
+                "terms_set needs minimum_should_match_field or a literal "
+                "minimum_should_match"
+            )
+        if m_field is None:
+            gate = searcher.matching_doc_ids(q, min_should_match=int(m_lit))
+        else:
+            # per-doc m: pruned postings scan of the query terms → ONE
+            # hash aggregation counting distinct matched terms per doc →
+            # docmap join to the per-doc threshold (terms_set_topk's
+            # plan, gate form)
+            from kafka_es_spark.functions.tokenize import tokenize_py
+
+            qterms = sorted(set(tokenize_py(q)))
+            present = sorted(
+                r["term"]
+                for r in searcher.term_stats.filter(
+                    F.col("term").isin(qterms)
+                ).collect()
+            )
+            if not present:
+                return _Compiled(
+                    None, searcher.spark.createDataFrame([], "doc_id long")
+                )
+            counts = (
+                searcher._postings_rows(searcher._query_segs(present))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("__matched"))
+            )
+            if searcher.persistent_excluded:
+                counts = counts.filter(
+                    ~F.col("doc_id").isin(
+                        sorted(searcher.persistent_excluded)
+                    )
+                )
+            gate = (
+                counts.join(_stored_col(searcher, m_field), "doc_id")
+                .filter(F.col("__matched") >= F.col(m_field).cast("long"))
+                .select("doc_id")
+            )
+        if not scoring:
+            return _Compiled(None, gate)
+        return _Compiled(searcher.relational_scores(q), gate)
+
+    if kind == "pinned":
+        # ES pinned query: the listed ids (urls here — the engine's _id)
+        # rank first in the given order via rank-encoded scores far
+        # above any BM25 value, organic hits follow with their normal
+        # scores, and a pinned doc never appears twice
+        # (Searcher.pinned_topk's exact discipline, relational form)
+        urls = body.get("ids")
+        organic = body.get("organic")
+        if not urls or organic is None:
+            raise DSLError("pinned needs ids[] and organic")
+        pin_df = searcher.spark.createDataFrame(
+            [(u, float(1e9 - i)) for i, u in enumerate(urls)],
+            "url string, score double",
+        )
+        dm = _docmap(searcher).select("doc_id", "url")
+        pins = pin_df.join(dm, "url").select("doc_id", "score")
+        org = _inner_scores(searcher, _compile(searcher, organic, scoring=True))
+        org = org.join(F.broadcast(pins.select("doc_id")), "doc_id", "left_anti")
+        scores = pins.unionByName(org)
+        if not scoring:
+            return _Compiled(None, scores.select("doc_id"))
+        return _Compiled(scores, None)
 
     if kind == "bool":
         return _compile_bool(searcher, body, scoring)
@@ -1175,10 +1411,79 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
     spec = dict(spec)
     sub_spec = spec.pop("aggs", {})
     kind, params = _single(spec, "agg spec")
-    field = params["field"]
     dm = searcher.spark.read.parquet(
         os.path.join(searcher.index_dir, "docmap")
     )
+
+    if kind == "filters":
+        # named filter buckets: each filter compiles in filter context
+        # and counts its intersection with the hit set — one semi-join +
+        # count per named filter, all window/clause-sized
+        named = params.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise DSLError("filters agg needs filters.{name: clause}")
+        parts = []
+        for name in sorted(named):
+            comp = _compile(searcher, named[name], scoring=False)
+            gate = comp.gate
+            if gate is None:
+                gate = _inner_scores(searcher, comp).select("doc_id")
+            parts.append(
+                hits.select("doc_id")
+                .join(gate.select("doc_id"), "doc_id", "left_semi")
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .select(F.lit(name).alias("bucket"), "doc_count")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("bucket")
+
+    if kind == "composite":
+        # paginated multi-source terms: groupBy every source field, key
+        # order is the pagination order, the after cursor lexicographic-
+        # filters, size caps the page. One hash aggregation regardless
+        # of source count; pagination never re-aggregates prior pages.
+        sources = params.get("sources")
+        if not isinstance(sources, list) or not sources:
+            raise DSLError("composite needs sources[]")
+        names, cols = [], []
+        for s in sources:
+            name, sdef = _single(s, "composite source")
+            skind, sparams = _single(sdef, "composite source def")
+            if skind != "terms":
+                raise DSLError(
+                    f"composite source {name!r}: only terms sources here"
+                )
+            f_ = sparams["field"]
+            if f_ not in dm.columns:
+                raise DSLError(f"composite field {f_!r} is not stored")
+            names.append(name)
+            cols.append(f_)
+        size = int(params.get("size", 10))
+        j2 = hits.select("doc_id").join(dm.select("doc_id", *cols), "doc_id")
+        agg = j2.groupBy(
+            *[F.col(c).alias(n) for c, n in zip(cols, names)]
+        ).agg(F.count("*").alias("doc_count"))
+        after = params.get("after")
+        if after is not None:
+            # strictly-after in the composite key order: lexicographic
+            # (k1 > a1) OR (k1 = a1 AND k2 > a2) OR ...
+            conds = []
+            for i, n in enumerate(names):
+                eqs = [F.col(names[j]) == F.lit(after[names[j]]) for j in range(i)]
+                gt = F.col(n) > F.lit(after[n])
+                c = gt
+                for e in eqs:
+                    c = c & e
+                conds.append(c)
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            agg = agg.filter(cond)
+        return agg.orderBy(*[F.col(n).asc() for n in names]).limit(size)
+
+    field = params["field"]
     if field not in dm.columns:
         raise DSLError(
             f"agg field {field!r} is not stored in this index's docmap"
@@ -1232,5 +1537,111 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
             F.max(field).alias("max_v"),
             F.sum(field).cast("long").alias("sum_v"),
             F.round(F.avg(field), 4).alias("avg_v"),
+        )
+    if kind == "extended_stats":
+        # ES extended_stats: stats + sum_of_squares / variance (POP) /
+        # std_deviation — one hash aggregation, same as stats
+        return j.agg(
+            F.count(field).alias("n_docs_agg"),
+            F.min(field).alias("min_v"),
+            F.max(field).alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.round(F.avg(field), 4).alias("avg_v"),
+            F.round(
+                F.sum(F.col(field) * F.col(field)).cast("double"), 4
+            ).alias("sum_sq"),
+            F.round(F.var_pop(field), 4).alias("variance"),
+            F.round(F.stddev_pop(field), 4).alias("std_dev"),
+        )
+    if kind == "cardinality":
+        # ES cardinality is HLL++-approximate by design; the scale
+        # default here mirrors Searcher.agg_cardinality
+        # (approx_count_distinct), and precision_threshold -1 /
+        # "exact": true switches to the exact shuffle-keyed count (what
+        # an oracle can reproduce)
+        exact = bool(params.get("exact", False))
+        c = (
+            F.count_distinct(field) if exact
+            else F.approx_count_distinct(field)
+        )
+        return j.agg(c.cast("long").alias("value_count"))
+    if kind == "value_count":
+        return j.agg(F.count(field).cast("long").alias("value_count"))
+    if kind in ("avg", "sum", "min", "max"):
+        return j.agg(_METRIC_SUBAGGS[kind](field).alias(kind))
+    if kind == "percentiles":
+        pcts = [float(p) for p in params.get("percents", [25.0, 50.0, 75.0])]
+        parr = F.array(*[F.lit(p) for p in pcts])
+        exact = bool(params.get("exact", True))
+        agg_fn = (
+            F.percentile(field, F.array(*[F.lit(p / 100.0) for p in pcts]))
+            if exact
+            else F.percentile_approx(
+                field, F.array(*[F.lit(p / 100.0) for p in pcts]),
+                int(params.get("accuracy", 10000)),
+            )
+        )
+        return (
+            j.agg(agg_fn.alias("vals"))
+            .select(F.posexplode("vals").alias("pos", "value"))
+            .select(
+                F.element_at(parr, F.col("pos") + 1).alias("pct"),
+                F.round(F.col("value").cast("double"), 4).alias("value"),
+            )
+            .orderBy("pct")
+        )
+    if kind == "missing":
+        return j.filter(F.col(field).isNull()).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+    if kind == "range":
+        # ES range agg: half-open [from, to) buckets, each counted
+        # independently (overlaps allowed); key = "from-to" with ES's
+        # */bound spelling
+        ranges = params.get("ranges")
+        if not isinstance(ranges, list) or not ranges:
+            raise DSLError("range agg needs ranges[]")
+        parts = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(field) >= float(lo))
+            if hi is not None:
+                cond = cond & (F.col(field) < float(hi))
+            key = (
+                f"{lo if lo is not None else '*'}-"
+                f"{hi if hi is not None else '*'}"
+            )
+            parts.append(
+                j.filter(cond)
+                .agg(F.count(F.lit(1)).alias("doc_count"))
+                .select(F.lit(key).alias("bucket"), "doc_count")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("bucket")
+    if kind == "date_histogram":
+        iv = params.get("calendar_interval") or params.get(
+            "fixed_interval"
+        )
+        trunc = {
+            "day": "day", "1d": "day", "hour": "hour", "1h": "hour",
+            "month": "month", "1M": "month", "week": "week",
+            "year": "year", "1y": "year", "minute": "minute",
+            "1m": "minute",
+        }.get(iv)
+        if trunc is None:
+            raise DSLError(
+                f"date_histogram interval {iv!r} (day/hour/week/month/"
+                "year/minute or 1d/1h/1M/1y/1m)"
+            )
+        return (
+            j.groupBy(
+                F.date_trunc(trunc, F.col(field)).alias("bucket_key")
+            )
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("bucket_key")
         )
     raise DSLError(f"unsupported agg type {kind!r}")
