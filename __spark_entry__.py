@@ -3192,6 +3192,27 @@ def _q_esql_stats(spark, sf_dir):
     return esql_query(spark, ESQL1, _esql_tables(spark, sf_dir))
 
 
+ESQL10 = (
+    "FROM documents "
+    "| STATS med = median(n_chars), p90 = percentile(n_chars, 90), "
+    "sd = round(std_dev(n_chars), 4), "
+    "mad = median_absolute_deviation(n_chars) BY lang "
+    "| SORT lang ASC | LIMIT 10"
+)
+
+
+def _q_esql_robust_stats(spark, sf_dir):
+    """ES|QL robust statistics: median / percentile / std_dev / top /
+    median_absolute_deviation (ES's t-digest family; exact quantile_cont
+    here — the oracle-checkable tier, percentile_approx is the
+    documented scale path). MAD is a nested aggregate, executed as a
+    per-group median pre-pass joined back (broadcast, group-count-sized)
+    then one ordinary aggregation."""
+    from kafka_es_spark.esql import esql_query
+
+    return esql_query(spark, ESQL10, _esql_tables(spark, sf_dir))
+
+
 def _q_esql_lookup(spark, sf_dir):
     """ES|QL pipeline 2 (RENAME → LOOKUP JOIN → EVAL → STATS): the lookup
     relation broadcasts (ES|QL lookup indices are bounded dimensions);
@@ -4453,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_agg_composite": _q_dsl_agg_composite,
         "x15_agg_extended_stats": _q_dsl_agg_extended_stats,
         "x15_agg_percentiles": _q_dsl_agg_percentiles,
+        "esql10_robust_stats": _q_esql_robust_stats,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -8293,6 +8315,21 @@ SELECT source, count(*) AS cnt, round(avg(n_chars), 2) AS avg_chars,
        max(n_chars) AS max_chars
 FROM documents WHERE lang = 'en' AND n_chars > 200
 GROUP BY source ORDER BY cnt DESC, source ASC LIMIT 10
+""",
+        # robust stats: exact quantile_cont matches Spark percentile;
+        # MAD = median(|x - per-group median|); std_dev population
+        "esql10_robust_stats": """
+WITH med AS (
+  SELECT lang, quantile_cont(n_chars, 0.5) AS m
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       quantile_cont(d.n_chars, 0.5) AS med,
+       quantile_cont(d.n_chars, 0.9) AS p90,
+       round(stddev_pop(d.n_chars), 4) AS sd,
+       quantile_cont(abs(d.n_chars - med.m), 0.5) AS mad
+FROM documents d JOIN med USING (lang)
+GROUP BY d.lang ORDER BY d.lang ASC LIMIT 10
 """,
         "esql2_lookup_join": """
 SELECT n_name, count(*) AS customers,

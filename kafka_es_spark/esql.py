@@ -371,6 +371,9 @@ _SCALAR_FNS: dict = {
     "tanh": (1, 1, F.tanh),
     "cbrt": (1, 1, F.cbrt),
     "signum": (1, 1, F.signum),
+    "hypot": (2, 2, F.hypot),
+    "to_degrees": (1, 1, F.degrees),
+    "to_radians": (1, 1, F.radians),
     "pi": (0, 0, lambda: F.lit(3.141592653589793)),
     "tau": (0, 0, lambda: F.lit(6.283185307179586)),
     "e": (0, 0, lambda: F.lit(2.718281828459045)),
@@ -439,6 +442,13 @@ _DATE_DIFF_US = {
     "weeks": 7 * 86400 * 1_000_000,
 }
 
+def _mad_outside_stats(_a):
+    raise ESQLError(
+        "ES|QL: median_absolute_deviation is supported in STATS only "
+        "(it needs a per-group median pre-pass)"
+    )
+
+
 _AGG_FNS: dict = {
     "count": lambda a: F.count(a[0] if a else F.lit(1)),
     "count_distinct": lambda a: F.count_distinct(a[0]),
@@ -448,6 +458,24 @@ _AGG_FNS: dict = {
     "max": lambda a: F.max(a[0]),
     "values": lambda a: F.sort_array(F.collect_set(a[0])),
     "weighted_avg": lambda a: F.sum(a[0] * a[1]) / F.sum(a[1]),
+    # ES|QL MEDIAN/PERCENTILE are t-digest-approximate in ES by design;
+    # exact percentile here is the oracle-checkable contract (the
+    # documented scale path is percentile_approx — a mergeable sketch —
+    # exactly like the _search percentiles agg)
+    "median": lambda a: F.percentile(a[0], F.lit(0.5)),
+    "percentile": lambda a: F.percentile(
+        a[0], a[1].cast("double") / F.lit(100.0)
+    ),
+    # ES|QL STD_DEV is the population standard deviation (Welford)
+    "std_dev": lambda a: F.stddev_pop(a[0]),
+    # top() is special-cased in _compile_agg (literal limit/order args);
+    # median_absolute_deviation is AST-rewritten by the STATS executor
+    # (median pre-pass + join-back); both live here so agg detection
+    # (_is_agg_call/_contains_agg) sees them
+    "top": lambda a: (_ for _ in ()).throw(
+        ESQLError("ES|QL: top() needs literal limit/order arguments")
+    ),
+    "median_absolute_deviation": _mad_outside_stats,
 }
 
 
@@ -508,6 +536,132 @@ def _compile_expr(node) -> Column:
             if args[0][0] != "lit" or not isinstance(args[0][1], str):
                 raise ESQLError("ES|QL: date_trunc needs a literal string unit")
             return F.date_trunc(args[0][1], _compile_expr(args[1]))
+        if name == "date_extract":
+            # date_extract(part, date) — java.time ChronoField names,
+            # the subset with exact Spark builtins
+            if args[0][0] != "lit" or not isinstance(args[0][1], str):
+                raise ESQLError(
+                    "ES|QL: date_extract needs a literal ChronoField name"
+                )
+            part = args[0][1].strip().lower()
+            fns = {
+                "year": F.year,
+                "month_of_year": F.month,
+                "day_of_month": F.dayofmonth,
+                "day_of_week": F.dayofweek,
+                "day_of_year": F.dayofyear,
+                "hour_of_day": F.hour,
+                "minute_of_hour": F.minute,
+                "second_of_minute": F.second,
+                "aligned_week_of_year": F.weekofyear,
+            }
+            if part not in fns:
+                raise ESQLError(
+                    f"ES|QL: date_extract supports {sorted(fns)}, "
+                    f"got {part!r}"
+                )
+            return fns[part](_compile_expr(args[1])).cast("long")
+        if name == "date_parse":
+            # date_parse(format, string) — java DateTimeFormatter
+            # patterns, which Spark's to_timestamp shares
+            if args[0][0] != "lit" or not isinstance(args[0][1], str):
+                raise ESQLError(
+                    "ES|QL: date_parse needs a literal format string"
+                )
+            return F.to_timestamp(_compile_expr(args[1]), args[0][1])
+        if name in ("match", "qstr"):
+            # ES|QL full-text functions (8.16+): boolean WHERE filters.
+            # match(field, query[, operator]) analyzes the literal query
+            # with the ENGINE analyzer and tests the analyzed field
+            # tokens — OR (default) = any term present, AND = all terms.
+            # qstr("text") is the field-less shorthand over the `text`
+            # column. No scoring in WHERE context (ES|QL scores only
+            # through METADATA _score, out of scope here); the filter is
+            # pure Column set algebra — no UDF, no index required, and
+            # on an indexed relation the same semantics are served by
+            # Searcher.matching_doc_ids.
+            from kafka_es_spark.functions.tokenize import (
+                tokenize_py, tokens as _tokens_col,
+            )
+
+            if name == "qstr":
+                if len(args) != 1 or args[0][0] != "lit":
+                    raise ESQLError(
+                        "ES|QL: qstr(query) needs one literal query string"
+                    )
+                field_col, qnode, op = F.col("text"), args[0], "or"
+            else:
+                if len(args) not in (2, 3) or args[1][0] != "lit":
+                    raise ESQLError(
+                        "ES|QL: match(field, query[, operator]) needs a "
+                        "literal query"
+                    )
+                field_col = _compile_expr(args[0])
+                qnode = args[1]
+                op = "or"
+                if len(args) == 3:
+                    if args[2][0] != "lit":
+                        raise ESQLError(
+                            "ES|QL: match() operator must be a literal"
+                        )
+                    op = str(args[2][1]).lower()
+                    if op not in ("or", "and"):
+                        raise ESQLError(
+                            "ES|QL: match() operator must be 'or'|'and'"
+                        )
+            terms = sorted(set(tokenize_py(str(qnode[1]))))
+            if not terms:
+                return F.lit(False)
+            toks = _tokens_col(field_col)
+            if op == "and":
+                cond = F.array_contains(toks, terms[0])
+                for t in terms[1:]:
+                    cond = cond & F.array_contains(toks, t)
+                return cond
+            return F.arrays_overlap(
+                toks, F.array(*[F.lit(t) for t in terms])
+            )
+        if name == "cidr_match":
+            # cidr_match(ip, block...) — true when the IPv4 address
+            # falls in ANY literal CIDR block: the address converts to
+            # one u32 Column, each block to a (base, mask) pair folded
+            # at compile time, so the match is pure integer Column
+            # arithmetic (pushdown-friendly, no UDF)
+            if len(args) < 2:
+                raise ESQLError("ES|QL: cidr_match(ip, block, ...)")
+            ip = _compile_expr(args[0])
+            oct_ = F.split(ip, r"\.")
+            ipn = (
+                F.element_at(oct_, 1).cast("long") * 16777216
+                + F.element_at(oct_, 2).cast("long") * 65536
+                + F.element_at(oct_, 3).cast("long") * 256
+                + F.element_at(oct_, 4).cast("long")
+            )
+            cond = None
+            for b in args[1:]:
+                if b[0] != "lit" or not isinstance(b[1], str):
+                    raise ESQLError(
+                        "ES|QL: cidr_match blocks must be literal strings"
+                    )
+                spec = b[1]
+                addr, _, plen_s = spec.partition("/")
+                parts = addr.split(".")
+                if len(parts) != 4:
+                    raise ESQLError(
+                        f"ES|QL: cidr_match supports IPv4 blocks, got {spec!r}"
+                    )
+                plen = int(plen_s) if plen_s else 32
+                if not (0 <= plen <= 32):
+                    raise ESQLError(f"ES|QL: bad prefix length in {spec!r}")
+                base = 0
+                for p in parts:
+                    base = base * 256 + int(p)
+                mask = ((1 << 32) - 1) ^ ((1 << (32 - plen)) - 1)
+                c = (
+                    ipn.bitwiseAND(F.lit(mask)) == F.lit(base & mask)
+                )
+                cond = c if cond is None else (cond | c)
+            return cond
         if name == "date_format":
             if args[0][0] != "lit" or not isinstance(args[0][1], str):
                 raise ESQLError("ES|QL: date_format needs a literal format string")
@@ -1072,6 +1226,28 @@ def _compile_agg(node) -> Column:
         name, args = node[1], node[2]
         if name == "count" and (not args or args[0][0] == "star"):
             return F.count(F.lit(1))
+        if name == "top":
+            # ES|QL top(field, limit, order): the limit/order arguments
+            # must be literals (they shape the plan, not the data)
+            if (
+                len(args) != 3
+                or args[1][0] != "lit"
+                or args[2][0] != "lit"
+            ):
+                raise ESQLError(
+                    "ES|QL: top(field, limit, order) needs literal "
+                    "limit and order"
+                )
+            n = int(args[1][1])
+            order = str(args[2][1]).lower()
+            if order not in ("asc", "desc") or n < 1:
+                raise ESQLError(
+                    "ES|QL: top() order must be 'asc'|'desc' and limit >= 1"
+                )
+            arr = F.sort_array(
+                F.collect_list(_compile_expr(args[0])), asc=(order == "asc")
+            )
+            return F.slice(arr, 1, n)
         compiled = [_compile_expr(a) for a in args]
         if name == "count":
             return F.count(compiled[0])
@@ -1152,8 +1328,59 @@ def _apply(df: DataFrame, cmd: _Cmd, resolve) -> DataFrame:
             df = df.withColumn(name, _compile_expr(expr))
         return df
     if cmd.name == "stats":
+        agg_specs = cmd.payload["aggs"]
+        # median_absolute_deviation = median(|x - median(x)|): a nested
+        # aggregate, so it cannot be one agg expression. Rewrite each
+        # MAD leaf to median(abs(x - __mad_med_i)) and feed the inner
+        # per-group median through a pre-pass aggregation joined back
+        # (broadcast — the join side is group-count-sized).
+        mads: list = []
+
+        def _rw(node):
+            if isinstance(node, (tuple, list)):
+                if (
+                    node[0] == "call"
+                    and node[1] == "median_absolute_deviation"
+                ):
+                    if len(node[2]) != 1:
+                        raise ESQLError(
+                            "ES|QL: median_absolute_deviation takes one "
+                            "argument"
+                        )
+                    ph = f"__mad_med_{len(mads)}"
+                    arg = node[2][0]
+                    mads.append((ph, arg))
+                    return (
+                        "call", "median",
+                        [("call", "abs", [("bin", "-", arg, ("col", ph))])],
+                    )
+                return type(node)(
+                    _rw(x) if isinstance(x, (tuple, list)) else x
+                    for x in node
+                )
+            return node
+
+        agg_specs = [(name, _rw(expr)) for name, expr in agg_specs]
+        if mads:
+            key_specs = cmd.payload["keys"]
+            for kname, kexpr in key_specs:
+                if kexpr[0] != "col" or kname != kexpr[1]:
+                    raise ESQLError(
+                        "ES|QL: median_absolute_deviation BY supports "
+                        "bare column keys only"
+                    )
+            med_aggs = [
+                F.percentile(_compile_expr(arg), F.lit(0.5)).alias(ph)
+                for ph, arg in mads
+            ]
+            if key_specs:
+                knames = [k for k, _ in key_specs]
+                med = df.groupBy(*knames).agg(*med_aggs)
+                df = df.join(broadcast(med), on=knames, how="left")
+            else:
+                df = df.crossJoin(broadcast(df.agg(*med_aggs)))
         aggs = [
-            _compile_agg(expr).alias(name) for name, expr in cmd.payload["aggs"]
+            _compile_agg(expr).alias(name) for name, expr in agg_specs
         ]
         keys = [
             _compile_expr(expr).alias(name) for name, expr in cmd.payload["keys"]

@@ -588,3 +588,183 @@ def test_mv_zip_unpaired_tail_values_stand_alone(spark):
         {},
     )
     assert out.collect()[0]["z"] == ["x-1", "y", "q"]
+
+
+# ---------------------------------------------------------- round-5 aggs
+
+
+def test_stats_median_and_percentile(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | STATS med = median(n_chars), "
+        "p90 = percentile(n_chars, 90) BY lang | SORT lang ASC",
+        docs=docs,
+    ).collect()
+    # exact percentile, linear interpolation (quantile_cont contract)
+    import numpy as np
+
+    by_lang = {"de": [7, 4], "en": [10, 25], "fr": [40]}
+    for r in rows:
+        assert r.med == pytest.approx(
+            float(np.percentile(by_lang[r.lang], 50))
+        )
+        assert r.p90 == pytest.approx(
+            float(np.percentile(by_lang[r.lang], 90))
+        )
+
+
+def test_stats_std_dev_population(spark, docs):
+    row = _run(
+        spark, "FROM docs | STATS sd = std_dev(n_chars)", docs=docs
+    ).collect()[0]
+    import numpy as np
+
+    assert row.sd == pytest.approx(float(np.std([10, 25, 7, 40, 4])))
+
+
+def test_stats_top_desc_and_asc(spark, docs):
+    row = _run(
+        spark,
+        'FROM docs | STATS hi = top(n_chars, 3, "desc"), '
+        'lo = top(n_chars, 2, "asc")',
+        docs=docs,
+    ).collect()[0]
+    assert row.hi == [40, 25, 10]
+    assert row.lo == [4, 7]
+
+
+def test_stats_top_needs_literal_args(spark, docs):
+    with pytest.raises(ESQLError, match="literal"):
+        _run(
+            spark,
+            "FROM docs | STATS t = top(n_chars, n_chars, \"desc\")",
+            docs=docs,
+        )
+
+
+def test_stats_mad_global_and_by_key(spark, docs):
+    # MAD = median(|x - median(x)|); global: med=10, devs [0,15,3,30,6] -> 6
+    row = _run(
+        spark,
+        "FROM docs | STATS m = median_absolute_deviation(n_chars)",
+        docs=docs,
+    ).collect()[0]
+    assert row.m == pytest.approx(6.0)
+    rows = _run(
+        spark,
+        "FROM docs | STATS m = median_absolute_deviation(n_chars) BY lang "
+        "| SORT lang ASC",
+        docs=docs,
+    ).collect()
+    # de: med 5.5, devs [1.5, 1.5] -> 1.5; en: med 17.5 -> 7.5; fr: -> 0
+    assert [(r.lang, r.m) for r in rows] == [
+        ("de", 1.5), ("en", 7.5), ("fr", 0.0),
+    ]
+
+
+def test_stats_mad_inside_scalar_wrapper(spark, docs):
+    row = _run(
+        spark,
+        "FROM docs | STATS m = round(median_absolute_deviation(n_chars) * 2, 1)",
+        docs=docs,
+    ).collect()[0]
+    assert row.m == pytest.approx(12.0)
+
+
+def test_mad_outside_stats_raises(spark, docs):
+    with pytest.raises(ESQLError, match="STATS only|per-group median"):
+        _run(
+            spark,
+            "FROM docs | INLINESTATS m = median_absolute_deviation(n_chars)",
+            docs=docs,
+        ).collect()
+
+
+def test_scalar_trig_conversions(spark, docs):
+    row = _run(
+        spark,
+        "FROM docs | EVAL d = round(to_degrees(pi()), 4), "
+        "r = round(to_radians(180.0), 6), h = hypot(3.0, 4.0) "
+        "| KEEP d, r, h | LIMIT 1",
+        docs=docs,
+    ).collect()[0]
+    assert (row.d, row.h) == (180.0, 5.0)
+    assert row.r == pytest.approx(3.141593)
+
+
+def test_date_extract_and_parse(spark, docs):
+    rows = _run(
+        spark,
+        'FROM docs | EVAL ts = date_parse("yyyy-MM-dd HH:mm:ss", '
+        '"2026-03-07 14:09:01"), y = date_extract("year", ts), '
+        'h = date_extract("hour_of_day", ts), '
+        'dom = date_extract("day_of_month", ts) '
+        "| KEEP y, h, dom | LIMIT 1",
+        docs=docs,
+    ).collect()
+    assert (rows[0].y, rows[0].h, rows[0].dom) == (2026, 14, 7)
+
+
+def test_date_extract_unknown_part_raises(spark, docs):
+    with pytest.raises(ESQLError, match="date_extract supports"):
+        _run(
+            spark,
+            'FROM docs | EVAL x = date_extract("fortnight", to_datetime(text))',
+            docs=docs,
+        )
+
+
+def test_cidr_match_v4(spark):
+    ips = spark.createDataFrame(
+        [("10.0.0.7",), ("10.0.1.9",), ("192.168.5.1",), ("8.8.8.8",)],
+        "ip string",
+    )
+    rows = _run(
+        spark,
+        'FROM ips | WHERE cidr_match(ip, "10.0.0.0/24", "192.168.0.0/16") '
+        "| SORT ip ASC",
+        ips=ips,
+    ).collect()
+    assert [r.ip for r in rows] == ["10.0.0.7", "192.168.5.1"]
+
+
+def test_cidr_match_needs_literal_blocks(spark):
+    ips = spark.createDataFrame([("10.0.0.7",)], "ip string")
+    with pytest.raises(ESQLError, match="literal"):
+        _run(spark, "FROM ips | WHERE cidr_match(ip, ip)", ips=ips)
+
+
+def test_match_or_and_qstr(spark, docs):
+    rows = _run(
+        spark,
+        'FROM docs | WHERE match(text, "alpha epsilon") | SORT doc_id ASC',
+        docs=docs,
+    ).collect()
+    assert [r.doc_id for r in rows] == [0, 2]
+    # qstr is the field-less shorthand over `text`
+    rows2 = _run(
+        spark,
+        'FROM docs | WHERE qstr("alpha epsilon") | SORT doc_id ASC',
+        docs=docs,
+    ).collect()
+    assert [r.doc_id for r in rows2] == [0, 2]
+
+
+def test_match_and_operator(spark, docs):
+    rows = _run(
+        spark,
+        'FROM docs | WHERE match(text, "zeta theta", "and")',
+        docs=docs,
+    ).collect()
+    assert [r.doc_id for r in rows] == [3]
+    none = _run(
+        spark,
+        'FROM docs | WHERE match(text, "zeta alpha", "and")',
+        docs=docs,
+    ).collect()
+    assert none == []
+
+
+def test_match_needs_literal_query(spark, docs):
+    with pytest.raises(ESQLError, match="literal"):
+        _run(spark, "FROM docs | WHERE match(text, text)", docs=docs)
