@@ -477,6 +477,60 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             return _Compiled(None, gate)
         return _Compiled(searcher.relational_scores(q), gate)
 
+    if kind == "more_like_this":
+        # ES more_like_this, like-as-TEXT form: analyze the given text,
+        # rank its terms by tf·idf (tf within the like text, df from
+        # term_stats — Lucene MoreLikeThis's "interesting terms"), run
+        # the top max_query_terms as a BM25 OR. The doc-reference form
+        # ({"_id": ...}) needs the docs_text relation and is served by
+        # Searcher.more_like_this — a deliberate seam, same as
+        # match_phrase → phrase_topk.
+        from collections import Counter
+
+        from kafka_es_spark.functions.tokenize import tokenize_py
+        from kafka_es_spark.operators.wand import idf
+
+        like = body.get("like")
+        if isinstance(like, str):
+            like = [like]
+        if not isinstance(like, list) or not all(
+            isinstance(x, str) for x in like
+        ):
+            raise DSLError(
+                "more_like_this here takes like as text (string or "
+                "string list); the doc-reference form is "
+                "Searcher.more_like_this (needs the docs_text relation)"
+            )
+        tf = Counter()
+        for t in like:
+            tf.update(tokenize_py(t))
+        min_tf = int(body.get("min_term_freq", 1))
+        min_df = int(body.get("min_doc_freq", 1))
+        cand = sorted(t for t, c in tf.items() if c >= min_tf)
+        if not cand:
+            return _Compiled(
+                None, searcher.spark.createDataFrame([], "doc_id long")
+            )
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in searcher.term_stats.filter(
+                F.col("term").isin(cand)
+            ).collect()
+            if int(r["df"]) >= min_df
+        }
+        ranked = sorted(
+            dfs,
+            key=lambda t: (-(tf[t] * idf(searcher.n_docs, dfs[t])), t),
+        )[: int(body.get("max_query_terms", 10))]
+        if not ranked:
+            return _Compiled(
+                None, searcher.spark.createDataFrame([], "doc_id long")
+            )
+        q = " ".join(sorted(ranked))
+        if not scoring:
+            return _Compiled(None, searcher.matching_doc_ids(q))
+        return _Compiled(searcher.relational_scores(q), None)
+
     if kind == "pinned":
         # ES pinned query: the listed ids (urls here — the engine's _id)
         # rank first in the given order via rank-encoded scores far
@@ -774,10 +828,51 @@ def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
     # a clause carrying its own gate (match operator=and / msm) only
     # contributes where that gate passes — partial matches of an AND
     # clause must not leak score (ES semantics)
+    #
+    # Scale: when must/filter clauses exist, the hit set is their
+    # intersection — so every SHOULD frame semi-joins that pre-gate
+    # BEFORE the score union. A should clause whose score relation is
+    # corpus-sized (rank_feature / distance_feature read the whole
+    # docmap) must never drag the corpus through the sum aggregation
+    # only to be gated afterwards; the pre-gate bounds the union by the
+    # hit set. Semantically a no-op (the same gates re-apply below —
+    # semi-joins commute), and ES itself scores should clauses only for
+    # docs the required clauses admit.
+    pre_gate = None
+    if scoring and should and (must or filt):
+        for c in must:
+            ids = c.gate if c.gate is not None else (
+                c.scores.select("doc_id") if c.scores is not None else None
+            )
+            if ids is None:
+                continue
+            ids = ids.select("doc_id")
+            pre_gate = ids if pre_gate is None else pre_gate.join(
+                ids, "doc_id", "left_semi"
+            )
+        for c in filt:
+            if c.gate is not None:
+                g = c.gate.select("doc_id")
+                pre_gate = g if pre_gate is None else pre_gate.join(
+                    g, "doc_id", "left_semi"
+                )
+
+    def _pregated(frame):
+        if pre_gate is None:
+            return frame
+        return frame.join(pre_gate, "doc_id", "left_semi")
+
     score_frames = [
         c.scores if c.gate is None
         else c.scores.join(c.gate.select("doc_id"), "doc_id", "left_semi")
-        for c in must + should
+        for c in must
+        if c.scores is not None
+    ] + [
+        _pregated(
+            c.scores if c.gate is None
+            else c.scores.join(c.gate.select("doc_id"), "doc_id", "left_semi")
+        )
+        for c in should
         if c.scores is not None
     ]
     # a filter-context clause inside should (range/exists/ids/terms —
@@ -788,7 +883,7 @@ def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
     # (callers like constant_score require inner.gate).
     if scoring:
         score_frames += [
-            c.gate.select("doc_id", F.lit(0.0).alias("score"))
+            _pregated(c.gate.select("doc_id", F.lit(0.0).alias("score")))
             for c in should
             if c.scores is None and c.gate is not None
         ]
@@ -1096,7 +1191,7 @@ def search(
         out = out.filter(F.col("score") >= float(body["min_score"]))
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
-        return _run_aggs(searcher, out, aggs)
+        return _run_aggs(searcher, out, aggs, docs_text=docs_text)
     # post_filter narrows the HITS only, after the aggregation phase —
     # the faceted-navigation contract: facets show the whole hit set,
     # the page shows the user's current facet selection. Filter-context
@@ -1373,7 +1468,9 @@ def _sub_agg_exprs(spec: dict, dm_cols) -> list:
     return exprs
 
 
-def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
+def _run_aggs(
+    searcher, hits: DataFrame, aggs: dict, docs_text: DataFrame | None = None
+) -> DataFrame:
     """The body's ``aggs`` section over the query's FULL hit set (never
     the size-capped page — ES aggregates all matching docs). Supported:
     one terms/histogram/stats agg over a stored field, with named
@@ -1483,6 +1580,57 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
             agg = agg.filter(cond)
         return agg.orderBy(*[F.col(n).asc() for n in names]).limit(size)
 
+    if kind == "significant_text":
+        # ES significant_text agg: terms over-represented in the hit
+        # set vs the whole index, JLH-scored ((fg%−bg%)·(fg%/bg%), the
+        # ES default heuristic). Foreground df re-tokenizes the HIT
+        # docs only (the significant_text contract — it analyzes
+        # _source text, no term vectors needed); background df is the
+        # index's own term_stats — no second corpus pass. Mirrors
+        # Searcher.significant_terms exactly (pytest pins identity).
+        from kafka_es_spark.functions.tokenize import tokens
+
+        if params.get("field", "text") != "text":
+            raise DSLError("significant_text targets the 'text' field")
+        if docs_text is None:
+            raise DSLError(
+                "significant_text needs the docs_text relation (url, "
+                "text) — this index stores no original text by design"
+            )
+        size = int(params.get("size", 10))
+        mdc = int(params.get("min_doc_count", 3))
+        j2 = (
+            hits.select("doc_id")
+            .join(dm.select("doc_id", "url"), "doc_id")
+            .join(docs_text.select("url", "text"), "url")
+        )
+        n_fg = j2.count()
+        if n_fg == 0:
+            return searcher.spark.createDataFrame(
+                [],
+                "term string, fg_count long, bg_count long, "
+                "sig_score double",
+            )
+        fg = (
+            j2.select(
+                F.explode(F.array_distinct(tokens("text"))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+            .filter(F.col("fg_count") >= mdc)
+        )
+        bg = searcher.term_stats.select(
+            "term", F.col("df").alias("bg_count")
+        )
+        fgp = F.col("fg_count") / F.lit(float(n_fg))
+        bgp = F.col("bg_count") / F.lit(float(searcher.n_docs))
+        return (
+            fg.join(bg, "term")
+            .withColumn("sig_score", F.round((fgp - bgp) * (fgp / bgp), 4))
+            .orderBy(F.col("sig_score").desc(), F.col("term").asc())
+            .limit(size)
+        )
+
     field = params["field"]
     if field not in dm.columns:
         raise DSLError(
@@ -1490,16 +1638,76 @@ def _run_aggs(searcher, hits: DataFrame, aggs: dict) -> DataFrame:
         )
     if sub_spec and kind not in ("terms", "histogram"):
         raise DSLError(f"sub-aggs nest under terms/histogram, not {kind!r}")
+    top_hits_spec = None
+    if kind == "terms" and sub_spec:
+        th = {
+            n: s for n, s in sub_spec.items()
+            if isinstance(s, dict) and "top_hits" in s
+        }
+        if th:
+            if len(sub_spec) != 1:
+                raise DSLError(
+                    "a top_hits sub-agg nests alone under terms here "
+                    "(mixing with metric sub-aggs is not supported)"
+                )
+            top_hits_spec = next(iter(th.values()))["top_hits"]
+            sub_spec = {}
     subs = _sub_agg_exprs(sub_spec, dm.columns)
     need = sorted(
         {field} | {s["field"] for a in sub_spec.values() for s in a.values()}
     )
     j = hits.select("doc_id").join(dm.select("doc_id", *need), "doc_id")
+    if kind == "terms" and top_hits_spec is not None:
+        # terms + top_hits: per-bucket best hits. The window partitions
+        # BY THE BUCKET KEY — per-bucket local sorts, never a global
+        # one; bucket selection is a (#distinct values)-row aggregate
+        # broadcast back (Searcher.top_hits's exact plan shape).
+        from pyspark.sql import Window
+
+        if "score" not in hits.columns:
+            raise DSLError("top_hits needs a scoring query")
+        size = int(params.get("size", 10))
+        per = int(top_hits_spec.get("size", 3))
+        j2 = (
+            hits.select("doc_id", "score")
+            .join(dm.select("doc_id", "url", field), "doc_id")
+            .withColumnRenamed(field, "value")
+        )
+        tb = (
+            j2.groupBy("value").agg(F.count("*").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            .limit(size)
+        )
+        w = Window.partitionBy("value").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            j2.join(F.broadcast(tb), "value")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= per)
+            .select(
+                "value", "doc_count", "rnk", "url",
+                F.round("score", 4).alias("score"),
+            )
+            .orderBy(
+                F.col("doc_count").desc(), F.col("value").asc(),
+                F.col("rnk").asc(),
+            )
+        )
     if kind == "terms":
         size = int(params.get("size", 10))
-        agg = j.groupBy(F.col(field).alias("value")).agg(
+        key = F.col(field)
+        if params.get("missing") is not None:
+            # ES terms `missing`: docs lacking the field bucket under
+            # the given substitute value instead of dropping out
+            key = F.coalesce(key, F.lit(params["missing"]))
+        agg = j.groupBy(key.alias("value")).agg(
             F.count("*").alias("doc_count"), *subs
         )
+        if int(params.get("min_doc_count", 1)) > 1:
+            agg = agg.filter(
+                F.col("doc_count") >= int(params["min_doc_count"])
+            )
         # ES terms `order`: _key / _count / a metric sub-agg name;
         # default doc_count desc. Key asc is always the tie-break —
         # bucket selection at the size cut stays deterministic.

@@ -38,13 +38,18 @@ def idx(spark, pages, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx5c"))
     # req: a tiny per-doc minimum_should_match threshold (1 or 2),
     # derived deterministically so terms_set has a per-doc m field;
-    # warc_ts gives date_histogram a stored timestamp column
+    # warc_ts gives date_histogram a stored timestamp column; opt is
+    # nullable so the terms agg `missing` param has docs to bucket
     p = pages.withColumn(
         "req", (F.length("url") % F.lit(2) + F.lit(1)).cast("int")
+    ).withColumn(
+        "opt",
+        F.when(F.length("url") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), (F.length("url") % 2).cast("string"))),
     )
     build_index(
         spark, p, d, seg_bits=SEG_BITS, n_term_buckets=8,
-        store_fields=("lang", "warc_ts", "req"),
+        store_fields=("lang", "warc_ts", "req", "opt"),
     )
     return d
 
@@ -405,4 +410,153 @@ def test_agg_date_histogram_unknown_interval_raises(searcher):
             "aggs": {"d": {"date_histogram": {
                 "field": "warc_ts", "calendar_interval": "fortnight",
             }}},
+        })
+
+
+# ------------------------------------------------------ more_like_this
+
+
+def test_mlt_text_selects_all_terms_under_cap(searcher):
+    got = search(searcher, {
+        "query": {"more_like_this": {"like": "data data index"}},
+        "size": 10,
+    }).collect()
+    want = search(searcher, {
+        "query": {"match": {"text": "data index"}}, "size": 10,
+    }).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+
+def test_mlt_max_query_terms_picks_by_tfidf(searcher):
+    import math
+
+    stats = {
+        r.term: r.df
+        for r in searcher.term_stats.filter(
+            F.col("term").isin(["data", "index"])
+        ).collect()
+    }
+    n = searcher.n_docs
+
+    def _idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    # like text: data has tf 2, index tf 1
+    best = max(
+        ["data", "index"], key=lambda t: (2 if t == "data" else 1) * _idf(stats[t])
+    )
+    got = search(searcher, {
+        "query": {"more_like_this": {
+            "like": "data data index", "max_query_terms": 1,
+        }},
+        "size": 5,
+    }).collect()
+    want = search(searcher, {
+        "query": {"match": {"text": best}}, "size": 5,
+    }).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+
+def test_mlt_doc_reference_raises_to_searcher_seam(searcher):
+    with pytest.raises(DSLError, match="doc-reference"):
+        search(searcher, {
+            "query": {"more_like_this": {"like": {"_id": "u1"}}},
+        })
+
+
+# ------------------------------------------------- significant_text agg
+
+
+def test_significant_text_matches_searcher_method(searcher, pages):
+    docs_text = pages.select("url", "text")
+    got = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": 5, "min_doc_count": 3,
+        }}},
+    }, docs_text=docs_text).collect()
+    want = searcher.significant_terms(
+        "data index", docs_text, size=5, min_doc_count=3
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_significant_text_needs_docs_text(searcher):
+    with pytest.raises(DSLError, match="docs_text"):
+        search(searcher, {
+            "query": {"match": {"text": "data"}},
+            "aggs": {"sig": {"significant_text": {"field": "text"}}},
+        })
+
+
+# -------------------------------------------------- terms agg widening
+
+
+def test_terms_top_hits_matches_searcher_method(spark, searcher, idx):
+    got = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"by": {
+            "terms": {"field": "lang", "size": 3},
+            "aggs": {"h": {"top_hits": {"size": 2}}},
+        }},
+    }).collect()
+    fv = spark.read.parquet(f"{idx}/docmap").select("url", "lang")
+    want = searcher.top_hits(
+        "data index", fv, "lang", buckets=3, per_bucket=2
+    ).collect()
+    assert [(r.value, r.doc_count, r.rnk, r.url, r.score) for r in got] == [
+        (r.lang, r.doc_count, r.rnk, r.url, r.score) for r in want
+    ]
+
+
+def test_terms_missing_buckets_nulls(spark, searcher, idx):
+    out = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"o": {"terms": {
+            "field": "opt", "size": 10, "missing": "unk",
+        }}},
+    }).collect()
+    j = _hits_dm(spark, searcher, idx)
+    want = {
+        r.k: r.c
+        for r in j.groupBy(
+            F.coalesce(F.col("opt"), F.lit("unk")).alias("k")
+        ).agg(F.count("*").alias("c")).collect()
+    }
+    assert {r.value: r.doc_count for r in out} == want
+    assert "unk" in want  # the fixture really has null opt docs
+
+
+def test_terms_min_doc_count_prunes(spark, searcher, idx):
+    full = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"o": {"terms": {"field": "lang", "size": 10}}},
+    }).collect()
+    floor = max(r.doc_count for r in full)  # keep only the top bucket
+    pruned = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"o": {"terms": {
+            "field": "lang", "size": 10, "min_doc_count": floor,
+        }}},
+    }).collect()
+    assert [r.value for r in pruned] == [
+        r.value for r in full if r.doc_count >= floor
+    ]
+
+
+def test_top_hits_mixed_with_metric_subagg_raises(searcher):
+    with pytest.raises(DSLError, match="alone"):
+        search(searcher, {
+            "query": {"match": {"text": "data"}},
+            "aggs": {"by": {
+                "terms": {"field": "lang"},
+                "aggs": {
+                    "h": {"top_hits": {"size": 2}},
+                    "a": {"avg": {"field": "dl"}},
+                },
+            }},
         })
