@@ -3908,6 +3908,39 @@ def _q_dsl_knn_filter(spark, sf_dir):
     return search(Searcher(spark, idx, cache=False), body, embeddings=e)
 
 
+KNQ_BOOST = 1.5  # knn-in-bool should-clause boost
+
+
+def _q_dsl_knn_bool(spark, sf_dir):
+    """ES 8.12 knn QUERY clause composed inside bool: hit set = the
+    lexical must's docs, score = BM25 + boost·cosine — true hybrid
+    scoring in ONE body (vs the top-level knn section, which is
+    knn-only, and rank.rrf, which fuses ranks). num_candidates covers
+    the corpus here so the oracle is exact; at scale the candidate cut
+    bounds the knn side like ES's per-shard num_candidates."""
+    from kafka_es_spark.operators.searchapi import search
+    from kafka_es_spark.operators.wand import Searcher
+
+    idx = _ensure_index(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(QUERY_TERMS)}}],
+        "should": [{"knn": {
+            "field": "embedding", "query_vector": qv,
+            "num_candidates": 10_000_000, "boost": KNQ_BOOST,
+        }}],
+    }}}
+    out = search(
+        Searcher(spark, idx, cache=False), body, k=TOPK, fetch_k=TOPK * 3,
+        with_url=True, embeddings=e.select("vec_id", "embedding"),
+    )
+    return _topk_by_corpus_id(out)
+
+
 DX_TB = 0.3  # dis_max tie_breaker
 RF_PIVOT, RF_BOOST = 30.0, 2.0  # rank_feature saturation
 DFQ_PIVOT, DFQ_ORIGIN, DFQ_BOOST = 20.0, 50.0, 3.0  # distance_feature
@@ -4475,6 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_agg_extended_stats": _q_dsl_agg_extended_stats,
         "x15_agg_percentiles": _q_dsl_agg_percentiles,
         "esql10_robust_stats": _q_esql_robust_stats,
+        "x15_knn_bool": _q_dsl_knn_bool,
     }
     head = {k: reg[k] for k in _R5_WINDOW}
     head.update((k, v) for k, v in reg.items() if k not in head)
@@ -5476,6 +5510,20 @@ LIMIT {TOPK}
 """,
         # wrapper: decodes to the flagship match — identical to plain BM25
         "x15_wrapper": _BM25_SQL,
+        # knn-in-bool hybrid: BM25 + boost * cosine(embedding, embedding 0)
+        # for every doc the lexical must admits (num_candidates covers the
+        # corpus, so the knn side is the full exact-cosine relation)
+        "x15_knn_bool": _bm25_sql(
+            "documents",
+            score_expr=(
+                f"score + {KNQ_BOOST} * coalesce("
+                "(SELECT list_cosine_similarity("
+                "CAST(e.embedding AS DOUBLE[]), "
+                "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+                "WHERE vec_id = 0)) "
+                "FROM embeddings e WHERE e.vec_id = doc_id), 0)"
+            ),
+        ),
         # rank_feature in bool.should: BM25 + boost * dl/(dl + pivot)
         "x15_rank_feature": _bm25_sql(
             "documents",

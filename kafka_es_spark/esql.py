@@ -286,6 +286,28 @@ def _fn_case(*args: Column) -> Column:
     return expr.otherwise(default) if default is not None else expr
 
 
+def _fn_ip_prefix_v4(ip: Column, v4: Column) -> Column:
+    """Zero the host bits of an IPv4 dotted-quad: address → one u32,
+    subtract (address mod 2^(32−len)), render back. No UDF, no shifts
+    with Column amounts (Spark's shiftleft takes a literal)."""
+    oct_ = F.split(ip, r"\.")
+    ipn = (
+        F.element_at(oct_, 1).cast("long") * 16777216
+        + F.element_at(oct_, 2).cast("long") * 65536
+        + F.element_at(oct_, 3).cast("long") * 256
+        + F.element_at(oct_, 4).cast("long")
+    )
+    host = F.pow(F.lit(2.0), (F.lit(32) - v4).cast("double")).cast("long")
+    masked = ipn - F.pmod(ipn, host)
+    return F.concat_ws(
+        ".",
+        F.floor(masked / 16777216).cast("long").cast("string"),
+        (F.floor(masked / 65536).cast("long") % 256).cast("string"),
+        (F.floor(masked / 256).cast("long") % 256).cast("string"),
+        (masked % 256).cast("string"),
+    )
+
+
 # name → (min_args, max_args, builder).  Builders receive compiled Columns.
 _SCALAR_FNS: dict = {
     "abs": (1, 1, F.abs),
@@ -409,6 +431,60 @@ _SCALAR_FNS: dict = {
                 )
             ),
         ),
+    ),
+    "mv_percentile": (
+        2, 2,
+        # exact percentile over a multivalue: linear interpolation on
+        # the sorted values (quantile_cont contract, like MEDIAN); p in
+        # 0..100 per ES|QL. Pure Column arithmetic — rank r = p/100 ·
+        # (n−1), value = v[⌊r⌋] + frac(r) · (v[⌊r⌋+1] − v[⌊r⌋])
+        lambda a, p: F.when(
+            F.size(a) > 0,
+            (
+                F.element_at(
+                    F.array_sort(a),
+                    (
+                        F.floor(
+                            (p.cast("double") / 100.0) * (F.size(a) - 1)
+                        ) + 1
+                    ).cast("int"),
+                ).cast("double")
+                + (
+                    (p.cast("double") / 100.0) * (F.size(a) - 1)
+                    - F.floor(
+                        (p.cast("double") / 100.0) * (F.size(a) - 1)
+                    )
+                )
+                * (
+                    F.element_at(
+                        F.array_sort(a),
+                        F.least(
+                            F.floor(
+                                (p.cast("double") / 100.0)
+                                * (F.size(a) - 1)
+                            ).cast("int") + 2,
+                            F.size(a),
+                        ),
+                    ).cast("double")
+                    - F.element_at(
+                        F.array_sort(a),
+                        (
+                            F.floor(
+                                (p.cast("double") / 100.0)
+                                * (F.size(a) - 1)
+                            ) + 1
+                        ).cast("int"),
+                    ).cast("double")
+                )
+            ),
+        ),
+    ),
+    "ip_prefix": (
+        3, 3,
+        # ip_prefix(ip, v4_len, v6_len): zero the host bits of an IPv4
+        # dotted-quad (v6 is out of scope — no IPv6 type here); integer
+        # Column arithmetic end-to-end (mask = drop ipn mod 2^(32-len))
+        lambda ip, v4, _v6: _fn_ip_prefix_v4(ip, v4),
     ),
     "mv_median": (
         1, 1,

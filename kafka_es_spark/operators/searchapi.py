@@ -91,7 +91,7 @@ def _field_ids(searcher, field: str, pred) -> DataFrame:
     )
 
 
-def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
+def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
     kind, body = _single(clause, "query clause")
 
     if kind == "match_all":
@@ -238,7 +238,7 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         return _Compiled(None, _field_ids(searcher, field, pred))
 
     if kind == "constant_score":
-        inner = _compile(searcher, body["filter"], scoring=False)
+        inner = _compile(searcher, body["filter"], scoring=False, emb=emb)
         boost = float(body.get("boost", 1.0))
         gate = inner.gate
         if gate is None:
@@ -253,8 +253,8 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         # (negative never excludes — that is must_not's job). One left
         # join of a flag column against the negative gate; the negative
         # clause is compiled in filter context so it never pays scoring.
-        pos = _compile(searcher, body["positive"], scoring=True)
-        neg = _compile(searcher, body["negative"], scoring=False)
+        pos = _compile(searcher, body["positive"], scoring=True, emb=emb)
+        neg = _compile(searcher, body["negative"], scoring=False, emb=emb)
         nb = float(body.get("negative_boost", 0.5))
         base = _inner_scores(searcher, pos)
         if neg.gate is None:
@@ -273,10 +273,10 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         )
 
     if kind == "script_score":
-        return _compile_script_score(searcher, body)
+        return _compile_script_score(searcher, body, emb=emb)
 
     if kind == "function_score":
-        return _compile_function_score(searcher, body)
+        return _compile_function_score(searcher, body, emb=emb)
 
     if kind == "dis_max":
         # ES dis_max: score = best subquery + tie_breaker * (sum of the
@@ -287,7 +287,7 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         subs = _as_clauses(body.get("queries"))
         if not subs:
             raise DSLError("dis_max needs queries[]")
-        comps = [_compile(searcher, c, scoring) for c in subs]
+        comps = [_compile(searcher, c, scoring, emb=emb) for c in subs]
         if not scoring:
             gate = None
             for c in comps:
@@ -326,7 +326,7 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             inner = json.loads(base64.b64decode(raw))
         except Exception as e:  # noqa: BLE001 - surface as a DSL error
             raise DSLError(f"wrapper query is not base64 JSON: {e}") from e
-        return _compile(searcher, inner, scoring)
+        return _compile(searcher, inner, scoring, emb=emb)
 
     if kind == "rank_feature":
         # ES rank_feature query: matches docs HAVING the feature field,
@@ -477,6 +477,74 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
             return _Compiled(None, gate)
         return _Compiled(searcher.relational_scores(q), gate)
 
+    if kind == "knn":
+        # ES 8.12+ knn QUERY clause (vs the top-level knn section): a
+        # composable clause — usable inside bool, scored by cosine over
+        # the top num_candidates, so lexical filters/musts gate it like
+        # any other clause. An inner `filter` pre-gates the candidate
+        # set BEFORE scoring (the clause guarantees its candidates come
+        # from the filtered set). The index stores no vectors by design;
+        # the embeddings relation rides in via search(embeddings=...).
+        from kafka_es_spark.operators.similarity import cosine_topk
+
+        if emb is None:
+            raise DSLError(
+                "knn query clause needs the embeddings relation "
+                "(search(..., embeddings=...))"
+            )
+        nc = int(body.get("num_candidates", 100))
+        boost = float(body.get("boost", 1.0))
+        dm = _docmap(searcher).select("doc_id", "url")
+        embeddings = emb
+        flt = body.get("filter")
+        if flt is not None:
+            comp = _compile(searcher, flt, scoring=False, emb=emb)
+            gate = comp.gate
+            if gate is None:
+                gate = _inner_scores(searcher, comp).select("doc_id")
+            urls = gate.select("doc_id").join(dm, "doc_id")
+            if "url" in embeddings.columns:
+                embeddings = embeddings.join(
+                    urls.select("url"), "url", "left_semi"
+                )
+            else:
+                keep = urls.select(
+                    F.regexp_extract("url", r"doc://(\d+)", 1)
+                    .cast("long").alias("vec_id")
+                )
+                embeddings = embeddings.join(keep, "vec_id", "left_semi")
+        qdf = searcher.spark.createDataFrame(
+            [(-1, [float(x) for x in body["query_vector"]])],
+            "query_id long, qvec array<double>",
+        )
+        top = cosine_topk(
+            embeddings, qdf, k=nc,
+            similarity=body.get("similarity"), round_to=None,
+        )
+        if "url" in emb.columns:
+            ids = top.join(
+                emb.select("vec_id", "url"), "vec_id"
+            ).join(dm, "url")
+        else:
+            # driver-corpus convention: docmap url doc://<vec_id>
+            ids = top.join(
+                dm.withColumn(
+                    "vec_id",
+                    F.regexp_extract("url", r"doc://(\d+)", 1).cast("long"),
+                ),
+                "vec_id",
+            )
+        scores = ids.select(
+            "doc_id", (F.col("cos") * F.lit(boost)).alias("score")
+        )
+        if searcher.persistent_excluded:
+            scores = scores.filter(
+                ~F.col("doc_id").isin(sorted(searcher.persistent_excluded))
+            )
+        if not scoring:
+            return _Compiled(None, scores.select("doc_id"))
+        return _Compiled(scores, None)
+
     if kind == "more_like_this":
         # ES more_like_this, like-as-TEXT form: analyze the given text,
         # rank its terms by tf·idf (tf within the like text, df from
@@ -547,7 +615,7 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         )
         dm = _docmap(searcher).select("doc_id", "url")
         pins = pin_df.join(dm, "url").select("doc_id", "score")
-        org = _inner_scores(searcher, _compile(searcher, organic, scoring=True))
+        org = _inner_scores(searcher, _compile(searcher, organic, scoring=True, emb=emb))
         org = org.join(F.broadcast(pins.select("doc_id")), "doc_id", "left_anti")
         scores = pins.unionByName(org)
         if not scoring:
@@ -555,7 +623,7 @@ def _compile(searcher, clause: dict, scoring: bool) -> _Compiled:
         return _Compiled(scores, None)
 
     if kind == "bool":
-        return _compile_bool(searcher, body, scoring)
+        return _compile_bool(searcher, body, scoring, emb=emb)
 
     raise DSLError(f"unsupported query clause {kind!r}")
 
@@ -598,7 +666,7 @@ def _join_doc_fields(searcher, scores: DataFrame, fields) -> tuple:
     )
 
 
-def _compile_script_score(searcher, body: dict) -> _Compiled:
+def _compile_script_score(searcher, body: dict, emb=None) -> _Compiled:
     """ES ``script_score`` query: the inner query's hit set, rescored by
     a painless expression over ``_score`` and ``doc['field'].value``
     (compiled ONCE to a Column — operators/painless.ScoreScript; no
@@ -611,7 +679,7 @@ def _compile_script_score(searcher, body: dict) -> _Compiled:
     if not isinstance(script, dict) or "source" not in script:
         raise DSLError("script_score needs script.source")
     ss = ScoreScript(script["source"], script.get("params"))
-    inner = _compile(searcher, body["query"], scoring=True)
+    inner = _compile(searcher, body["query"], scoring=True, emb=emb)
     base = _inner_scores(searcher, inner)
     base, types = _join_doc_fields(searcher, base, ss.doc_fields)
     col = ss.column(
@@ -637,7 +705,7 @@ _FVF_MODIFIERS = {
 }
 
 
-def _compile_function_score(searcher, body: dict) -> _Compiled:
+def _compile_function_score(searcher, body: dict, emb=None) -> _Compiled:
     """ES ``function_score``: per-doc function values combined by
     ``score_mode`` (sum/multiply/avg/max/min/first over the functions
     whose ``filter`` matched; 1.0 when none matched), capped at
@@ -649,7 +717,7 @@ def _compile_function_score(searcher, body: dict) -> _Compiled:
     never a second corpus pass."""
     from kafka_es_spark.operators.painless import ScoreScript
 
-    inner = _compile(searcher, body["query"], scoring=True)
+    inner = _compile(searcher, body["query"], scoring=True, emb=emb)
     base = _inner_scores(searcher, inner)
 
     fns = body.get("functions")
@@ -686,7 +754,7 @@ def _compile_function_score(searcher, body: dict) -> _Compiled:
     flags: list = []
     for i, f_ in enumerate(fns):
         if "filter" in f_:
-            gate = _compile(searcher, f_["filter"], scoring=False).gate
+            gate = _compile(searcher, f_["filter"], scoring=False, emb=emb).gate
             if gate is None:
                 raise DSLError("function filter produced no hit set")
             flag = f"__fs_match_{i}"
@@ -808,17 +876,21 @@ def _apply_collapse(searcher, out: DataFrame, spec) -> DataFrame:
     )
 
 
-def _compile_bool(searcher, body: dict, scoring: bool) -> _Compiled:
-    must = [_compile(searcher, c, scoring) for c in _as_clauses(body.get("must"))]
+def _compile_bool(searcher, body: dict, scoring: bool, emb=None) -> _Compiled:
+    must = [
+        _compile(searcher, c, scoring, emb=emb)
+        for c in _as_clauses(body.get("must"))
+    ]
     should = [
-        _compile(searcher, c, scoring) for c in _as_clauses(body.get("should"))
+        _compile(searcher, c, scoring, emb=emb)
+        for c in _as_clauses(body.get("should"))
     ]
     filt = [
-        _compile(searcher, c, scoring=False)
+        _compile(searcher, c, scoring=False, emb=emb)
         for c in _as_clauses(body.get("filter"))
     ]
     nots = [
-        _compile(searcher, c, scoring=False)
+        _compile(searcher, c, scoring=False, emb=emb)
         for c in _as_clauses(body.get("must_not"))
     ]
     if not (must or should or filt):
@@ -1173,7 +1245,7 @@ def search(
     if query is None:
         raise DSLError("_search body needs a 'query' (or 'knn')")
     size = int(k if k is not None else body.get("size", 10))
-    comp = _compile(searcher, query, scoring=True)
+    comp = _compile(searcher, query, scoring=True, emb=embeddings)
     out = comp.scores
     if out is None:
         out = comp.gate.select(
@@ -1801,6 +1873,22 @@ def _run_aggs(
     if kind == "missing":
         return j.filter(F.col(field).isNull()).agg(
             F.count(F.lit(1)).alias("doc_count")
+        )
+    if kind == "median_absolute_deviation":
+        # ES MAD agg (t-digest-approximate in ES): exact here —
+        # median(|x − median(x)|) as a 1-row median pre-pass broadcast
+        # back, then one aggregation (same plan the ES|QL MAD uses)
+        med = j.agg(F.percentile(field, F.lit(0.5)).alias("__m"))
+        return (
+            j.crossJoin(F.broadcast(med))
+            .agg(
+                F.round(
+                    F.percentile(
+                        F.abs(F.col(field) - F.col("__m")), F.lit(0.5)
+                    ),
+                    4,
+                ).alias("mad")
+            )
         )
     if kind == "range":
         # ES range agg: half-open [from, to) buckets, each counted

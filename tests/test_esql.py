@@ -768,3 +768,35 @@ def test_match_and_operator(spark, docs):
 def test_match_needs_literal_query(spark, docs):
     with pytest.raises(ESQLError, match="literal"):
         _run(spark, "FROM docs | WHERE match(text, text)", docs=docs)
+
+
+def test_mv_percentile_interpolates(spark, docs):
+    rows = _run(
+        spark,
+        "FROM docs | EVAL a = [10, 20, 30, 40], "
+        "p50 = mv_percentile(a, 50), p25 = mv_percentile(a, 25), "
+        "p100 = mv_percentile(a, 100), p0 = mv_percentile(a, 0) "
+        "| KEEP p50, p25, p100, p0 | LIMIT 1",
+        docs=docs,
+    ).collect()
+    r = rows[0]
+    assert (r.p50, r.p25, r.p100, r.p0) == (25.0, 17.5, 40.0, 10.0)
+
+
+def test_ip_prefix_v4(spark):
+    ips = spark.createDataFrame(
+        [("10.1.2.3",), ("192.168.77.200",), ("8.8.8.8",)], "ip string"
+    )
+    rows = _run(
+        spark,
+        "FROM ips | EVAL p24 = ip_prefix(ip, 24, 128), "
+        "p16 = ip_prefix(ip, 16, 128), p32 = ip_prefix(ip, 32, 128) "
+        "| SORT ip ASC",
+        ips=ips,
+    ).collect()
+    got = {r.ip: (r.p24, r.p16, r.p32) for r in rows}
+    assert got == {
+        "10.1.2.3": ("10.1.2.0", "10.1.0.0", "10.1.2.3"),
+        "192.168.77.200": ("192.168.77.0", "192.168.0.0", "192.168.77.200"),
+        "8.8.8.8": ("8.8.8.0", "8.8.0.0", "8.8.8.8"),
+    }

@@ -560,3 +560,110 @@ def test_top_hits_mixed_with_metric_subagg_raises(searcher):
                 },
             }},
         })
+
+
+# ----------------------------------------------------- knn query clause
+
+
+@pytest.fixture(scope="module")
+def emb(spark, idx):
+    # deterministic 2-d embeddings keyed by internal doc id, with a url
+    # column so vec->doc mapping uses the url path
+    dm = spark.read.parquet(f"{idx}/docmap")
+    # (dl, doc_id*37 % 101 + 1): direction-distinct vectors, so cosine
+    # ties (which make the k-cut order-dependent) are rare
+    return dm.select(
+        F.col("doc_id").alias("vec_id"),
+        "url",
+        F.array(
+            (F.col("dl") + 1).cast("double"),
+            ((F.col("doc_id") * 37) % 101 + 1).cast("double"),
+        ).alias("embedding"),
+    ).cache()
+
+
+QV = [1.0, 0.5]
+
+
+def test_knn_clause_matches_cosine_topk(spark, searcher, idx, emb):
+    from kafka_es_spark.operators.similarity import cosine_topk
+
+    got = search(searcher, {
+        "query": {"knn": {
+            "field": "embedding", "query_vector": QV, "num_candidates": 7,
+        }},
+        "size": 7,
+    }, embeddings=emb).collect()
+    qdf = spark.createDataFrame(
+        [(-1, QV)], "query_id long, qvec array<double>"
+    )
+    # the clause cuts candidates at RAW precision and rounds only at
+    # serving (exactly _finish_topk's discipline) — mirror that
+    want = cosine_topk(emb, qdf, k=7, round_to=None).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.vec_id, round(r.cos, 4)) for r in want
+    ]
+
+
+def test_knn_clause_composes_in_bool(searcher, emb):
+    lex = _scores(searcher, {"query": {"match": {"text": "data"}}})
+    got = search(searcher, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "data"}}],
+            "should": [{"knn": {
+                "field": "embedding", "query_vector": QV,
+                "num_candidates": 100000, "boost": 2.0,
+            }}],
+        }},
+        "size": 400,
+    }, embeddings=emb, round_to=None).collect()
+    knn_only = search(searcher, {
+        "query": {"knn": {
+            "field": "embedding", "query_vector": QV,
+            "num_candidates": 100000,
+        }},
+        "size": 100000,
+    }, embeddings=emb, round_to=None).collect()
+    cos = {r.doc_id: r.score for r in knn_only}
+    # hit set = must's docs; score = bm25 + 2*cos for each
+    assert {r.doc_id for r in got} == set(lex)
+    for r in got:
+        assert r.score == pytest.approx(
+            lex[r.doc_id] + 2.0 * cos[r.doc_id], rel=1e-9
+        )
+
+
+def test_knn_clause_filter_pregates(spark, searcher, idx, emb):
+    got = search(searcher, {
+        "query": {"knn": {
+            "field": "embedding", "query_vector": QV,
+            "num_candidates": 5,
+            "filter": {"term": {"lang": "de"}},
+        }},
+        "size": 5,
+    }, embeddings=emb, with_url=False).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{idx}/docmap").collect()
+    }
+    assert got and all(langs[r.doc_id] == "de" for r in got)
+
+
+def test_knn_clause_needs_embeddings(searcher):
+    with pytest.raises(DSLError, match="embeddings"):
+        search(searcher, {"query": {"knn": {
+            "field": "embedding", "query_vector": QV,
+        }}})
+
+
+def test_agg_mad_exact(spark, searcher, idx):
+    row = search(searcher, {
+        "query": {"match": {"text": "data index"}},
+        "aggs": {"m": {"median_absolute_deviation": {"field": "dl"}}},
+    }).collect()[0]
+    import numpy as np
+
+    j = _hits_dm(spark, searcher, idx)
+    dls = np.array([r.dl for r in j.select("dl").collect()], dtype=float)
+    want = float(np.percentile(np.abs(dls - np.percentile(dls, 50)), 50))
+    assert row.mad == pytest.approx(round(want, 4))
