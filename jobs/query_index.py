@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--facet", default=None, metavar="FIELD:PARQUET",
                    help="terms aggregation: bucket hits by FIELD joined "
                         "from a (url, FIELD) parquet relation")
+    p.add_argument("--embeddings", default=None, metavar="PARQUET",
+                   help="embeddings relation (vec_id, embedding[, url]) "
+                        "for --dsl bodies with knn sections/clauses")
+    p.add_argument("--docs-text", default=None, metavar="PARQUET",
+                   help="(url, text) relation for --dsl bodies with "
+                        "highlight or significant_text sections")
     p.add_argument("--dsl", action="store_true",
                    help="treat each query arg as an ES _search request "
                         "body (JSON string, or @file.json) — the JSON "
@@ -89,12 +95,21 @@ def main(argv: list[str] | None = None) -> None:
         if args.dsl:
             from kafka_es_spark.operators.searchapi import search
 
+            emb = (
+                spark.read.parquet(args.embeddings)
+                if args.embeddings else None
+            )
+            dt = (
+                spark.read.parquet(args.docs_text)
+                if args.docs_text else None
+            )
             for q in args.queries:
                 body = json.loads(
                     open(q[1:]).read() if q.startswith("@") else q
                 )
                 rows = search(
-                    s, body, k=args.k, with_url=not args.no_url
+                    s, body, k=args.k, with_url=not args.no_url,
+                    embeddings=emb, docs_text=dt,
                 ).collect()
                 print(json.dumps({"dsl": body.get("query", body),
                                   "hits": [r.asDict() for r in rows]}))
