@@ -1103,7 +1103,11 @@ def _apply_highlight(searcher, out: DataFrame, body: dict,
             os.path.join(searcher.index_dir, "docmap")
         ).select("doc_id", "url")
         out = out.join(dm, "doc_id")
-    j = out.join(docs_text.select("url", "text"), "url")
+    # LEFT join: ES never drops a hit because highlighting found no text
+    # for it — the hit keeps its rank with a null snippet (the inner-join
+    # alternative silently empties the page when the docs_text relation
+    # doesn't cover the index's urls, a hard-to-diagnose mismatch)
+    j = out.join(docs_text.select("url", "text"), "url", "left")
     big = F.lit(2_000_000_000)
     lower_t = F.lower(F.col("text"))
     ps = [

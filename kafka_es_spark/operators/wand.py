@@ -1144,7 +1144,10 @@ class Searcher:
             query, k=k, round_to=round_to, with_url=True, fetch_k=fetch_k,
             mode=mode,
         )
-        j = out.join(docs_text.select("url", "text"), "url")
+        # LEFT join: a hit whose url is missing from docs_text keeps its
+        # rank with a null snippet (ES never drops a hit because the
+        # highlighter had nothing to read)
+        j = out.join(docs_text.select("url", "text"), "url", "left")
         big = F.lit(2_000_000_000)
         lower_t = F.lower(F.col("text"))
         ps = [

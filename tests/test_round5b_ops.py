@@ -345,3 +345,35 @@ def test_body_terms_order_unknown_key_raises(searcher):
         search(searcher, {**BODY, "aggs": {"a": {
             "terms": {"field": "lang", "order": {"nope": "desc"}},
         }}})
+
+
+def test_body_highlight_keeps_hits_missing_from_docs_text(searcher, pages):
+    """ES never drops a hit because the highlighter had nothing to read:
+    a hit whose url is absent from the docs_text relation keeps its rank
+    with a null snippet (an inner join here silently empties the page
+    when the relation doesn't cover the index — the failure mode is a
+    url-universe mismatch, not a query miss)."""
+    body = {
+        **BODY,
+        "size": 5,
+        "highlight": {"fields": {"text": {"fragment_size": 60}}},
+    }
+    plain = search(searcher, {**BODY, "size": 5}, with_url=True).collect()
+    assert len(plain) == 5
+    # docs_text covering NONE of the hits: same ranking, null snippets
+    import pyspark.sql.functions as F
+
+    empty_cover = pages.select(
+        F.concat(F.lit("missing://"), F.col("url")).alias("url"), "text"
+    )
+    rows = search(searcher, body, docs_text=empty_cover, with_url=True).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in plain]
+    assert all(r.snippet is None for r in rows)
+    # partial cover: covered hits get snippets, uncovered keep rank
+    covered = {plain[0].url, plain[2].url}
+    part = pages.select("url", "text").where(F.col("url").isin(covered))
+    rows = search(searcher, body, docs_text=part, with_url=True).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in plain]
+    by_url = {r.url: r.snippet for r in rows}
+    assert all(by_url[u] is not None for u in covered)
+    assert all(s is None for u, s in by_url.items() if u not in covered)
