@@ -10,9 +10,14 @@ In local sandboxes --gen N synthesizes the input_hint-shaped corpus.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow `python jobs/<job>.py` without spark-submit --py-files.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
-import sys
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -16,6 +16,12 @@ topic whose values are JSON pages (html base64) — same downstream plan.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow `python jobs/<job>.py` without spark-submit --py-files.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -6,6 +6,12 @@
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow `python jobs/<job>.py` without spark-submit --py-files.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 
