@@ -19,7 +19,9 @@ import json
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", required=True)
-    p.add_argument("-k", type=int, default=10)
+    # default resolves to 10 after parsing; None is distinguishable so a
+    # --dsl body's own "size" governs unless -k is given explicitly
+    p.add_argument("-k", type=int, default=None)
     p.add_argument("--no-url", action="store_true")
     p.add_argument("--batch", action="store_true",
                    help="score all queries in ONE Spark job (amortized latency)")
@@ -71,6 +73,9 @@ def main(argv: list[str] | None = None) -> None:
                         "Query DSL interpreter")
     p.add_argument("queries", nargs="+")
     args = p.parse_args(argv)
+    dsl_k = args.k  # None → the body's "size" (ES: body wins over default)
+    if args.k is None:
+        args.k = 10
 
     from kafka_es_spark.session import get_spark
     from kafka_es_spark.operators.wand import Searcher
@@ -114,7 +119,7 @@ def main(argv: list[str] | None = None) -> None:
                     open(q[1:]).read() if q.startswith("@") else q
                 )
                 rows = search(
-                    s, body, k=args.k, with_url=not args.no_url,
+                    s, body, k=dsl_k, with_url=not args.no_url,
                     embeddings=emb, docs_text=dt,
                 ).collect()
                 print(json.dumps({"dsl": body.get("query", body),
@@ -145,10 +150,17 @@ def main(argv: list[str] | None = None) -> None:
                                   "hits": [r.asDict() for r in rows]}))
             s.close()
             return
-        boosts = dict(
-            (kv.split("=", 1)[0], float(kv.split("=", 1)[1]))
-            for kv in args.boost
-        ) or None
+        def _boost(kv: str) -> tuple[str, float]:
+            # accept both TERM=WEIGHT and the ES TERM^WEIGHT spelling
+            sep = "=" if "=" in kv else "^"
+            term, _, w = kv.partition(sep)
+            if not term or not w:
+                raise SystemExit(
+                    f"--boost expects TERM=WEIGHT or TERM^WEIGHT, got {kv!r}"
+                )
+            return term, float(w)
+
+        boosts = dict(_boost(kv) for kv in args.boost) or None
         if args.after:
             sc, did = args.after.split(",", 1)
             for q in args.queries:
