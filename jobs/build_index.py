@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> None:
                         "match_phrase_prefix queries; ~tokens/postings x "
                         "the posting shuffle, like Lucene "
                         "index_options=positions)")
+    p.add_argument("--store-fields", default=None, metavar="F1,F2",
+                   help="comma-separated page columns to store in the "
+                        "docmap (doc-values tier: --facet lookups, DSL "
+                        "_source includes, and update_by_query --set/"
+                        "--script can only touch stored fields)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
     if not args.input and not args.gen:
@@ -73,6 +78,9 @@ def main(argv: list[str] | None = None) -> None:
             codec=args.codec,
             n_shards=args.shards,
             resume=args.resume,
+            store_fields=tuple(
+                f for f in (args.store_fields or "").split(",") if f
+            ),
         )
         if args.positions:
             from kafka_es_spark.operators.positions import build_position_index

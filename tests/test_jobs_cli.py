@@ -34,7 +34,8 @@ def run(mod, argv):
     return buf.getvalue()
 
 idx = {idx!r}
-run(jobs.build_index, ["--gen", "3000", "--output", idx, "--term-buckets", "4"])
+run(jobs.build_index, ["--gen", "3000", "--output", idx, "--term-buckets", "4",
+                       "--store-fields", "lang"])
 
 hits = json.loads(run(jobs.query_index, ["--index", idx, "web crawl text"]).strip().splitlines()[-1])
 out["q1"] = hits
@@ -45,6 +46,12 @@ dsl = json.loads(run(jobs.query_index, [
     ' "filter": [{{"range": {{"dl": {{"gte": 10}}}}}}]}}}}, "size": 5}}',
 ]).strip().splitlines()[-1])
 out["dsl"] = dsl
+
+upd = json.loads(run(jobs.update_index, [
+    "--index", idx, "update", "web crawl", "--mode", "and",
+    "--script", "ctx._source.lang = 'xx-' + ctx._source.lang",
+]).strip().splitlines()[-1])
+out["updated"] = upd
 
 dele = json.loads(run(jobs.update_index, ["--index", idx, "delete", "web crawl", "--mode", "and"]).strip().splitlines()[-1])
 out["deleted"] = dele
@@ -79,6 +86,10 @@ def test_jobs_cli_lifecycle(tmp_path):
     assert all("url" in h for h in out["q1"]["hits"])
 
     assert 0 < len(out["dsl"]["hits"]) <= 5
+
+    # painless-lite update_by_query rewrote the stored field for every
+    # conjunctive match; the later delete draws the same hit set
+    assert out["updated"]["updated"] == out["deleted"]["deleted"]
 
     # conjunctive delete tombstones some docs; the same AND query then
     # returns nothing (tombstones are query-visible pre-compaction)
