@@ -39,6 +39,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--trigger", type=int, default=10)
     p.add_argument("--max-files-per-trigger", type=int, default=10)
     p.add_argument("--term-buckets", type=int, default=32)
+    p.add_argument("--positions", action="store_true",
+                   help="also append each epoch's positional unit "
+                        "(phrase queries over the streamed index)")
+    p.add_argument("--store-fields", default=None, metavar="F1,F2",
+                   help="comma-separated page columns stored in the "
+                        "docmap (same contract as build_index.py)")
+    p.add_argument("--compact-every", type=int, default=None, metavar="N",
+                   help="in-stream merge policy (ES background-merge "
+                        "analogue): compact after the index accretes N "
+                        "epoch units")
     p.add_argument("--once", action="store_true", help="drain available input, then stop")
     args = p.parse_args(argv)
 
@@ -77,6 +87,11 @@ def main(argv: list[str] | None = None) -> None:
             trigger_seconds=args.trigger,
             n_term_buckets=args.term_buckets,
             once=args.once,
+            with_positions=args.positions,
+            compact_every=args.compact_every,
+            store_fields=tuple(
+                f for f in (args.store_fields or "").split(",") if f
+            ),
         )
         q.awaitTermination()
     finally:

@@ -58,9 +58,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--count", action="store_true",
                    help="print the matching-doc count instead of top-k "
                         "(ES _count)")
-    p.add_argument("--facet", default=None, metavar="FIELD:PARQUET",
-                   help="terms aggregation: bucket hits by FIELD joined "
-                        "from a (url, FIELD) parquet relation")
+    p.add_argument("--facet", default=None, metavar="FIELD[:PARQUET]",
+                   help="terms aggregation: bucket hits by FIELD — read "
+                        "from the docmap's stored fields (doc-values "
+                        "path; build with --store-fields), or joined "
+                        "from a (url, FIELD) parquet relation when "
+                        ":PARQUET is given")
     p.add_argument("--embeddings", default=None, metavar="PARQUET",
                    help="embeddings relation (vec_id, embedding[, url]) "
                         "for --dsl bodies with knn sections/clauses")
@@ -183,8 +186,8 @@ def main(argv: list[str] | None = None) -> None:
             s.close()
             return
         if args.facet:
-            field, path = args.facet.split(":", 1)
-            fv = spark.read.parquet(path)
+            field, _, path = args.facet.partition(":")
+            fv = spark.read.parquet(path) if path else None
             for q in args.queries:
                 rows = s.facet_terms(
                     q, fv, field, mode=args.mode, must_not=args.must_not
