@@ -118,9 +118,15 @@ def main(argv: list[str] | None = None) -> None:
                 if args.docs_text else None
             )
             for q in args.queries:
-                body = json.loads(
-                    open(q[1:]).read() if q.startswith("@") else q
-                )
+                try:
+                    body = json.loads(
+                        open(q[1:]).read() if q.startswith("@") else q
+                    )
+                except json.JSONDecodeError as e:
+                    raise SystemExit(
+                        f"--dsl expects an ES _search JSON body "
+                        f"(or @file.json): {e}"
+                    )
                 rows = search(
                     s, body, k=dsl_k, with_url=not args.no_url,
                     embeddings=emb, docs_text=dt,

@@ -426,6 +426,13 @@ class Searcher:
         self.index_dir = index_dir
         from kafka_es_spark.plans.build_index import BUCKET_SCHEME
 
+        import os as _os
+
+        if not _os.path.exists(_os.path.join(index_dir, "stats.json")):
+            raise FileNotFoundError(
+                f"no index dataset at {index_dir!r} (stats.json missing) — "
+                "build one with plans.build_index / jobs/build_index.py"
+            )
         # a crash inside a compaction swap window leaves a relation under
         # X.old with no X — repair before reading anything
         recover_swap_dirs(index_dir)
