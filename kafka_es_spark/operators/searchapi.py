@@ -62,6 +62,37 @@ class _Compiled:
         self.gate = gate
 
 
+def _min_should_match(value, total: int) -> int:
+    """Resolve an ES ``minimum_should_match`` value against ``total``
+    optional clauses (the Lucene grammar): an int or int string is a
+    fixed count, a NEGATIVE count means ``total - n`` may be required,
+    ``"P%"`` is ``floor(total * P/100)``, and ``"-P%"`` means that
+    percentage (rounded down) may be MISSING. Conditional forms
+    (``"3<90%"``) are out of scope and fail loudly. The result is
+    clamped to >= 1 (a computed 0 still needs one optional clause to
+    hit — BooleanQuery with no required clauses); values above
+    ``total`` are kept as-is and simply match nothing, like ES."""
+    import math
+
+    if isinstance(value, int):
+        n = value
+    else:
+        s = str(value).strip()
+        if "<" in s:
+            raise DSLError(
+                "conditional minimum_should_match forms (\"3<90%\") are "
+                f"not supported (got {s!r})"
+            )
+        if s.endswith("%"):
+            p = float(s[:-1])
+            cnt = int(math.floor(abs(p) * total / 100.0))
+            return max(1, (total - cnt) if p < 0 else cnt)
+        n = int(s)
+    if n < 0:
+        n = total + n
+    return max(1, n)
+
+
 def _docmap(searcher) -> DataFrame:
     import os
 
@@ -110,7 +141,14 @@ def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
         if op == "and":
             gate = searcher.matching_doc_ids(q, mode="and")
         elif msm is not None:
-            gate = searcher.matching_doc_ids(q, min_should_match=int(msm))
+            from kafka_es_spark.functions.tokenize import tokenize_py
+
+            gate = searcher.matching_doc_ids(
+                q,
+                min_should_match=_min_should_match(
+                    msm, len(set(tokenize_py(q)))
+                ),
+            )
         if not scoring:
             return _Compiled(
                 None, gate if gate is not None else searcher.matching_doc_ids(q)
@@ -975,7 +1013,13 @@ def _compile_bool(searcher, body: dict, scoring: bool, emb=None) -> _Compiled:
         ]
         # minimum_should_match over filter-context should clauses (ES
         # default: 1 when should is the only content, i.e. no gates)
-        msm = int(body.get("minimum_should_match", 1)) if should else 0
+        msm = (
+            _min_should_match(
+                body.get("minimum_should_match", 1), len(should)
+            )
+            if should
+            else 0
+        )
         should_union = None
         if should:
             for c in should:
@@ -1024,7 +1068,9 @@ def _compile_bool(searcher, body: dict, scoring: bool, emb=None) -> _Compiled:
     # should semantics: scores already added; gating applies only when
     # there is no must/filter (then >= minimum_should_match must hit)
     if should and not must and not filt:
-        msm = int(body.get("minimum_should_match", 1))
+        msm = _min_should_match(
+            body.get("minimum_should_match", 1), len(should)
+        )
         if msm > 1:
             union = None
             for c in should:

@@ -377,3 +377,47 @@ def test_body_highlight_keeps_hits_missing_from_docs_text(searcher, pages):
     by_url = {r.url: r.snippet for r in rows}
     assert all(by_url[u] is not None for u in covered)
     assert all(s is None for u, s in by_url.items() if u not in covered)
+
+
+def test_min_should_match_grammar():
+    """The Lucene minimum_should_match grammar: fixed count, negative
+    count (total - n), percentage (floor), negative percentage (that
+    many may be MISSING), clamped to >= 1."""
+    from kafka_es_spark.operators.searchapi import _min_should_match as m
+
+    assert m(2, 4) == 2
+    assert m("2", 4) == 2
+    assert m(-1, 4) == 3
+    assert m("-1", 4) == 3
+    assert m("75%", 4) == 3
+    assert m("50%", 3) == 1        # floor(1.5)
+    assert m("-25%", 4) == 3       # 1 may be missing
+    assert m("-30%", 3) == 3       # floor(0.9) = 0 may be missing
+    assert m("10%", 4) == 1        # floor(0.4) clamps up to 1
+    assert m(0, 4) == 1            # BooleanQuery still needs one hit
+    assert m(9, 4) == 9            # above total: matches nothing, like ES
+    with pytest.raises(DSLError, match="conditional"):
+        m("3<90%", 5)
+
+
+def test_bool_should_msm_percentage(searcher):
+    """A should-only scoring bool with minimum_should_match="67%" over 3
+    clauses requires >= 2 matched clauses — same hit set as the integer
+    form."""
+    clauses = [
+        {"match": {"text": "data"}},
+        {"match": {"text": "index"}},
+        {"match": {"text": "crawl"}},
+    ]
+    pct = search(searcher, {
+        "query": {"bool": {"should": clauses, "minimum_should_match": "67%"}},
+        "size": 50,
+    }).collect()
+    lit = search(searcher, {
+        "query": {"bool": {"should": clauses, "minimum_should_match": 2}},
+        "size": 50,
+    }).collect()
+    assert [(r.doc_id, r.score) for r in pct] == [
+        (r.doc_id, r.score) for r in lit
+    ]
+    assert len(pct) > 0
