@@ -93,6 +93,26 @@ def _min_should_match(value, total: int) -> int:
     return max(1, n)
 
 
+def _fuzziness(value, term_len: int) -> int:
+    """Resolve an ES ``fuzziness`` value for a term of ``term_len``
+    chars: an int/int-string is a fixed edit distance; ``"AUTO"`` (the
+    ES default) and ``"AUTO:low,high"`` scale with term length — 0
+    edits below ``low`` (default 3), 1 below ``high`` (default 6),
+    else 2."""
+    if isinstance(value, int):
+        return value
+    s = str(value).strip()
+    if s.upper().startswith("AUTO"):
+        low, high = 3, 6
+        if ":" in s:
+            try:
+                low, high = (int(x) for x in s.split(":", 1)[1].split(","))
+            except ValueError:
+                raise DSLError(f"fuzziness AUTO form must be AUTO:low,high (got {s!r})")
+        return 0 if term_len < low else (1 if term_len < high else 2)
+    return int(s)
+
+
 def _docmap(searcher) -> DataFrame:
     import os
 
@@ -154,6 +174,9 @@ def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
                 None, gate if gate is not None else searcher.matching_doc_ids(q)
             )
         scores = searcher.relational_scores(q)
+        boost = float(spec.get("boost", 1.0))
+        if boost != 1.0:
+            scores = scores.withColumn("score", F.col("score") * boost)
         return _Compiled(scores, gate)
 
     if kind in ("term", "terms"):
@@ -205,7 +228,11 @@ def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
         elif kind == "regexp":
             exp = ts.filter(F.col("term").rlike(f"^(?:{value})$"))
         else:  # fuzzy
-            fuzz = int(spec.get("fuzziness", 2)) if isinstance(spec, dict) else 2
+            fuzz = (
+                _fuzziness(spec.get("fuzziness", 2), len(value))
+                if isinstance(spec, dict)
+                else 2
+            )
             exp = ts.filter(
                 (F.abs(F.length(F.col("term")) - len(value)) <= fuzz)
                 & (F.levenshtein(F.col("term"), F.lit(value)) <= fuzz)

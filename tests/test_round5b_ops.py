@@ -421,3 +421,40 @@ def test_bool_should_msm_percentage(searcher):
         (r.doc_id, r.score) for r in lit
     ]
     assert len(pct) > 0
+
+
+def test_fuzziness_grammar_and_auto_body(searcher):
+    from kafka_es_spark.operators.searchapi import _fuzziness as fz
+
+    assert fz(1, 10) == 1
+    assert fz("2", 10) == 2
+    assert fz("AUTO", 2) == 0
+    assert fz("AUTO", 4) == 1
+    assert fz("AUTO", 9) == 2
+    assert fz("AUTO:4,8", 5) == 1
+    assert fz("AUTO:4,8", 8) == 2
+    with pytest.raises(DSLError, match="AUTO"):
+        fz("AUTO:x", 5)
+    # body: AUTO on a 4-char term resolves to 1 edit (default 3,6 bands)
+    # — same hits as the integer form
+    auto = search(searcher, {"query": {"fuzzy": {
+        "text": {"value": "indx", "fuzziness": "AUTO"}}}, "size": 20,
+    }).collect()
+    lit = search(searcher, {"query": {"fuzzy": {
+        "text": {"value": "indx", "fuzziness": 1}}}, "size": 20,
+    }).collect()
+    assert [(r.doc_id, r.score) for r in auto] == [
+        (r.doc_id, r.score) for r in lit
+    ]
+    assert len(auto) > 0
+
+
+def test_match_clause_boost_scales_scores(searcher):
+    """ES match supports a per-clause boost multiplying its score
+    contribution; same ranking, 2x scores (within serving round_to)."""
+    plain = search(searcher, {**BODY, "size": 5}).collect()
+    boosted = search(searcher, {"query": {"match": {"text": {
+        "query": "data index", "boost": 2.0}}}, "size": 5}).collect()
+    assert [r.doc_id for r in boosted] == [r.doc_id for r in plain]
+    for b, p in zip(boosted, plain):
+        assert b.score == pytest.approx(2 * p.score, abs=2e-4)
