@@ -251,9 +251,10 @@ def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
     if kind == "match_phrase":
         if scoring:
             raise DSLError(
-                "match_phrase in scoring context is served by "
-                "positions.phrase_topk (phrase-weighted BM25); inside "
-                "bool it is supported under filter/must_not"
+                "match_phrase inside a scoring bool is not supported — "
+                "use it as the TOP-LEVEL query (served by "
+                "positions.phrase_topk, phrase-weighted BM25) or under "
+                "bool filter/must_not"
             )
         field, spec = _single(body, "match_phrase")
         if field != "text":
@@ -1322,6 +1323,32 @@ def search(
     if query is None:
         raise DSLError("_search body needs a 'query' (or 'knn')")
     size = int(k if k is not None else body.get("size", 10))
+    if isinstance(query, dict) and set(query) == {"match_phrase"}:
+        # top-level scoring match_phrase: served whole by the
+        # phrase-weighted BM25 engine over the positional relation
+        # (Lucene PhraseQuery — Σ-idf weight, tf = qualifying end
+        # positions). Render sections don't compose with the delegated
+        # top-k, so only query/size are admitted here; inside bool the
+        # clause stays filter-context as before.
+        extra = set(body) - {"query", "size"}
+        if extra:
+            raise DSLError(
+                "top-level match_phrase supports only 'size' alongside "
+                f"'query' (got {sorted(extra)}); compose it inside "
+                "bool filter to combine with other sections"
+            )
+        field, spec = _single(query["match_phrase"], "match_phrase")
+        if field != "text":
+            raise DSLError("match_phrase targets the analyzed 'text' field")
+        from kafka_es_spark.operators.positions import phrase_topk
+
+        q = spec["query"] if isinstance(spec, dict) else spec
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        return phrase_topk(
+            searcher.spark, searcher.index_dir, q, k=size, slop=slop,
+            round_to=round_to if round_to is not None else 4,
+            with_url=with_url,
+        )
     comp = _compile(searcher, query, scoring=True, emb=embeddings)
     out = comp.scores
     if out is None:

@@ -458,3 +458,40 @@ def test_match_clause_boost_scales_scores(searcher):
     assert [r.doc_id for r in boosted] == [r.doc_id for r in plain]
     for b, p in zip(boosted, plain):
         assert b.score == pytest.approx(2 * p.score, abs=2e-4)
+
+
+def test_top_level_match_phrase_delegates_to_phrase_engine(spark, searcher, idx, pages):
+    """A top-level {"query": {"match_phrase": ...}} is the canonical ES
+    phrase request; it must return phrase_topk's phrase-weighted BM25
+    ranking (not raise), honoring slop and size. Render sections fail
+    loudly (they don't compose with the delegated top-k)."""
+    from kafka_es_spark.operators.positions import build_position_index, phrase_topk
+
+    build_position_index(spark, pages, idx)
+    try:
+        want = [
+            (r.doc_id, r.score)
+            for r in phrase_topk(spark, idx, "data index", k=5).collect()
+        ]
+        got = search(searcher, {
+            "query": {"match_phrase": {"text": "data index"}}, "size": 5,
+        }).collect()
+        assert [(r.doc_id, r.score) for r in got] == want
+        assert len(got) > 0
+        sloppy = search(searcher, {
+            "query": {"match_phrase": {"text": {"query": "data index",
+                                                "slop": 2}}}, "size": 5,
+        }).collect()
+        want_sloppy = [
+            (r.doc_id, r.score)
+            for r in phrase_topk(spark, idx, "data index", k=5, slop=2).collect()
+        ]
+        assert [(r.doc_id, r.score) for r in sloppy] == want_sloppy
+        with pytest.raises(DSLError, match="only 'size'"):
+            search(searcher, {
+                "query": {"match_phrase": {"text": "data index"}},
+                "aggs": {"a": {"avg": {"field": "dl"}}},
+            })
+    finally:
+        import shutil, os
+        shutil.rmtree(os.path.join(idx, "positions"), ignore_errors=True)
