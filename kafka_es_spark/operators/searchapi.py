@@ -1323,31 +1323,71 @@ def search(
     if query is None:
         raise DSLError("_search body needs a 'query' (or 'knn')")
     size = int(k if k is not None else body.get("size", 10))
-    if isinstance(query, dict) and set(query) == {"match_phrase"}:
-        # top-level scoring match_phrase: served whole by the
-        # phrase-weighted BM25 engine over the positional relation
-        # (Lucene PhraseQuery — Σ-idf weight, tf = qualifying end
-        # positions). Render sections don't compose with the delegated
-        # top-k, so only query/size are admitted here; inside bool the
-        # clause stays filter-context as before.
+    delegated = {"match_phrase", "match_phrase_prefix", "query_string",
+                 "simple_query_string"}
+    if isinstance(query, dict) and len(query) == 1 and \
+            next(iter(query)) in delegated:
+        # top-level scoring forms served whole by their dedicated
+        # engines (phrase-weighted BM25 over the positional relation;
+        # the query-string mini-language compilers). Render sections
+        # don't compose with a delegated top-k, so only query/size are
+        # admitted here; inside bool these stay filter-context.
+        kind = next(iter(query))
         extra = set(body) - {"query", "size"}
         if extra:
             raise DSLError(
-                "top-level match_phrase supports only 'size' alongside "
+                f"top-level {kind} supports only 'size' alongside "
                 f"'query' (got {sorted(extra)}); compose it inside "
                 "bool filter to combine with other sections"
             )
-        field, spec = _single(query["match_phrase"], "match_phrase")
-        if field != "text":
-            raise DSLError("match_phrase targets the analyzed 'text' field")
-        from kafka_es_spark.operators.positions import phrase_topk
+        rt = round_to if round_to is not None else 4
+        if kind in ("match_phrase", "match_phrase_prefix"):
+            field, spec = _single(query[kind], kind)
+            if field != "text":
+                raise DSLError(f"{kind} targets the analyzed 'text' field")
+            q = spec["query"] if isinstance(spec, dict) else spec
+            if kind == "match_phrase":
+                from kafka_es_spark.operators.positions import phrase_topk
 
-        q = spec["query"] if isinstance(spec, dict) else spec
-        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
-        return phrase_topk(
-            searcher.spark, searcher.index_dir, q, k=size, slop=slop,
-            round_to=round_to if round_to is not None else 4,
-            with_url=with_url,
+                slop = (
+                    int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+                )
+                return phrase_topk(
+                    searcher.spark, searcher.index_dir, q, k=size,
+                    slop=slop, round_to=rt, with_url=with_url,
+                )
+            from kafka_es_spark.operators.positions import phrase_prefix_topk
+
+            exp = (
+                int(spec.get("max_expansions", 50))
+                if isinstance(spec, dict) else 50
+            )
+            return phrase_prefix_topk(
+                searcher.spark, searcher.index_dir, q, k=size,
+                max_expansions=exp, round_to=rt, with_url=with_url,
+            )
+        spec = query[kind]
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise DSLError(f"{kind} needs {{query: ...}}")
+        flds = spec.get("fields") or (
+            [spec["default_field"]] if spec.get("default_field") else None
+        )
+        if flds is not None and list(flds) != ["text"]:
+            raise DSLError(
+                f"{kind} targets the analyzed 'text' field only "
+                f"(got fields={flds!r})"
+            )
+        if kind == "query_string":
+            return searcher.query_string_topk(
+                spec["query"], k=size, round_to=rt, with_url=with_url,
+                max_expansions=int(spec.get("max_expansions", 50)),
+                slop=int(spec.get("phrase_slop", 0)),
+            )
+        return searcher.simple_query_string_topk(
+            spec["query"],
+            default_operator=str(spec.get("default_operator", "or")).lower(),
+            k=size, round_to=rt, with_url=with_url,
+            max_expansions=int(spec.get("max_expansions", 50)),
         )
     comp = _compile(searcher, query, scoring=True, emb=embeddings)
     out = comp.scores

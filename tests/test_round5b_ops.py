@@ -495,3 +495,45 @@ def test_top_level_match_phrase_delegates_to_phrase_engine(spark, searcher, idx,
     finally:
         import shutil, os
         shutil.rmtree(os.path.join(idx, "positions"), ignore_errors=True)
+
+
+def test_top_level_query_string_forms_delegate(searcher):
+    """Top-level query_string / simple_query_string bodies serve via the
+    mini-language engines (they previously raised 'unsupported')."""
+    qs = search(searcher, {"query": {"query_string": {
+        "query": "data AND index"}}, "size": 5}).collect()
+    want = [(r.doc_id, r.score)
+            for r in searcher.query_string_topk("data AND index", k=5).collect()]
+    assert [(r.doc_id, r.score) for r in qs] == want
+    assert len(qs) > 0
+
+    sqs = search(searcher, {"query": {"simple_query_string": {
+        "query": "data +index", "default_operator": "or"}}, "size": 5}).collect()
+    want = [(r.doc_id, r.score) for r in searcher.simple_query_string_topk(
+        "data +index", default_operator="or", k=5).collect()]
+    assert [(r.doc_id, r.score) for r in sqs] == want
+
+    with pytest.raises(DSLError, match="'text' field only"):
+        search(searcher, {"query": {"query_string": {
+            "query": "x", "fields": ["title"]}}})
+    with pytest.raises(DSLError, match="only 'size'"):
+        search(searcher, {"query": {"simple_query_string": {"query": "x"}},
+                          "from": 5})
+
+
+def test_top_level_match_phrase_prefix_delegates(spark, searcher, idx, pages):
+    from kafka_es_spark.operators.positions import (
+        build_position_index, phrase_prefix_topk,
+    )
+
+    build_position_index(spark, pages, idx)
+    try:
+        got = search(searcher, {"query": {"match_phrase_prefix": {
+            "text": "data ind"}}, "size": 5}).collect()
+        want = [(r.doc_id, r.score) for r in phrase_prefix_topk(
+            spark, idx, "data ind", k=5).collect()]
+        assert [(r.doc_id, r.score) for r in got] == want
+        assert len(got) > 0
+    finally:
+        import shutil, os
+        shutil.rmtree(os.path.join(idx, "positions"), ignore_errors=True)
