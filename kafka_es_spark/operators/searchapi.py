@@ -148,6 +148,12 @@ def _compile(searcher, clause: dict, scoring: bool, emb=None) -> _Compiled:
     if kind == "match_all":
         return _Compiled(None, searcher.match_all_ids())
 
+    if kind == "match_none":
+        return _Compiled(
+            None,
+            searcher.spark.createDataFrame([], "doc_id long"),
+        )
+
     if kind == "match":
         field, spec = _single(body, "match")
         if field != "text":
@@ -960,7 +966,15 @@ def _compile_bool(searcher, body: dict, scoring: bool, emb=None) -> _Compiled:
         for c in _as_clauses(body.get("must_not"))
     ]
     if not (must or should or filt):
-        raise DSLError("bool needs at least one of must/should/filter")
+        # ES: a must_not-only bool is match_all minus the negations
+        # (filter context, score 0); a fully EMPTY bool is match_all
+        base_ids = searcher.match_all_ids()
+        for c in nots:
+            neg = c.gate if c.gate is not None else c.scores.select("doc_id")
+            base_ids = base_ids.join(
+                neg.select("doc_id"), "doc_id", "left_anti"
+            )
+        return _Compiled(None, base_ids)
 
     # score = sum over every scoring clause matched (Lucene boolean sum);
     # a clause carrying its own gate (match operator=and / msm) only
@@ -1423,6 +1437,29 @@ def search(
         out = out.join(pgate.select("doc_id"), "doc_id", "left_semi")
     offset = int(body.get("from", 0))
     sort = body.get("sort")
+    if sort:
+        # an explicit _score sort is ES's spelled-out default order:
+        # ["_score"] / [{"_score": "desc"}] → the normal ranking (ties
+        # break by doc_id). Ascending score or _score composed with
+        # field keys fail loudly rather than mis-rank.
+        specs = sort if isinstance(sort, list) else [sort]
+
+        def _sort_key(spec):
+            if isinstance(spec, str):
+                return spec, ("desc" if spec == "_score" else "asc")
+            f, o = _single(spec, "sort")
+            return f, (o.get("order", "desc" if f == "_score" else "asc")
+                       if isinstance(o, dict) else o)
+
+        if any(_sort_key(sp)[0] == "_score" for sp in specs):
+            if len(specs) > 1:
+                raise DSLError(
+                    "_score combines with no other sort keys here "
+                    "(score ties already break by doc_id)"
+                )
+            if _sort_key(specs[0])[1] == "asc":
+                raise DSLError("sort by _score ascending is not supported")
+            sort = None
     after = body.get("search_after")
     tth = bool(body.get("track_total_hits", False))
     src = body.get("_source")

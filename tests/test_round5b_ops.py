@@ -537,3 +537,35 @@ def test_top_level_match_phrase_prefix_delegates(spark, searcher, idx, pages):
     finally:
         import shutil, os
         shutil.rmtree(os.path.join(idx, "positions"), ignore_errors=True)
+
+
+def test_score_sort_is_default_order(searcher):
+    """ES clients spell out the default order as sort: ["_score"] or
+    [{"_score": "desc"}] — both must equal the unsorted ranking."""
+    plain = [(r.doc_id, r.score)
+             for r in search(searcher, {**BODY, "size": 5}).collect()]
+    for sort in (["_score"], [{"_score": "desc"}], [{"_score": {"order": "desc"}}]):
+        got = [(r.doc_id, r.score)
+               for r in search(searcher, {**BODY, "size": 5, "sort": sort}).collect()]
+        assert got == plain, sort
+    with pytest.raises(DSLError, match="ascending"):
+        search(searcher, {**BODY, "sort": [{"_score": "asc"}]})
+    with pytest.raises(DSLError, match="no other sort keys"):
+        search(searcher, {**BODY, "sort": [{"_score": "desc"}, {"dl": "asc"}]})
+
+
+def test_must_not_only_bool_and_match_none(spark, searcher, idx):
+    """ES: a must_not-only bool = match_all minus the negations (filter
+    context, score 0); an empty bool = match_all; match_none = nothing."""
+    n_docs = spark.read.parquet(idx + "/docmap").count()
+    neg = search(searcher, {"query": {"bool": {"must_not": [
+        {"match": {"text": "data"}}]}}, "size": 100_000}).collect()
+    with_term = search(searcher, {"query": {"match": {"text": {
+        "query": "data", "operator": "or"}}}, "size": 100_000}).count()
+    assert len(neg) == n_docs - with_term
+    assert all(r.score == 0.0 for r in neg)
+
+    empty_bool = search(searcher, {"query": {"bool": {}}, "size": 100_000})
+    assert empty_bool.count() == n_docs
+
+    assert search(searcher, {"query": {"match_none": {}}}).count() == 0
