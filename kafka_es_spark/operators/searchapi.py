@@ -1335,7 +1335,9 @@ def search(
             round_to=round_to if round_to is not None else 4,
         ).drop("query_id")
     if query is None:
-        raise DSLError("_search body needs a 'query' (or 'knn')")
+        # ES: an omitted query is match_all — the aggregation-only
+        # request ({"size": 0, "aggs": ...}) is the canonical case
+        query = {"match_all": {}}
     size = int(k if k is not None else body.get("size", 10))
     delegated = {"match_phrase", "match_phrase_prefix", "query_string",
                  "simple_query_string"}
@@ -1883,6 +1885,33 @@ def _run_aggs(
             .orderBy(F.col("sig_score").desc(), F.col("term").asc())
             .limit(size)
         )
+
+    if kind in ("filter", "global"):
+        # single-bucket aggs: ``filter`` narrows the hit set by one
+        # filter-context clause, ``global`` ignores the query and
+        # aggregates the whole live corpus (the ES all-docs bucket).
+        # doc_count plus any metric sub-aggs ride ONE hash aggregation.
+        if kind == "filter":
+            if not isinstance(params, dict) or not params:
+                raise DSLError("filter agg needs a filter clause")
+            comp = _compile(searcher, params, scoring=False)
+            gate = (
+                comp.gate if comp.gate is not None
+                else _inner_scores(searcher, comp).select("doc_id")
+            )
+            base = hits.select("doc_id").join(
+                gate.select("doc_id"), "doc_id", "left_semi"
+            )
+        else:
+            base = searcher.match_all_ids().select("doc_id")
+        exprs = [F.count(F.lit(1)).alias("doc_count")]
+        if sub_spec:
+            exprs += _sub_agg_exprs(sub_spec, dm.columns)
+            need = sorted(
+                {s["field"] for a in sub_spec.values() for s in a.values()}
+            )
+            base = base.join(dm.select("doc_id", *need), "doc_id")
+        return base.agg(*exprs)
 
     field = params["field"]
     if field not in dm.columns:

@@ -569,3 +569,32 @@ def test_must_not_only_bool_and_match_none(spark, searcher, idx):
     assert empty_bool.count() == n_docs
 
     assert search(searcher, {"query": {"match_none": {}}}).count() == 0
+
+
+def test_filter_and_global_bucket_aggs(spark, searcher, idx):
+    """Single-bucket aggs in the body: filter narrows the hit set by a
+    filter-context clause; global ignores the query (all live docs);
+    a query-less body defaults to match_all (the {"size": 0, "aggs"}
+    aggregation-only request)."""
+    dm = {r.doc_id: r.dl for r in spark.read.parquet(idx + "/docmap")
+          .select("doc_id", "dl").collect()}
+    hit_ids = {r.doc_id for r in search(
+        searcher, {**BODY, "size": 100_000}).collect()}
+    grp = [dm[i] for i in hit_ids if dm[i] >= 50]
+
+    row = search(searcher, {**BODY, "aggs": {"f": {
+        "filter": {"range": {"dl": {"gte": 50}}},
+        "aggs": {"m": {"avg": {"field": "dl"}}},
+    }}}).collect()[0]
+    assert row.doc_count == len(grp)
+    assert row.m == pytest.approx(round(sum(grp) / len(grp), 4))
+
+    g = search(searcher, {**BODY, "aggs": {"g": {
+        "global": {}, "aggs": {"m": {"max": {"field": "dl"}}},
+    }}}).collect()[0]
+    assert g.doc_count == len(dm)
+    assert g.m == max(dm.values())
+
+    a = search(searcher, {"size": 0, "aggs": {
+        "n": {"value_count": {"field": "dl"}}}}).collect()[0]
+    assert a.n == len(dm)
