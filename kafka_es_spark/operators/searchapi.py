@@ -1044,6 +1044,12 @@ def _compile_bool(searcher, body: dict, scoring: bool, emb=None) -> _Compiled:
         scores = f_ if scores is None else scores.unionByName(f_)
     if scores is not None:
         scores = scores.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        # ES: a bool-level boost multiplies the whole bool's summed score
+        b_boost = float(body.get("boost", 1.0))
+        if b_boost != 1.0:
+            scores = scores.withColumn(
+                "score", F.col("score") * b_boost
+            )
 
     # hit set: every must matches (its gate if present, else its scores'
     # doc set), every filter matches

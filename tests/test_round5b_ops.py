@@ -598,3 +598,13 @@ def test_filter_and_global_bucket_aggs(spark, searcher, idx):
     a = search(searcher, {"size": 0, "aggs": {
         "n": {"value_count": {"field": "dl"}}}}).collect()[0]
     assert a.n == len(dm)
+
+
+def test_bool_boost_scales_summed_score(searcher):
+    plain = search(searcher, {"query": {"bool": {"must": [
+        {"match": {"text": "data index"}}]}}, "size": 5}).collect()
+    boosted = search(searcher, {"query": {"bool": {"must": [
+        {"match": {"text": "data index"}}], "boost": 2.0}}, "size": 5}).collect()
+    assert [r.doc_id for r in boosted] == [r.doc_id for r in plain]
+    for b, p in zip(boosted, plain):
+        assert b.score == pytest.approx(2 * p.score, abs=2e-4)
