@@ -601,7 +601,13 @@ def _compile_expr(node) -> Column:
         return ~expr if node[3] else expr
     if kind == "like":
         x = _compile_expr(node[1])
-        expr = x.rlike(node[2]) if node[4] else x.like(_like_to_sql(node[2]))
+        # ES|QL RLIKE matches the ENTIRE string (Lucene RegexpQuery
+        # semantics, where . also crosses newlines) — anchor and set
+        # DOTALL, since Spark's rlike is a partial match by default
+        expr = (
+            x.rlike("^(?s:" + node[2] + ")$") if node[4]
+            else x.like(_like_to_sql(node[2]))
+        )
         return ~expr if node[3] else expr
     if kind == "isnull":
         x = _compile_expr(node[1])

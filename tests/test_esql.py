@@ -800,3 +800,21 @@ def test_ip_prefix_v4(spark):
         "192.168.77.200": ("192.168.77.0", "192.168.0.0", "192.168.77.200"),
         "8.8.8.8": ("8.8.8.0", "8.8.0.0", "8.8.8.8"),
     }
+
+
+def test_rlike_matches_entire_string(spark):
+    """ES|QL RLIKE is a FULL-string match (Lucene RegexpQuery): a bare
+    substring pattern matches nothing unless it covers the whole value,
+    and . crosses newlines (DOTALL)."""
+    from kafka_es_spark.esql import esql_query
+
+    df = spark.createDataFrame(
+        [("en",), ("den",), ("e\nn",)], "lang string"
+    )
+    t = {"langs": df}
+    got = esql_query(spark, 'FROM langs | WHERE lang RLIKE "e"', t).collect()
+    assert got == []  # partial match must NOT hit "en"/"den"
+    got = esql_query(spark, 'FROM langs | WHERE lang RLIKE "en"', t).collect()
+    assert [r.lang for r in got] == ["en"]
+    got = esql_query(spark, 'FROM langs | WHERE lang RLIKE ".*n"', t).collect()
+    assert sorted(r.lang for r in got) == ["den", "e\nn", "en"]
