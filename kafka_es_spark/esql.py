@@ -83,6 +83,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+_SPAN_UNITS = {
+    "millisecond", "second", "minute", "hour", "day", "week",
+    "month", "quarter", "year",
+}
+
+
 class ESQLError(ValueError):
     """Parse/compile error with the source position of the offence."""
 
@@ -615,6 +621,28 @@ def _compile_expr(node) -> Column:
     if kind == "call":
         name, args = node[1], node[2]
         if name == "date_trunc":
+            # accept the timespan-literal form (``date_trunc(1 month, x)``
+            # normalizes to the "1 month" string): count 1 → calendar
+            # truncation; N second/minute/hour/day → fixed-width floor
+            if (
+                args and args[0][0] == "lit" and isinstance(args[0][1], str)
+                and re.fullmatch(r"\d+\s+\w+", args[0][1].strip())
+            ):
+                n_s, unit = args[0][1].strip().split()
+                n, unit = int(n_s), unit.rstrip("s")
+                x = _compile_expr(args[1])
+                if n == 1:
+                    return F.date_trunc(unit, x)
+                fixed = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+                if unit in fixed:
+                    secs = n * fixed[unit]
+                    return F.timestamp_seconds(
+                        F.floor(F.unix_timestamp(x) / secs) * secs
+                    )
+                raise ESQLError(
+                    f"ES|QL: date_trunc multiple {n} {unit} — calendar "
+                    "units support count 1 only"
+                )
             if args[0][0] != "lit" or not isinstance(args[0][1], str):
                 raise ESQLError("ES|QL: date_trunc needs a literal string unit")
             return F.date_trunc(args[0][1], _compile_expr(args[1]))
@@ -1256,7 +1284,21 @@ class _Parser:
                     break
             self.eat_op("]")
             return ("arr", items)
-        if t.kind in ("num", "str"):
+        if t.kind == "num":
+            lit = self.parse_literal()
+            # ES|QL timespan literal: an integer followed by a calendar
+            # unit (``1 month``, ``30 minutes``) — normalized to the
+            # "<n> <unit>" duration-string form date_trunc/bucket accept
+            nxt = self.peek()
+            if (
+                isinstance(lit[1], int)
+                and nxt.kind in ("ident", "kw")
+                and nxt.value.lower().rstrip("s") in _SPAN_UNITS
+            ):
+                unit = self.next().value.lower().rstrip("s")
+                return ("lit", f"{lit[1]} {unit}")
+            return lit
+        if t.kind == "str":
             return self.parse_literal()
         if t.kind == "kw" and t.value.lower() in ("true", "false", "null"):
             return self.parse_literal()

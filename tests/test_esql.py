@@ -818,3 +818,36 @@ def test_rlike_matches_entire_string(spark):
     assert [r.lang for r in got] == ["en"]
     got = esql_query(spark, 'FROM langs | WHERE lang RLIKE ".*n"', t).collect()
     assert sorted(r.lang for r in got) == ["den", "e\nn", "en"]
+
+
+def test_timespan_literals(spark):
+    """ES|QL timespan literals (``1 month``, ``30 minutes``) parse as
+    span literals usable by date_trunc and bucket — drop-in for real
+    ES|QL text, not just the string-duration substitution."""
+    from kafka_es_spark.esql import esql_query, ESQLError
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 17, 10, 47, 3),),
+         (datetime.datetime(2024, 3, 2, 1, 2, 3),)],
+        "ts timestamp",
+    )
+    t = {"e": df}
+    got = esql_query(
+        spark, 'FROM e | EVAL m = date_trunc(1 month, ts) | KEEP m', t
+    ).collect()
+    assert {r.m for r in got} == {datetime.datetime(2024, 3, 1)}
+    got = esql_query(
+        spark,
+        'FROM e | STATS n = count(*) BY b = bucket(ts, 30 minutes) | SORT b',
+        t,
+    ).collect()
+    assert [r.n for r in got] == [1, 1]
+    assert got[0].b.minute in (0, 30) and got[0].b.second == 0
+    got = esql_query(
+        spark, 'FROM e | EVAL h = date_trunc(6 hours, ts) | KEEP h', t
+    ).collect()
+    assert {r.h.hour for r in got} == {6, 0}
+    import pytest as _pt
+    with _pt.raises(ESQLError, match="count 1 only"):
+        esql_query(spark, 'FROM e | EVAL q = date_trunc(2 months, ts)', t)
