@@ -327,6 +327,9 @@ _SCALAR_FNS: dict = {
     "length": (1, 1, F.length),
     "to_lower": (1, 1, F.lower),
     "to_upper": (1, 1, F.upper),
+    "md5": (1, 1, F.md5),
+    "sha1": (1, 1, F.sha1),
+    "sha256": (1, 1, lambda c: F.sha2(c, 256)),
     "trim": (1, 1, F.trim),
     "ltrim": (1, 1, F.ltrim),
     "rtrim": (1, 1, F.rtrim),
@@ -620,6 +623,22 @@ def _compile_expr(node) -> Column:
         return x.isNotNull() if node[2] else x.isNull()
     if kind == "call":
         name, args = node[1], node[2]
+        if name == "hash":
+            # ES|QL hash(alg, v): the algorithm is a literal selecting
+            # the digest — md5/sha1/sha256 (the Spark-native set)
+            if len(args) != 2 or args[0][0] != "lit":
+                raise ESQLError("ES|QL: hash() takes (literal alg, expr)")
+            alg = str(args[0][1]).lower()
+            x = _compile_expr(args[1])
+            if alg == "md5":
+                return F.md5(x)
+            if alg == "sha1":
+                return F.sha1(x)
+            if alg in ("sha256", "sha-256"):
+                return F.sha2(x, 256)
+            raise ESQLError(
+                f"ES|QL: hash() algorithm {alg!r} — md5/sha1/sha256 here"
+            )
         if name == "date_trunc":
             # accept the timespan-literal form (``date_trunc(1 month, x)``
             # normalizes to the "1 month" string): count 1 → calendar

@@ -851,3 +851,21 @@ def test_timespan_literals(spark):
     import pytest as _pt
     with _pt.raises(ESQLError, match="count 1 only"):
         esql_query(spark, 'FROM e | EVAL q = date_trunc(2 months, ts)', t)
+
+
+def test_hash_functions(spark):
+    from kafka_es_spark.esql import esql_query, ESQLError
+    import hashlib
+
+    t = {"e": spark.createDataFrame([("abc",)], "s string")}
+    r = esql_query(
+        spark,
+        'FROM e | EVAL m = md5(s), h = hash("sha256", s), s1 = sha1(s)',
+        t,
+    ).collect()[0]
+    assert r.m == hashlib.md5(b"abc").hexdigest()
+    assert r.h == hashlib.sha256(b"abc").hexdigest()
+    assert r.s1 == hashlib.sha1(b"abc").hexdigest()
+    import pytest as _pt
+    with _pt.raises(ESQLError, match="algorithm"):
+        esql_query(spark, 'FROM e | EVAL x = hash("crc32", s)', t)
