@@ -853,12 +853,25 @@ def _compile_expr(node) -> Column:
                 )
             return F.floor(x / F.lit(span)) * F.lit(span)
         if name == "round":
-            # digits must stay a python int for Spark's round()
+            # digits must stay a python int for Spark's round(); a
+            # negative-digit literal arrives as a neg node — fold it
             if len(args) == 2:
-                if args[1][0] != "lit":
+                d = args[1]
+                if d[0] == "neg" and d[1][0] == "lit":
+                    d = ("lit", -d[1][1])
+                if d[0] != "lit":
                     raise ESQLError("ES|QL: round() digits must be a literal")
-                return F.round(_compile_expr(args[0]), int(args[1][1]))
+                return F.round(_compile_expr(args[0]), int(d[1]))
             return F.round(_compile_expr(args[0]), 0)
+        if name == "log" and len(args) == 2:
+            # ES|QL log(base, value); Spark's two-arg F.log takes the
+            # base as a python float, so the base must be a literal
+            b = args[0]
+            if b[0] == "neg" and b[1][0] == "lit":
+                b = ("lit", -b[1][1])
+            if b[0] != "lit":
+                raise ESQLError("ES|QL: log(base, value) base must be a literal")
+            return F.log(float(b[1]), _compile_expr(args[1]))
         spec = _SCALAR_FNS.get(name)
         if spec is None:
             raise ESQLError(f"ES|QL: unknown function {name}()")

@@ -869,3 +869,19 @@ def test_hash_functions(spark):
     import pytest as _pt
     with _pt.raises(ESQLError, match="algorithm"):
         esql_query(spark, 'FROM e | EVAL x = hash("crc32", s)', t)
+
+
+def test_log_base_and_negative_round_digits(spark):
+    from kafka_es_spark.esql import esql_query
+
+    t = {"e": spark.createDataFrame([(1,)], "x int")}
+    r = esql_query(
+        spark,
+        'FROM e | EVAL lg = log(2.0, 8.0), ln = log(e()), '
+        'rn = round(1234567.891, -3), r2 = round(1234567.891, 2)',
+        t,
+    ).collect()[0]
+    assert r.lg == pytest.approx(3.0)
+    assert r.ln == pytest.approx(1.0)
+    assert r.rn == pytest.approx(1235000.0)
+    assert r.r2 == pytest.approx(1234567.89)
