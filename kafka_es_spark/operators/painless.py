@@ -55,7 +55,7 @@ _TOKEN_RE = re.compile(
         (?P<num>\d+\.\d+|\d+)
       | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
       | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-      | (?P<op>\+=|-=|\*=|/=|%=|==|!=|<=|>=|&&|\|\||[-+*/%=<>!?:;.,()\[\]])
+      | (?P<op>\+=|-=|\*=|/=|%=|==|!=|<=|>=|&&|\|\||[-+*/%=<>!?:;.,()\[\]{}])
     )""",
     re.VERBOSE,
 )
@@ -126,6 +126,16 @@ class _Assign:
 
 
 @dataclass
+class _If:
+    """``if (cond) { ... } [else ...]`` — compiled to conditional
+    assignment merges, still one projection, no per-row interpreter."""
+
+    cond: object
+    then: list
+    els: list
+
+
+@dataclass
 class _ScoreRef:
     """``_score`` inside a script_score expression."""
 
@@ -164,16 +174,52 @@ class _Parser:
 
     # statements -------------------------------------------------------------
 
-    def parse_script(self) -> list[_Assign]:
+    def parse_script(self) -> list:
         stmts = []
         while self.i < len(self.toks):
             if self._peek() == ";":
                 self._next()
                 continue
-            stmts.append(self.parse_stmt())
+            stmts.append(self.parse_stmt_or_if())
         if not stmts:
             raise PainlessError("painless: empty script")
         return stmts
+
+    def parse_block(self) -> list:
+        self._expect("{")
+        stmts = []
+        while self._peek() != "}":
+            if self._peek() is None:
+                raise PainlessError("painless: unterminated block")
+            if self._peek() == ";":
+                self._next()
+                continue
+            stmts.append(self.parse_stmt_or_if())
+        self._expect("}")
+        return stmts
+
+    def parse_stmt_or_if(self):
+        if self._peek() == "if":
+            self._next()
+            self._expect("(")
+            cond = self.parse_expr()
+            self._expect(")")
+            then = (
+                self.parse_block() if self._peek() == "{"
+                else [self.parse_stmt_or_if()]
+            )
+            els: list = []
+            if self._peek() == "else":
+                self._next()
+                if self._peek() == "if":
+                    els = [self.parse_stmt_or_if()]
+                else:
+                    els = (
+                        self.parse_block() if self._peek() == "{"
+                        else [self.parse_stmt_or_if()]
+                    )
+            return _If(cond, then, els)
+        return self.parse_stmt()
 
     def parse_stmt(self) -> _Assign:
         self._expect("ctx")
@@ -429,10 +475,19 @@ class ScriptPlan:
     def __init__(self, source: str, params: dict | None = None):
         self.source = source
         self.stmts = _Parser(_tokenize(source), params or {}).parse_script()
-        self.assigned_fields = sorted(
-            {s.target for s in self.stmts if s.target != _OP_TARGET}
-        )
-        self.sets_op = any(s.target == _OP_TARGET for s in self.stmts)
+        targets: set = set()
+
+        def walk(stmts):
+            for s in stmts:
+                if isinstance(s, _If):
+                    walk(s.then)
+                    walk(s.els)
+                else:
+                    targets.add(s.target)
+
+        walk(self.stmts)
+        self.assigned_fields = sorted(targets - {_OP_TARGET})
+        self.sets_op = _OP_TARGET in targets
 
     def apply(self, df: DataFrame, where: Column | None = None) -> DataFrame:
         """Run the script over every row (or the ``where`` subset; other
@@ -449,29 +504,51 @@ class ScriptPlan:
                 )
         env = {c: F.col(c) for c in df.columns}
         op_col: Column = F.lit("index")
-        for s in self.stmts:
-            if s.target == _OP_TARGET:
-                op_col = _compile(s.expr, env, env_types).cast("string")
-                continue
-            rhs = _compile(s.expr, env, env_types)
-            if s.op != "=":
-                base = env[s.target]
-                rhs = {
-                    "+=": lambda: base + rhs
-                    if env_types.get(s.target) != "string"
-                    else F.concat(base, rhs.cast("string")),
-                    "-=": lambda: base - rhs,
-                    "*=": lambda: base * rhs,
-                    "/=": lambda: base / rhs,
-                    "%=": lambda: base % rhs,
-                }[s.op]()
-            # preserve the column's declared type (painless arithmetic on
-            # a long column writes a long back; '/' promotion is kept for
-            # double columns by the cast target being the column's type)
-            t = env_types.get(s.target)
-            if t is not None:
-                rhs = rhs.cast(t)
-            env[s.target] = rhs
+
+        def run(stmts, env, op_col):
+            for s in stmts:
+                if isinstance(s, _If):
+                    # compile cond against the CURRENT env (sequential
+                    # semantics), run each branch on a copy, and merge
+                    # only the expressions a branch actually changed
+                    cond = _compile(s.cond, env, env_types)
+                    env_t, op_t = run(s.then, dict(env), op_col)
+                    env_e, op_e = run(s.els, dict(env), op_col)
+                    for key in set(env_t) | set(env_e):
+                        a = env_t.get(key, env[key])
+                        b = env_e.get(key, env[key])
+                        if a is env.get(key) and b is env.get(key):
+                            continue
+                        env[key] = F.when(cond, a).otherwise(b)
+                    if op_t is not op_col or op_e is not op_col:
+                        op_col = F.when(cond, op_t).otherwise(op_e)
+                    continue
+                if s.target == _OP_TARGET:
+                    op_col = _compile(s.expr, env, env_types).cast("string")
+                    continue
+                rhs = _compile(s.expr, env, env_types)
+                if s.op != "=":
+                    base = env[s.target]
+                    rhs = {
+                        "+=": lambda: base + rhs
+                        if env_types.get(s.target) != "string"
+                        else F.concat(base, rhs.cast("string")),
+                        "-=": lambda: base - rhs,
+                        "*=": lambda: base * rhs,
+                        "/=": lambda: base / rhs,
+                        "%=": lambda: base % rhs,
+                    }[s.op]()
+                # preserve the column's declared type (painless
+                # arithmetic on a long column writes a long back; '/'
+                # promotion is kept for double columns by the cast
+                # target being the column's type)
+                t = env_types.get(s.target)
+                if t is not None:
+                    rhs = rhs.cast(t)
+                env[s.target] = rhs
+            return env, op_col
+
+        env, op_col = run(self.stmts, env, op_col)
         scoped = F.lit(True) if where is None else where
         # 'none': original values win even where the script matched
         eff = scoped & (op_col != F.lit("none"))

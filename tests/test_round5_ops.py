@@ -902,3 +902,39 @@ def test_reverse_nested_parent_vs_element_counts(searcher, docmap):
         assert r.parent_count == n_hits  # 4 elems over mod-3 → all kinds
         assert r.doc_count >= r.parent_count
     assert sum(r.doc_count for r in rows) == 4 * n_hits
+
+
+def test_painless_if_else_blocks(spark):
+    """if (cond) { ... } [else if / else] — the canonical painless
+    conditional — compiles to conditional-assignment merges (one
+    projection, sequential semantics preserved)."""
+    from kafka_es_spark.operators.painless import script_update
+
+    df = spark.createDataFrame(
+        [(1, 10, "en"), (2, 200, "de")], "doc_id long, dl long, lang string"
+    )
+    out = script_update(
+        df, "if (ctx._source.dl > 100) { ctx.op = 'delete' }"
+    ).collect()
+    assert [r.doc_id for r in out] == [1]
+
+    out = {r.doc_id: r.lang for r in script_update(
+        df,
+        "if (ctx._source.dl > 100) { ctx._source.lang = 'big' } "
+        "else { ctx._source.lang = 'small' }",
+    ).collect()}
+    assert out == {1: "small", 2: "big"}
+
+    out = {r.doc_id: r.dl for r in script_update(
+        df,
+        "if (ctx._source.dl > 500) { ctx._source.dl = 500 } "
+        "else if (ctx._source.dl > 100) { ctx._source.dl = 100 } "
+        "else { ctx._source.dl += 1 }",
+    ).collect()}
+    assert out == {1: 11, 2: 100}
+
+    # braceless single-statement form; compound op inside the branch
+    out = {r.doc_id: r.dl for r in script_update(
+        df, "if (ctx._source.lang == 'en') ctx._source.dl *= 2"
+    ).collect()}
+    assert out == {1: 20, 2: 200}
