@@ -27,6 +27,9 @@ silently misexecutes):
   concatenates when either side is a string, painless/Java semantics),
   comparisons, ``&& || !``, ternary ``cond ? a : b``, parentheses, and
   ``Math.max/min/abs/floor/ceil/round``
+* ``if (cond) { ... } [else if (...) ... else { ... }]`` — including
+  braceless single-statement branches; branches compile to conditional
+  assignment merges (still one projection)
 * sequential semantics: a later statement reads the values earlier
   statements assigned (compiled via an expression environment, not by
   re-reading the input column)
