@@ -150,7 +150,8 @@ class _DocRef:
     name: str
 
 
-_MATH_FNS = {"max", "min", "abs", "floor", "ceil", "round"}
+_MATH_FNS = {"max", "min", "abs", "floor", "ceil", "round",
+             "log", "log10", "sqrt", "exp", "pow"}
 _OP_TARGET = "\x00op"
 
 
@@ -361,6 +362,21 @@ class _Parser:
                     args.append(self.parse_expr())
                 self._expect(")")
                 return _Math(fn, args)
+            if v in ("saturation", "sigmoid") and self._peek() == "(":
+                # ES script_score helpers: saturation(x, pivot) =
+                # x/(x+pivot); sigmoid(x, k, a) = x^a/(k^a + x^a)
+                self._next()
+                args = [self.parse_expr()]
+                while self._peek() == ",":
+                    self._next()
+                    args.append(self.parse_expr())
+                self._expect(")")
+                want = 2 if v == "saturation" else 3
+                if len(args) != want:
+                    raise PainlessError(
+                        f"painless: {v}() takes {want} args, got {len(args)}"
+                    )
+                return _Math(v, args)
             raise PainlessError(f"painless: unknown identifier {v!r}")
         if v == "(":
             e = self.parse_expr()
@@ -445,6 +461,11 @@ def _compile(node, env: dict, env_types: dict) -> Column:
         fn = {
             "max": F.greatest, "min": F.least, "abs": F.abs,
             "floor": F.floor, "ceil": F.ceil, "round": F.round,
+            "log": F.log, "log10": F.log10, "sqrt": F.sqrt,
+            "exp": F.exp, "pow": F.pow,
+            "saturation": lambda x, p: x / (x + p),
+            "sigmoid": lambda x, k, a: F.pow(x, a)
+            / (F.pow(k, a) + F.pow(x, a)),
         }[node.fn]
         return fn(*args)
     if isinstance(node, _Bin):

@@ -938,3 +938,25 @@ def test_painless_if_else_blocks(spark):
         df, "if (ctx._source.lang == 'en') ctx._source.dl *= 2"
     ).collect()}
     assert out == {1: 20, 2: 200}
+
+
+def test_score_script_math_and_helpers(searcher):
+    """script_score: the Math.log/sqrt family and the ES saturation /
+    sigmoid helpers compile to Columns (saturation(x,p) = x/(x+p),
+    sigmoid(x,k,a) = x^a/(k^a+x^a))."""
+    from kafka_es_spark.operators.searchapi import search
+
+    def run(src):
+        return search(searcher, {"query": {"script_score": {
+            "query": {"match": {"text": "data"}},
+            "script": {"source": src}}}, "size": 5}).collect()
+
+    base = {r.doc_id: r.score for r in run("_score")}
+    logd = {r.doc_id: r.score for r in run("Math.log(1 + _score)")}
+    import math
+    for d, sc in logd.items():
+        assert sc == pytest.approx(round(math.log(1 + base[d]), 4), abs=3e-4)
+    sat = run("saturation(doc['dl'].value, 10)")
+    assert all(0 < r.score < 1 for r in sat)
+    sig = run("sigmoid(doc['dl'].value, 50, 2)")
+    assert all(0 < r.score < 1 for r in sig)
