@@ -797,21 +797,37 @@ def _compile_function_score(searcher, body: dict, emb=None) -> _Compiled:
         # single-function shorthand forms at the top level
         fns = [{
             k: body[k]
-            for k in ("weight", "field_value_factor", "script_score")
+            for k in ("weight", "field_value_factor", "script_score",
+                      "random_score", "gauss", "exp", "linear")
             if k in body
         }]
         if not fns[0]:
             raise DSLError(
                 "function_score needs functions[] or a top-level "
-                "weight/field_value_factor/script_score"
+                "weight/field_value_factor/script_score/random_score/"
+                "decay function"
             )
 
+    _DECAYS = ("gauss", "exp", "linear")
+    _KNOWN_FN = {"filter", "weight", "field_value_factor", "script_score",
+                 "random_score", *_DECAYS}
     # stored fields any function touches, joined once
     need_fields: set = set()
     scripts: list[ScoreScript | None] = []
     for f_ in fns:
+        unknown = set(f_) - _KNOWN_FN
+        if unknown:
+            raise DSLError(
+                f"function_score function kind(s) {sorted(unknown)} — "
+                f"supported: {sorted(_KNOWN_FN - {'filter', 'weight'})}"
+            )
         if "field_value_factor" in f_:
             need_fields.add(f_["field_value_factor"]["field"])
+        for dk in _DECAYS:
+            if dk in f_:
+                need_fields.add(next(iter(f_[dk])))
+        if "random_score" in f_:
+            need_fields.add("url")
         if "script_score" in f_:
             sc = f_["script_score"]["script"]
             ss = ScoreScript(sc["source"], sc.get("params"))
@@ -854,6 +870,39 @@ def _compile_function_score(searcher, body: dict, emb=None) -> _Compiled:
             v = ss.column(
                 F.col("score"), {f: F.col(f) for f in ss.doc_fields}, types
             ).cast("double")
+        elif any(dk in f_ for dk in _DECAYS):
+            # numeric decay functions (the ES distance-scoring family):
+            # dist = max(0, |x - origin| - offset); the curve reaches
+            # ``decay`` (default 0.5) at distance ``scale``
+            import math
+
+            dk = next(dk for dk in _DECAYS if dk in f_)
+            fld, spec = _single(f_[dk], dk)
+            x = F.col(fld).cast("double")
+            origin = float(spec["origin"])
+            scale = float(spec["scale"])
+            offset = float(spec.get("offset", 0.0))
+            decay = float(spec.get("decay", 0.5))
+            if scale <= 0 or not (0.0 < decay < 1.0):
+                raise DSLError(f"{dk} needs scale > 0 and 0 < decay < 1")
+            dist = F.greatest(F.lit(0.0), F.abs(x - origin) - offset)
+            if dk == "gauss":
+                sigma2 = -scale * scale / (2.0 * math.log(decay))
+                v = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+            elif dk == "exp":
+                v = F.exp(F.lit(math.log(decay) / scale) * dist)
+            else:
+                s_ = scale / (1.0 - decay)
+                v = F.greatest(F.lit(0.0), (F.lit(s_) - dist) / F.lit(s_))
+        elif "random_score" in f_:
+            # same portable hash as Searcher.random_score_topk: a
+            # deterministic uniform [0,1) per (url, seed)
+            from kafka_es_spark.operators.dedup import hash32
+
+            seed = int(f_["random_score"].get("seed", 0))
+            v = hash32(
+                F.concat(F.col("url"), F.lit(f":{seed}"))
+            ) / F.lit(float(2**32))
         else:
             v = F.lit(1.0)
         if "weight" in f_:

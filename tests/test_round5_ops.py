@@ -960,3 +960,46 @@ def test_score_script_math_and_helpers(searcher):
     assert all(0 < r.score < 1 for r in sat)
     sig = run("sigmoid(doc['dl'].value, 50, 2)")
     assert all(0 < r.score < 1 for r in sig)
+
+
+def test_function_score_decay_and_random(spark, searcher, idx):
+    """functions[] decay (gauss/exp/linear) and random_score now
+    compute real factors (previously silently 1.0); unknown function
+    kinds fail loudly."""
+    import math
+
+    from kafka_es_spark.operators.searchapi import DSLError, search
+
+    Q = {"match": {"text": "data"}}
+    base = {r.doc_id: r.score for r in search(
+        spark and searcher, {"query": Q, "size": 10_000}).collect()}
+    dls = {r.doc_id: r.dl for r in spark.read.parquet(idx + "/docmap")
+           .select("doc_id", "dl").collect()}
+
+    rows = search(searcher, {"query": {"function_score": {
+        "query": Q,
+        "functions": [{"gauss": {"dl": {"origin": 60, "scale": 20}}}],
+    }}, "size": 5}).collect()
+    for r in rows:
+        d = abs(dls[r.doc_id] - 60)
+        sigma2 = -20.0 * 20.0 / (2.0 * math.log(0.5))
+        want = base[r.doc_id] * math.exp(-(d * d) / (2 * sigma2))
+        assert r.score == pytest.approx(round(want, 4), abs=3e-4)
+
+    rows = search(searcher, {"query": {"function_score": {
+        "query": Q,
+        "functions": [{"random_score": {"seed": 42}}],
+    }}, "size": 5}).collect()
+    # deterministic across runs, and genuinely scrambles (not all 1.0)
+    again = search(searcher, {"query": {"function_score": {
+        "query": Q,
+        "functions": [{"random_score": {"seed": 42}}],
+    }}, "size": 5}).collect()
+    assert [(r.doc_id, r.score) for r in rows] == [
+        (r.doc_id, r.score) for r in again
+    ]
+    assert any(r.score != pytest.approx(base[r.doc_id]) for r in rows)
+
+    with pytest.raises(DSLError, match="function kind"):
+        search(searcher, {"query": {"function_score": {
+            "query": Q, "functions": [{"nonsense": {}}]}}})
