@@ -784,11 +784,10 @@ def test_dsl_constant_score_exists_ids_match_all(spark, searcher, pages, sparse_
     assert _dsl(searcher, body).count() == 3
 
 
-def test_dsl_phrase_filter_and_scoring_raise(spark, pages, tmp_path_factory):
+def test_dsl_phrase_filter_and_toplevel_delegation(spark, pages, tmp_path_factory):
     from kafka_es_spark.operators.positions import (
-        build_position_index, phrase_match_ids,
+        build_position_index, phrase_match_ids, phrase_topk,
     )
-    from kafka_es_spark.operators.searchapi import DSLError
 
     d = str(tmp_path_factory.mktemp("idxdsl"))
     build_index(spark, pages, d, seg_bits=SEG_BITS, n_term_buckets=8)
@@ -802,8 +801,14 @@ def test_dsl_phrase_filter_and_scoring_raise(spark, pages, tmp_path_factory):
     pm = {r.doc_id for r in phrase_match_ids(spark, d, "index search").collect()}
     dd = {r.doc_id for r in s.matching_doc_ids("data").collect()}
     assert ids == (pm & dd)
-    with pytest.raises(DSLError, match="phrase_topk"):
-        _dsl(s, {"query": {"match_phrase": {"text": "index search"}}})
+    # top-level match_phrase delegates to phrase-weighted BM25 (ES serves
+    # it as a scoring query): rank/score identity vs positions.phrase_topk
+    got = [(r.doc_id, r.score) for r in _dsl(
+        s, {"query": {"match_phrase": {"text": "index search"}}, "size": 10}
+    ).collect()]
+    want = [(r.doc_id, r.score) for r in
+            phrase_topk(spark, d, "index search", k=10).collect()]
+    assert got == want and len(got) > 0
 
 
 def test_dsl_unsupported_clause_raises(searcher):
@@ -811,8 +816,12 @@ def test_dsl_unsupported_clause_raises(searcher):
 
     with pytest.raises(DSLError, match="unsupported"):
         _dsl(searcher, {"query": {"fancy_new_clause": {}}})
-    with pytest.raises(DSLError, match="query"):
-        _dsl(searcher, {"size": 3})
+    # a query-less body defaults to match_all (ES behavior)
+    got = [(r.doc_id, r.score) for r in _dsl(searcher, {"size": 3}).collect()]
+    want = [(r.doc_id, r.score) for r in _dsl(
+        searcher, {"query": {"match_all": {}}, "size": 3}
+    ).collect()]
+    assert got == want and len(got) == 3
 
 
 def test_dsl_knn_and_hybrid_guard(spark, searcher):
