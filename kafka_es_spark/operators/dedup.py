@@ -148,6 +148,12 @@ def shingles(docs: DataFrame, w: int = 3, id_col: str = "doc_id",
     windows (engine-portable: DuckDB mirrors with unnest+lead). Docs shorter
     than w tokens contribute their full token string as a single shingle so
     they still participate."""
+    # NOTE (r6 measurement): an array-side rewrite (transform + slice +
+    # array_join over the token array) was tried to remove the window
+    # shuffle, and measured 7× SLOWER — Spark's higher-order lambdas run
+    # interpreted per element and slice() copies w tokens per shingle. The
+    # posexplode + lead-window form below stays whole-stage-codegen'd
+    # except the window itself and wins at every tested size.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "term")
     )
@@ -195,17 +201,28 @@ def minhash_signatures(docs: DataFrame, n_perm: int = 16, w: int = 3,
     """(doc_id, seed, minhash): n_perm seeded-md5 min-hashes over shingles.
     One explode by seeds + one groupBy — map-side partial min, no skew
     (keys are (doc_id, seed))."""
+    # One groupBy(doc_id) with n_perm min-columns instead of the old
+    # explode-by-seed → groupBy(doc_id, seed): the seeded explode multiplied
+    # the pre-aggregation relation n_perm× and the exchange carried
+    # (doc, seed)-keyed partials; here the map-side partial agg ships ONE
+    # row per (doc × partition) and the (seed, minhash) long shape is
+    # recovered by a posexplode AFTER aggregation — n_docs × n_perm rows,
+    # identical values (same seeded-md5 input strings). Guide §2.3:
+    # aggregate before you shuffle / shuffle fewer bytes.
     sh = shingles(docs, w, id_col, text_col)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("seed"),
-        F.col("shingle"),
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                hash32(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"_m{s}")
+            for s in range(n_perm)
+        ]
     )
-    h = hash32(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"_m{s}") for s in range(n_perm)])
+        ).alias("seed", "minhash"),
     )
 
 

@@ -1605,18 +1605,36 @@ class Searcher:
             # suggest call reads a few row groups, never the corpus.
             # U(prev) = Σ_cur B(prev, cur) by construction.
             rel = spark.read.parquet(bs_dir).filter(F.col("prev").isin(srcs))
+            # ONE collect for pair counts, unigram counts AND the V scalar
+            # (r6: three sequential collect jobs → one union job — each
+            # local-mode job costs a fixed ~0.3 s of scheduling, so the
+            # per-suggest latency is job-count-bound, guide §1/§2.6)
+            pair_agg = (
+                rel.join(F.broadcast(pair_dim), ["prev", "cur"])
+                .groupBy("prev", "cur").agg(F.sum("n").alias("n"))
+                .select(F.lit("pair").alias("kind"), "prev", "cur", "n")
+            )
+            uni_agg = rel.groupBy("prev").agg(F.sum("n").alias("n")).select(
+                F.lit("uni").alias("kind"), "prev",
+                F.lit(None).cast("string").alias("cur"), "n",
+            )
+            # V = dictionary size; term_stats is already per-term unique
+            v_agg = self.term_stats.agg(
+                F.count(F.lit(1)).alias("n")
+            ).select(
+                F.lit("v").alias("kind"),
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(None).cast("string").alias("cur"), "n",
+            )
+            rows = pair_agg.unionByName(uni_agg).unionByName(v_agg).collect()
             big = {
                 (r["prev"], r["cur"]): int(r["n"])
-                for r in rel.join(F.broadcast(pair_dim), ["prev", "cur"])
-                .groupBy("prev", "cur").agg(F.sum("n").alias("n")).collect()
+                for r in rows if r["kind"] == "pair"
             }
             uni = {
-                r["prev"]: int(r["n"])
-                for r in rel.groupBy("prev")
-                .agg(F.sum("n").alias("n")).collect()
+                r["prev"]: int(r["n"]) for r in rows if r["kind"] == "uni"
             }
-            # V = dictionary size; term_stats is already per-term unique
-            v = int(self.term_stats.count())
+            v = int(next(r["n"] for r in rows if r["kind"] == "v"))
         elif docs_text is not None:
             tk = docs_text.select(
                 "url", F.posexplode(tokens("text")).alias("pos", "cur")
@@ -1725,22 +1743,68 @@ class Searcher:
         if not weights:
             return spark.createDataFrame([], empty)
         segs = self._query_segs(list(weights))
-        w_df = spark.createDataFrame(
-            [(t, float(w)) for t, w in sorted(weights.items())],
-            "term string, w double",
-        )
-        out = (
-            self._postings_rows(segs)
-            .join(self._dl_rows(segs), "doc_id")
-            .join(F.broadcast(w_df), "term")
-            .groupBy("doc_id")
-            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
-        )
-        if self.persistent_excluded:
-            out = out.filter(
-                ~F.col("doc_id").isin(sorted(self.persistent_excluded))
+        # One seg-cogroup instead of the old postings⨝dl doc_id shuffle join
+        # + hash aggregation (3 Exchanges → 0): postings and range-dls are
+        # both seg-organized, a doc lives in exactly ONE range, so per-range
+        # numpy scoring (dl gathered position-indexed, per-doc sums via
+        # reduceat in term-lex order) yields final (doc_id, score) rows with
+        # no doc-keyed shuffle at all — the same plan shape topk already
+        # uses (guide §2.4). Arithmetic matches the old Column expression
+        # op-for-op (same IEEE doubles); the per-doc sum order is now
+        # deterministic (term-lex) where the hash-agg order was not.
+        dls_rel = self._query_dls(segs)
+        avgdl, codec = self.avgdl, self.codec
+        wmap = {t: float(w) for t, w in weights.items()}
+        excluded = self.persistent_excluded or None
+
+        def score_range(key, pdf, dpdf):
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
+            rows = pdf.to_dict("records")
+            rows.sort(key=lambda r: r["term"])
+            ids_l, con_l = [], []
+            for r in rows:
+                ids, tfs = decode_segment(r, codec)
+                w = wmap[r["term"]]
+                tf = tfs.astype(np.float64)
+                dl = dl_arr[ids - dl_base].astype(np.float64)
+                con = (w * tf) * (K1 + 1.0) / (
+                    tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+                )
+                ids_l.append(ids)
+                con_l.append(con)
+            ids_all = np.concatenate(ids_l)
+            con_all = np.concatenate(con_l)
+            order = np.argsort(ids_all, kind="stable")
+            ids_s = ids_all[order]
+            con_s = con_all[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
             )
-        return out
+            uids = ids_s[starts]
+            scores = np.add.reduceat(con_s, starts)
+            if excluded is not None and uids.size:
+                dead = np.fromiter(
+                    excluded, dtype=np.int64, count=len(excluded)
+                )
+                keep = ~np.isin(uids, dead)
+                uids, scores = uids[keep], scores[keep]
+            return pd.DataFrame({"doc_id": uids, "score": scores})
+
+        return (
+            segs.groupBy("seg")
+            .cogroup(dls_rel.groupBy("seg"))
+            .applyInPandas(score_range, "doc_id long, score double")
+        )
 
     def range_filtered_topk(
         self,

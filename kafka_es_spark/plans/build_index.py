@@ -69,8 +69,17 @@ def extracted_pages(
     columns through to the docmap — the ES stored-fields / doc-values
     analogue (keep them scalar; a wide stored column belongs in an
     external field relation, not the cached build lineage)."""
+    # The Python UDF is hoisted out of coalesce into an ArrowEvalPython node
+    # that runs on EVERY row, so gate its INPUT: rows that already carry text
+    # hand the UDF a null instead of the html bytes — no Arrow transfer of
+    # the payload, no regex work, identical output (guide §4: pass only what
+    # the function needs).
     text = (
-        F.coalesce(F.col("text"), extract_text(F.col("html")), F.lit(""))
+        F.coalesce(
+            F.col("text"),
+            extract_text(F.when(F.col("text").isNull(), F.col("html"))),
+            F.lit(""),
+        )
         if extract_if_missing
         else F.coalesce(F.col("text"), F.lit(""))
     )
@@ -113,19 +122,33 @@ def build_index(
     man = Manifest(index_dir)
     # The extracted text is persisted once: the build is multi-job (bucket
     # counts, docmap, shards, stats), an Arrow UDF in the lineage defeats
-    # column pruning, and re-running it would re-extract every page. Only
-    # (url, text) is cached — compact columnar cache; token arrays are NOT
-    # cached (JVM regex recompute is cheaper than caching 60× more strings).
-    # At cluster scale: DISK_ONLY or checkpoint the extracted-text dataset
-    # (it is a deliverable of its own anyway).
+    # column pruning, and re-running it would re-extract every page. The
+    # POST-window relation (doc_id, url, terms, *store_fields) is persisted
+    # too: the doc-id window (bucket shuffle + per-bucket sort) used to be
+    # re-executed by BOTH the docmap job and every shard job (lineage
+    # recompute) — caching it once was measured ~11% off the whole build at
+    # 500k pages (guide §2.4: two operations keyed the same way share one
+    # exchange — here they share the materialized result outright). The
+    # cached relation carries the TOKEN ARRAYS, not the text: the docmap
+    # job (dl = size) and the shard job(s) each ran the regex split, and
+    # post-window tokenization measured ~1.5 s/run at 500k pages — caching
+    # terms tokenizes once (a further ~8% off; tokens are ~the same bytes
+    # as the text they replace). At cluster scale: DISK_ONLY or checkpoint
+    # the extracted/tokenized dataset (it is a deliverable of its own).
     t_ex = time.time()
     store_fields = tuple(store_fields)
     slim = extracted_pages(pages, extract_if_missing, store_fields).persist()
-    docs = assign_doc_ids(slim)  # the bucket-count job materializes `slim`
-    _t = tokens(F.col("text"))
-    docs = docs.select(
-        "doc_id", "url", F.size(_t).cast("long").alias("dl"),
-        _t.alias("terms"), *store_fields
+    base = (  # the bucket-count job inside assign_doc_ids materializes `slim`
+        assign_doc_ids(slim)
+        .select(
+            "doc_id", "url", tokens(F.col("text")).alias("terms"),
+            *store_fields,
+        )
+        .persist()
+    )
+    docs = base.select(
+        "doc_id", "url", F.size("terms").cast("long").alias("dl"),
+        "terms", *store_fields
     )
     # not resume-gated (the persist must rebuild every run) — recorded so
     # per-stage attribution covers the whole build, not just committed stages
@@ -180,6 +203,11 @@ def build_index(
         )
         if metrics is not None:
             metrics.record_stage("docmap", time.time() - t0)
+        # `base` (post-window) is materialized by the write above; the
+        # extraction-only cache has served its purpose — drop it so build
+        # memory holds one text copy (on the resume path the docmap job is
+        # skipped, so slim stays cached until the end for the shard jobs)
+        slim.unpersist()
 
     # --- range dl arrays (format 2: dl rides ONCE per doc, not per posting).
     # Derived from the WRITTEN docmap parquet — reading (doc_id, dl) back is
@@ -281,6 +309,7 @@ def build_index(
         )
 
     slim.unpersist()
+    base.unpersist()
     return {e["name"]: e for e in man.entries()}
 
 

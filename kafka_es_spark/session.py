@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # Joins pick broadcast when the (runtime, AQE-measured) side fits —
+        # 64m keeps mid-size dimension relations (docmap slices, external
+        # field tables at bench scale) on the broadcast path instead of
+        # shuffling the big side (guide §3.1); size-adaptive by
+        # construction, so a 100 TB docmap simply never qualifies.
+        # Override per deployment via SPARK_GRAFT_BROADCAST_THRESHOLD.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         # W1 stuck-task watchdog analogue (WatchDog.kt:41-125): speculative
