@@ -94,16 +94,26 @@ def bm25_topk(
     join is broadcast. Final top-k is a TakeOrdered — no global sort.
     """
     uq = sorted(set(query_terms))
-    toks = doc_tokens(docs, id_col, text_col)
-    qtoks = toks.filter(F.col("term").isin(uq))
-    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = qtoks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    dl = doc_lengths(docs, id_col, text_col)
+    # r6: 4 corpus passes → 2. dl rides the exploded token rows (carried
+    # through the tf aggregate as first(dl) — one value per doc, no
+    # separate doc_lengths join), and df = #rows per term OF the tf
+    # relation (each (doc, term) row is one matching doc), so only the
+    # corpus_stats pass re-reads the corpus. Identical inputs to the
+    # score column → identical scores.
+    tk = tokens(text_col)
+    qtoks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tk).cast("long").alias("dl"),
+        F.explode(tk).alias("term"),
+    ).filter(F.col("term").isin(uq))
+    tf = qtoks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = corpus_stats(docs, id_col, text_col)
 
     scored = (
         tf.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn(
             "tscore",

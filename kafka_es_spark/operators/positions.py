@@ -121,23 +121,24 @@ def build_position_runs(
                 f"document of {int(lens.max())} tokens exceeds the "
                 f"2^{POS_BITS} position key space"
             )
-        flat = pd.DataFrame(
-            {
-                "term": np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks if len(t)]
-                ),
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
-                "pos": np.concatenate(
-                    [np.arange(n, dtype=np.int64) for n in lens if n]
-                ),
-            }
+        term_flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)]
         )
-        flat = flat.sort_values(["term", "doc_id"], kind="stable", ignore_index=True)
-        terms = flat["term"].to_numpy(dtype=object)
-        ids = flat["doc_id"].to_numpy(dtype=np.int64)
-        pos = flat["pos"].to_numpy(dtype=np.int64)
+        id_flat = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        pos_flat = np.concatenate(
+            [np.arange(n, dtype=np.int64) for n in lens if n]
+        )
+        # factorize + stable int lexsort replaces the string-keyed
+        # sort_values (r6, same rewrite as spimi.pack_flush — ~3× faster);
+        # lexsort is stable, so positions stay ascending within each doc
+        codes, uniq = pd.factorize(pd.Series(term_flat), sort=True)
+        order = np.lexsort((id_flat, codes))
+        tcode = codes[order]
+        ids = id_flat[order]
+        pos = pos_flat[order]
+        terms = np.asarray(uniq, dtype=object)[tcode]
 
-        docchg = np.flatnonzero((terms[1:] != terms[:-1]) | (ids[1:] != ids[:-1])) + 1
+        docchg = np.flatnonzero((tcode[1:] != tcode[:-1]) | (ids[1:] != ids[:-1])) + 1
         dstarts = np.concatenate([[0], docchg])  # occurrence index of each doc start
         tf = np.diff(np.concatenate([dstarts, [ids.size]]))
 
@@ -218,38 +219,58 @@ def merge_position_runs(runs: DataFrame, n_term_buckets: int = 8) -> DataFrame:
         segs_ = pdf["seg"].to_numpy(dtype=np.int64)
         gchange = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
         gstarts = np.concatenate([[0], gchange])
-        gends = np.concatenate([gchange, [len(pdf)]])
-        rows = []
-        for rs_i, re_i in zip(gstarts, gends):
-            s, e = int(rs[rs_i]), int(rs[re_i])
-            ids = ids_all[s:e]
-            tfs = tfs_all[s:e]
-            order = np.argsort(ids, kind="stable")
-            ids_o = ids[order]
-            tfs_o = tfs[order]
-            # gather each doc's position slice in the new doc order
-            pos_o = _gather_slices(pos_abs, occ_doc_starts[s:e], tfs, order)
-            # re-delta per doc for the final blob
-            od_starts = np.concatenate([[0], np.cumsum(tfs_o)[:-1]]).astype(np.int64)
-            pd_out = pos_o.astype(np.uint64).copy()
-            if pos_o.size > 1:
-                pd_out[1:] = (pos_o[1:] - pos_o[:-1]).astype(np.uint64)
-            pd_out[od_starts] = pos_o[od_starts].astype(np.uint64)
-            term = terms[rs_i]
-            rows.append(
-                (
-                    term,
-                    int(segs_[rs_i]),
-                    int(ids_o.size),
-                    int(ids_o[0]),
-                    int(ids_o[-1]),
-                    codecs.varint_encode(codecs.delta_encode(ids_o.astype(np.uint64))),
-                    codecs.varint_encode(tfs_o.astype(np.uint64)),
-                    codecs.varint_encode(pd_out),
-                    int(hash32_py(term) % n_term_buckets),
-                )
-            )
-        return pd.DataFrame(rows, columns=out_cols)
+        # vectorized across ALL (term, seg) groups (r6, same rewrite as
+        # spimi.merge_block): label every doc entry with its group, ONE
+        # lexsort by (group, doc_id), one global position gather, per-doc
+        # re-delta and segmented varint encodes — no per-group Python
+        # loop. Byte-identical output (LEB128 is per-value).
+        n_runs = len(pdf)
+        glabel_run = np.zeros(n_runs, dtype=np.int64)
+        glabel_run[gchange] = 1
+        glabel_run = np.cumsum(glabel_run)
+        lab = np.repeat(glabel_run, n_per)  # per doc entry
+        order = np.lexsort((ids_all, lab))
+        ids_o = ids_all[order]
+        tfs_o = tfs_all[order]
+        # one global gather of every doc's position slice in sorted order
+        pos_o = _gather_slices(pos_abs, occ_doc_starts, tfs_all, order)
+        # per-doc re-delta (absolute at every doc start — global list of
+        # doc starts equals the within-group lists concatenated)
+        od_starts = np.concatenate([[0], np.cumsum(tfs_o)[:-1]]).astype(np.int64)
+        pd_out = pos_o.astype(np.uint64).copy()
+        if pos_o.size > 1:
+            pd_out[1:] = (pos_o[1:] - pos_o[:-1]).astype(np.uint64)
+        pd_out[od_starts] = pos_o[od_starts].astype(np.uint64)
+        gs = rs[:-1][gstarts]  # doc-entry-space group starts
+        glens = np.diff(np.concatenate([gs, [ids_o.size]]))
+        gocc = np.add.reduceat(tfs_o, gs)  # occurrences per group
+        gaps_out = ids_o.astype(np.uint64).copy()
+        gaps_out[1:] -= ids_o[:-1].astype(np.uint64)
+        gaps_out[gs] = ids_o[gs].astype(np.uint64)
+        gterms = terms[gstarts]
+        bcache: dict = {}
+        buckets = np.fromiter(
+            (
+                bcache.setdefault(t, hash32_py(t) % n_term_buckets)
+                for t in gterms
+            ),
+            dtype=np.int64, count=gterms.size,
+        )
+        return pd.DataFrame(
+            {
+                "term": gterms,
+                "seg": segs_[gstarts],
+                "df_seg": glens,
+                "first_docid": ids_o[gs],
+                "last_docid": ids_o[np.concatenate([gs[1:], [ids_o.size]]) - 1],
+                "docs_blob": codecs.varint_encode_segmented(gaps_out, glens),
+                "tfs_blob": codecs.varint_encode_segmented(
+                    tfs_o.astype(np.uint64), glens
+                ),
+                "pos_blob": codecs.varint_encode_segmented(pd_out, gocc),
+                "bucket": buckets,
+            }
+        )[out_cols]
 
     def merge_stream(batches):
         hold: pd.DataFrame | None = None

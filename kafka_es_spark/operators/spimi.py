@@ -267,26 +267,28 @@ def build_segments_spimi(
             metrics.add("tokens", int(lens.sum()))
         if lens.sum() == 0:
             return None
-        flat = pd.DataFrame(
-            {
-                "term": np.concatenate(
-                    [np.asarray(t, dtype=object) for t in toks if len(t)]
-                ),
-                "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens),
-            }
+        term_flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if len(t)]
         )
-        g = (
-            flat.groupby(["term", "doc_id"], sort=True)
-            .agg(tf=("doc_id", "size"))
-            .reset_index()
-        )
-        terms = g["term"].to_numpy(dtype=object)
-        ids = g["doc_id"].to_numpy(dtype=np.int64)
-        tfs = g["tf"].to_numpy(dtype=np.int64)
+        id_flat = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        # invert via factorize + int lexsort + run-length count — same
+        # (term-lex, doc_id) group order as the old
+        # groupby(sort=True).size() but ~3× faster (r6: the pandas
+        # string-keyed groupby hashtable dominated the pack stage)
+        codes, uniq = pd.factorize(pd.Series(term_flat), sort=True)
+        order = np.lexsort((id_flat, codes))
+        tc = codes[order]
+        di = id_flat[order]
+        new_grp = np.concatenate([[True], (tc[1:] != tc[:-1]) | (di[1:] != di[:-1])])
+        gi = np.flatnonzero(new_grp)
+        tfs = np.diff(np.concatenate([gi, [tc.size]]))
+        tcg = tc[gi]
+        ids = di[gi]
+        terms = np.asarray(uniq, dtype=object)[tcg]
         if metrics is not None:
             metrics.add("postings", ids.size)
         segs_ = ids >> seg_bits
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
+        change = np.flatnonzero((tcg[1:] != tcg[:-1]) | (segs_[1:] != segs_[:-1])) + 1
         starts = np.concatenate([[0], change])
         nlens = np.diff(np.concatenate([starts, [ids.size]]))
         gaps = ids.astype(np.uint64).copy()
@@ -337,6 +339,49 @@ def build_segments_spimi(
         gchange = np.flatnonzero((terms[1:] != terms[:-1]) | (segs_[1:] != segs_[:-1])) + 1
         gstarts = np.concatenate([[0], gchange])  # in run index space
         gends = np.concatenate([gchange, [len(pdf)]])
+        if codec == "varint":
+            # vectorized across ALL groups of the block (r6): label each
+            # posting with its group, one lexsort by (group, doc_id), delta
+            # with per-group rebasing, segmented varint encode — no
+            # per-group Python loop. LEB128 is per-value, so the segmented
+            # encoding is byte-identical to per-group encodes.
+            n_runs = len(pdf)
+            glabel_run = np.zeros(n_runs, dtype=np.int64)
+            glabel_run[gchange] = 1
+            glabel_run = np.cumsum(glabel_run)
+            lab = np.repeat(glabel_run, n_per)
+            order = np.lexsort((ids_all, lab))
+            ids_s = ids_all[order]
+            tfs_s = tfs_all[order]
+            gs = rs[:-1][gstarts]  # posting-space group starts (sorted keys)
+            glens = np.diff(np.concatenate([gs, [ids_s.size]]))
+            gaps_out = ids_s.astype(np.uint64).copy()
+            gaps_out[1:] -= ids_s[:-1].astype(np.uint64)
+            gaps_out[gs] = ids_s[gs].astype(np.uint64)
+            docs_blobs = codecs.varint_encode_segmented(gaps_out, glens)
+            tfs_blobs = codecs.varint_encode_segmented(
+                tfs_s.astype(np.uint64), glens
+            )
+            out = pd.DataFrame(
+                {
+                    "term": terms[gstarts],
+                    "seg": segs_[gstarts],
+                    "df_seg": glens,
+                    "cf_seg": np.add.reduceat(tfs_s, gs),
+                    "first_docid": ids_s[gs],
+                    "last_docid": ids_s[np.concatenate([gs[1:], [ids_s.size]]) - 1],
+                    "docs_blob": docs_blobs,
+                    "tfs_blob": tfs_blobs,
+                }
+            )[seg_cols]
+            if metrics is not None:
+                metrics.add("segments", len(out))
+                metrics.add(
+                    "posting_bytes",
+                    sum(len(b) for b in docs_blobs)
+                    + sum(len(b) for b in tfs_blobs),
+                )
+            return out
         rows = []
         for rs_i, re_i in zip(gstarts, gends):
             s, e = int(rs[rs_i]), int(rs[re_i])
