@@ -94,26 +94,23 @@ def bm25_topk(
     join is broadcast. Final top-k is a TakeOrdered — no global sort.
     """
     uq = sorted(set(query_terms))
-    # r6: 4 corpus passes → 2. dl rides the exploded token rows (carried
-    # through the tf aggregate as first(dl) — one value per doc, no
-    # separate doc_lengths join), and df = #rows per term OF the tf
-    # relation (each (doc, term) row is one matching doc), so only the
-    # corpus_stats pass re-reads the corpus. Identical inputs to the
-    # score column → identical scores.
-    tk = tokens(text_col)
-    qtoks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tk).cast("long").alias("dl"),
-        F.explode(tk).alias("term"),
-    ).filter(F.col("term").isin(uq))
-    tf = qtoks.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    )
+    # r6 NOTE: a "2-pass" rewrite (dl riding the exploded token rows into
+    # the tf aggregate) measured 3× SLOWER at sf1.0 — projecting size(tk)
+    # NEXT TO explode(tk) makes Spark re-evaluate the split per GENERATED
+    # row (5.2 s vs 1.0 s for the explode alone at 50k docs). The separate
+    # narrow passes below each evaluate the split once per doc and win;
+    # only df is derived from the tf relation (one scan fewer than the
+    # original, identical values).
+    toks = doc_tokens(docs, id_col, text_col)
+    qtoks = toks.filter(F.col("term").isin(uq))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = doc_lengths(docs, id_col, text_col)
     stats = corpus_stats(docs, id_col, text_col)
 
     scored = (
         tf.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn(
             "tscore",
