@@ -94,17 +94,19 @@ def bm25_topk(
     join is broadcast. Final top-k is a TakeOrdered — no global sort.
     """
     uq = sorted(set(query_terms))
-    # r6 NOTE: a "2-pass" rewrite (dl riding the exploded token rows into
-    # the tf aggregate) measured 3× SLOWER at sf1.0 — projecting size(tk)
-    # NEXT TO explode(tk) makes Spark re-evaluate the split per GENERATED
-    # row (5.2 s vs 1.0 s for the explode alone at 50k docs). The separate
-    # narrow passes below each evaluate the split once per doc and win;
-    # only df is derived from the tf relation (one scan fewer than the
-    # original, identical values).
+    # r6 NOTE: two rewrites were tried here and BOTH reverted on interleaved
+    # measurement. (1) dl riding the exploded token rows into the tf
+    # aggregate: 3× slower at sf1.0 — projecting size(tk) NEXT TO
+    # explode(tk) makes Spark re-evaluate the split per GENERATED row
+    # (5.2 s vs 1.0 s for the explode alone at 50k docs). (2) df derived
+    # from the tf relation: 1.62 → 2.12 s at sf1.0 — dfreq then DEPENDS on
+    # tf's shuffle (a blocking chain) where the original aggregates df from
+    # the narrow scan concurrently with tf. The independent-passes shape
+    # below is the measured optimum for a cached corpus.
     toks = doc_tokens(docs, id_col, text_col)
     qtoks = toks.filter(F.col("term").isin(uq))
     tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = qtoks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     dl = doc_lengths(docs, id_col, text_col)
     stats = corpus_stats(docs, id_col, text_col)
 
