@@ -104,6 +104,59 @@ def cosine(a: Column, b: Column) -> Column:
     return pandas_udf(_cos_batch, DoubleType())(a, b)
 
 
+def _dot_fold_batch(va, vb, integer: bool):
+    """Shared vectorized fold for dot products: float64 left-to-right
+    cumsum (bit-identical to the ``F.aggregate`` fold) or exact int64
+    (order-free). Nulls and length mismatches → None (zip_with pads the
+    shorter side with nulls, nulling the fold); empty arrays → 0 (the
+    fold's initial value)."""
+    import pandas as pd
+
+    n = len(va)
+    out: list = [None] * n
+    av, bv = va.to_numpy(dtype=object), vb.to_numpy(dtype=object)
+    dt = np.int64 if integer else np.float64
+    for i in range(n):
+        if av[i] is None or bv[i] is None:
+            continue
+        a = np.asarray(av[i], dtype=dt)
+        b = np.asarray(bv[i], dtype=dt)
+        if a.size != b.size:
+            continue
+        if a.size == 0:
+            out[i] = 0 if integer else 0.0
+            continue
+        out[i] = (
+            int((a * b).sum()) if integer
+            else float(np.cumsum(a * b)[-1])
+        )
+    return pd.Series(out, dtype="Int64" if integer else "float64")
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Float64 dot product as an Arrow-batched pandas UDF — replaces the
+    interpreted ``_dot`` Column fold on hot paths (maxsim); left-to-right
+    cumsum keeps the values bit-identical to the Column form."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    return pandas_udf(
+        lambda x, y: _dot_fold_batch(x, y, integer=False), DoubleType()
+    )(a, b)
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product (int8 coarse scoring) as a pandas UDF —
+    integer addition is exact and order-free, so numpy's sum matches the
+    Column fold value-for-value."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    return pandas_udf(
+        lambda x, y: _dot_fold_batch(x, y, integer=True), LongType()
+    )(a, b)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -218,10 +271,9 @@ def int8_rerank_topk(
     j = qz.crossJoin(F.broadcast(zq)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    idot = F.expr(
-        "aggregate(zip_with(qvec, qqvec, (a, b) -> CAST(a AS BIGINT) * b), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+    # r6: exact int64 pandas dot replaces the interpreted Column fold
+    # (integer addition is order-free, so values are identical)
+    idot = dot_long(F.col("qvec"), F.col("qqvec"))
     approx = F.round(
         idot.cast("double") * F.col("scale") * F.col("qscale")
         / F.lit(16129.0),  # 127²
@@ -287,7 +339,9 @@ def maxsim_topk(
     d = doc_vecs.select(
         F.col("doc_id"), F.col("seq").alias("_dseq"), F.col("vec").alias("_dv")
     )
-    dot = F.round(_dot(F.col("_dv"), F.col("_qv")), round_to)
+    # r6: vectorized pandas dot (bit-identical fold) — the interpreted
+    # Column aggregate/zip_with was the per-pair cost here (guide §4.2)
+    dot = F.round(dot_double(F.col("_dv"), F.col("_qv")), round_to)
     per_qvec = (
         d.crossJoin(F.broadcast(q))
         .select("doc_id", "query_id", "_qseq", dot.alias("_dot"))
