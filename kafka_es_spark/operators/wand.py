@@ -1806,6 +1806,25 @@ class Searcher:
             .applyInPandas(score_range, "doc_id long, score double")
         )
 
+    def _score_cogroup(self, terms, kernel, schema: str) -> DataFrame:
+        """Run a per-range numpy ``kernel(key, pdf, dpdf)`` over ONE
+        seg-cogroup of the query terms' posting segments (pdf: raw segment
+        rows of one seg) and that seg's range-dl rows (dpdf) — the
+        zero-doc-shuffle frame every relational scorer shares (guide §2.4:
+        postings and range-dls are both seg-organized and a doc lives in
+        exactly one range, so the per-doc result needs no doc_id-keyed
+        exchange at all; same plan shape as relational_scores / topk).
+        The r6 rewrite target for the former ``_postings_rows ⨝ _dl_rows``
+        doc_id-join sites: that shape shuffled decoded posting-sized rows
+        twice by doc_id and hash-aggregated them (3 Exchanges per site)."""
+        segs = self._query_segs(list(terms))
+        dls = self._query_dls(segs)
+        return (
+            segs.groupBy("seg")
+            .cogroup(dls.groupBy("seg"))
+            .applyInPandas(kernel, schema)
+        )
+
     def range_filtered_topk(
         self,
         query: str,
@@ -1860,20 +1879,17 @@ class Searcher:
             .filter((F.col(field) >= lo) & (F.col(field) <= hi))
             .select("doc_id")
         )
-        segs = self._query_segs(list(weights))
-        postings = self._postings_rows(segs)
-        dl_rows = self._dl_rows(segs)
-        w_df = spark.createDataFrame(
-            [(t, float(w)) for t, w in sorted(weights.items())],
-            "term string, w double",
-        )
-        contrib = self._bm25_contrib_col()
+        # r6: scoring reuses the relational_scores seg-cogroup (final
+        # (doc_id, score) rows with zero doc_id-keyed exchanges) instead of
+        # the old postings ⨝ allowed ⨝ dl_rows ⨝ weights doc_id-shuffle
+        # chain + hash aggregation (guide §2.4). Same weights derivation
+        # (tokenize_py + index idf), same per-contribution arithmetic;
+        # the per-doc sum order is now deterministic (term-lex) where the
+        # hash aggregate's was not. The allowed set stays a plain
+        # equi-join on the rank-sized score relation.
         out = (
-            postings.join(allowed, "doc_id")
-            .join(dl_rows, "doc_id")
-            .join(F.broadcast(w_df), "term")
-            .groupBy("doc_id")
-            .agg(F.sum(contrib).alias("score"))
+            self.relational_scores(query)
+            .join(allowed, "doc_id")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
@@ -2904,20 +2920,59 @@ class Searcher:
         weights = {r["term"]: idf(self.n_docs, int(r["df"])) for r in ts}
         if not weights:
             return spark.createDataFrame([], empty)
-        segs = self._query_segs(list(weights))
-        w_df = spark.createDataFrame(
-            [(t, float(w)) for t, w in sorted(weights.items())],
-            "term string, w double",
-        )
-        scored = (
-            self._postings_rows(segs)
-            .join(self._dl_rows(segs), "doc_id")
-            .join(F.broadcast(w_df), "term")
-            .groupBy("doc_id")
-            .agg(
-                F.sum(self._bm25_contrib_col()).alias("score"),
-                F.count_distinct("term").alias("_matched"),
+        # r6: one seg-cogroup computes (score, matched) per doc — the old
+        # postings ⨝ dl_rows doc_id-shuffle join + hash aggregation
+        # (3 Exchanges) is gone (guide §2.4, same kernel family as
+        # relational_scores). matched = posting rows per doc, which IS
+        # count_distinct(term): a doc appears at most once per term (one
+        # epoch owns a doc, one merged segment row per (term, seg, shard)).
+        avgdl, codec = self.avgdl, self.codec
+        wmap = {t: float(w) for t, w in weights.items()}
+
+        def score_range(key, pdf, dpdf):
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64),
+                     "_matched": pd.Series(dtype=np.int64)}
+                )
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
+            rows = pdf.to_dict("records")
+            rows.sort(key=lambda r: r["term"])
+            ids_l, con_l = [], []
+            for r in rows:
+                ids, tfs = decode_segment(r, codec)
+                w = wmap[r["term"]]
+                tf = tfs.astype(np.float64)
+                dl = dl_arr[ids - dl_base].astype(np.float64)
+                con = (w * tf) * (K1 + 1.0) / (
+                    tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+                )
+                ids_l.append(ids)
+                con_l.append(con)
+            ids_all = np.concatenate(ids_l)
+            con_all = np.concatenate(con_l)
+            order = np.argsort(ids_all, kind="stable")
+            ids_s = ids_all[order]
+            con_s = con_all[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
             )
+            uids = ids_s[starts]
+            scores = np.add.reduceat(con_s, starts)
+            matched = np.diff(np.append(starts, ids_s.size))
+            return pd.DataFrame(
+                {"doc_id": uids, "score": scores, "_matched": matched}
+            )
+
+        scored = self._score_cogroup(
+            list(weights), score_range,
+            "doc_id long, score double, _matched long",
         )
         if self.persistent_excluded:
             scored = scored.filter(
@@ -3021,19 +3076,55 @@ class Searcher:
         w = sum(idf(self.n_docs, int(r["df"])) for r in ts)
         if not ts:
             return spark.createDataFrame([], empty)
-        segs = self._query_segs(toks)
-        out = (
-            self._postings_rows(segs)
-            .groupBy("doc_id")
-            .agg(F.sum("tf").alias("tf"))
-            .join(self._dl_rows(segs), "doc_id")
-            .withColumn("w", F.lit(float(w)))
+        # r6: one seg-cogroup pools the span freq (Σ tf over the clause
+        # terms, exact int64) and scores per doc in numpy — the old
+        # tf-aggregate ⨝ dl_rows doc_id-shuffle chain (3 Exchanges) is
+        # gone (guide §2.4). Arithmetic mirrors _bm25_contrib_col
+        # op-for-op with the combined clause weight.
+        avgdl, codec = self.avgdl, self.codec
+        wf = float(w)
+
+        def score_range(key, pdf, dpdf):
+            if len(pdf) == 0:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "score": pd.Series(dtype=np.float64)}
+                )
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
+            ids_l, tf_l = [], []
+            for r in pdf.to_dict("records"):
+                ids, tfs = decode_segment(r, codec)
+                ids_l.append(ids)
+                tf_l.append(tfs.astype(np.int64))
+            ids_all = np.concatenate(ids_l)
+            tf_all = np.concatenate(tf_l)
+            order = np.argsort(ids_all, kind="stable")
+            ids_s = ids_all[order]
+            tf_s = tf_all[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ids_s[1:] != ids_s[:-1]])
+            )
+            uids = ids_s[starts]
+            tfp = np.add.reduceat(tf_s, starts).astype(np.float64)
+            dl = dl_arr[uids - dl_base].astype(np.float64)
+            sc = (wf * tfp) * (K1 + 1.0) / (
+                tfp + K1 * ((1.0 - B) + (B * dl) / avgdl)
+            )
+            return pd.DataFrame({"doc_id": uids, "score": sc})
+
+        out = self._score_cogroup(
+            toks, score_range, "doc_id long, score double"
         )
         if self.persistent_excluded:
             out = out.filter(
                 ~F.col("doc_id").isin(sorted(self.persistent_excluded))
             )
-        score = self._bm25_contrib_col()
+        score = F.col("score")
         if round_to is not None:
             score = F.round(score, round_to)
         cols = ["doc_id", "url"] if with_url else ["doc_id"]
@@ -3183,20 +3274,75 @@ class Searcher:
             for m in ms
             if m in ts
         )
-        segs = self._query_segs(sorted({m for m, _ in member_rows}))
-        gmap = spark.createDataFrame(member_rows, "term string, grp string")
-        w_df = spark.createDataFrame(
-            sorted(weights.items()), "grp string, w double"
-        )
-        out = (
-            self._postings_rows(segs)
-            .join(F.broadcast(gmap), "term")
-            .groupBy("doc_id", "grp")
-            .agg(F.sum("tf").alias("tf"))
-            .join(self._dl_rows(segs), "doc_id")
-            .join(F.broadcast(w_df), "grp")
-            .groupBy("doc_id")
-            .agg(F.sum(self._bm25_contrib_col()).alias("score"))
+        # r6: one seg-cogroup does the whole group roll-up in numpy — pool
+        # tf per (doc, group) (exact int64 lexsort + reduceat), one BM25
+        # contribution per (doc, group) with the group's blended weight,
+        # sum per doc in group-lex order. The old chain (postings ⨝ gmap →
+        # (doc, grp) hash agg → ⨝ dl_rows → ⨝ w_df → doc hash agg) paid
+        # THREE doc_id/grp-keyed Exchanges for data already co-organized
+        # by doc range (guide §2.4). Per-group arithmetic mirrors
+        # _bm25_contrib_col op-for-op; the per-doc sum order is now
+        # deterministic (group-lex) where the hash aggregate's was not.
+        grp_names = sorted(weights)
+        gidx = {g: i for i, g in enumerate(grp_names)}
+        warr_py = [float(weights[g]) for g in grp_names]
+        term2g = {m: gidx[g] for m, g in member_rows}
+        avgdl, codec = self.avgdl, self.codec
+
+        def score_range(key, pdf, dpdf):
+            empty_pdf = pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)}
+            )
+            if len(pdf) == 0:
+                return empty_pdf
+            if len(dpdf) == 0:
+                raise ValueError(
+                    f"seg {key} has postings but no range-dl rows — "
+                    "corrupt or mixed-layout index"
+                )
+            dl_base, dl_arr = decode_range_dls(dpdf.to_dict("records"))
+            warr = np.asarray(warr_py, dtype=np.float64)
+            ids_l, tf_l, g_l = [], [], []
+            for r in pdf.to_dict("records"):
+                g = term2g.get(r["term"])
+                if g is None:  # not a member term (defensive; segs pruned)
+                    continue
+                ids, tfs = decode_segment(r, codec)
+                ids_l.append(ids)
+                tf_l.append(tfs.astype(np.int64))
+                g_l.append(np.full(ids.size, g, dtype=np.int64))
+            if not ids_l:
+                return empty_pdf
+            ids_all = np.concatenate(ids_l)
+            tf_all = np.concatenate(tf_l)
+            g_all = np.concatenate(g_l)
+            order = np.lexsort((g_all, ids_all))
+            ids_s, tf_s, g_s = ids_all[order], tf_all[order], g_all[order]
+            pstarts = np.flatnonzero(
+                np.concatenate(
+                    [[True],
+                     (ids_s[1:] != ids_s[:-1]) | (g_s[1:] != g_s[:-1])]
+                )
+            )
+            p_ids = ids_s[pstarts]
+            p_g = g_s[pstarts]
+            p_tf = np.add.reduceat(tf_s, pstarts).astype(np.float64)
+            dl = dl_arr[p_ids - dl_base].astype(np.float64)
+            wv = warr[p_g]
+            con = (wv * p_tf) * (K1 + 1.0) / (
+                p_tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+            )
+            dstarts = np.flatnonzero(
+                np.concatenate([[True], p_ids[1:] != p_ids[:-1]])
+            )
+            uids = p_ids[dstarts]
+            scores = np.add.reduceat(con, dstarts)
+            return pd.DataFrame({"doc_id": uids, "score": scores})
+
+        out = self._score_cogroup(
+            sorted({m for m, _ in member_rows}), score_range,
+            "doc_id long, score double",
         )
         if self.persistent_excluded:
             out = out.filter(
